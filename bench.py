@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a count() action (no driver materialization
+of payloads); a warmup pass primes the JVM/codegen so the numbers
+measure the plans, not classloading.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_flightanalysis_spark.queries.catalog import load_all
+from bigdata_flightanalysis_spark.session import get_session
+
+HEADLINE = [
+    "flagship_top_segments",
+    "q1_pricing_summary",
+    "revenue_by_region",
+    "q3_shipping_priority",
+    "top_customers_per_segment",
+    "events_tumbling_hourly",
+    "events_session_windows",
+    "events_json_extract",
+    "doc_exact_dedup",
+    "doc_minhash_signatures",
+    "doc_near_dup_candidates",
+    "doc_token_stats",
+    "embed_cosine_topk",
+    "embed_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    spark = get_session("bigdata-flightanalysis-bench")
+
+    # Warmup: prime JVM, codegen and the parquet footers with the
+    # cheapest query so per-query numbers reflect steady state.
+    registry["flagship_top_segments"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Scalar function library (SURVEY.md §2.8, X1-X11).
+
+All pure Column expressions — JVM-side, whole-stage-codegen'd, no
+Python in the hot path. The reference's only UDF (vector stringify,
+``Code/flight_analysis.py:228-241``) is deliberately NOT reproduced as
+a UDF; see ``pipeline.flights``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Reference scalar surface
+# --------------------------------------------------------------------------
+
+
+def case_map(
+    col: Column | str, mapping: Mapping[str, str], default: str | None = None
+) -> Column:
+    """Value-map lookup (X1).
+
+    The reference builds a SQL ``CASE WHEN`` string in Python and feeds
+    it through ``expr()`` (``Code/flight_analysis.py:38-41,64``); with
+    no ELSE branch, unmatched codes yield NULL (quirk §2.12.4). The
+    engine expresses the same thing as a chained ``when`` with an
+    explicit default (``default=None`` reproduces the reference's
+    NULL-on-unmatched semantics).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    expr: Column | None = None
+    for key, value in mapping.items():
+        cond = col == F.lit(key)
+        expr = F.when(cond, F.lit(value)) if expr is None else expr.when(cond, F.lit(value))
+    if expr is None:
+        return F.lit(default)
+    return expr if default is None else expr.otherwise(F.lit(default))
+
+
+def threshold_label(col: Column | str, threshold: float = 5.0) -> Column:
+    """Binary delay label (X2/A3): 1 if value > threshold else 0.
+
+    Reference: ``IsDelayed`` at ``Code/flight_analysis.py:124-125``
+    (threshold 5 minutes). NULL input → 0, matching the reference's
+    ``otherwise(0)`` branch.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.when(col > F.lit(threshold), F.lit(1)).otherwise(F.lit(0))
+
+
+def hhmm_to_hour(col: Column | str) -> Column:
+    """HHMM-encoded numeric time → hour-of-day (X9).
+
+    Reference: ``floor(DEP_TIME/100).cast(int)``
+    (``Code/flight_analysis.py:102``). 1432.0 → 14; 2400.0 → 24 (the
+    reference does not normalize the midnight-wrap value — kept as-is,
+    documented; ``hhmm_to_hour_wrapped`` normalizes).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.floor(col / 100).cast("int")
+
+
+def hhmm_to_hour_wrapped(col: Column | str) -> Column:
+    """Like :func:`hhmm_to_hour` but maps 2400 → 0 (idiomatic mode)."""
+    return hhmm_to_hour(col) % 24
+
+
+def typed_fillna(df, fills: Mapping[str, object]):
+    """Type-correct null fill (X3).
+
+    Spark's ``fillna`` silently skips columns whose type mismatches the
+    fill value — in the reference that turns most of the fill dict into
+    a no-op because all raw columns are strings
+    (``Code/flight_analysis.py:44-53``, quirk §2.12.2). This wrapper
+    raises instead of no-opping.
+    """
+    dtypes = dict(df.dtypes)
+    for name, value in fills.items():
+        if name not in dtypes:
+            raise KeyError(f"fillna target {name!r} not in schema")
+        spark_t = dtypes[name]
+        ok = (
+            isinstance(value, bool) and spark_t == "boolean"
+            or isinstance(value, int) and not isinstance(value, bool)
+            and spark_t in ("int", "bigint", "smallint", "tinyint", "double", "float")
+            or isinstance(value, float) and spark_t in ("double", "float")
+            or isinstance(value, str) and spark_t == "string"
+        )
+        if not ok:
+            raise TypeError(
+                f"fillna value {value!r} does not match column {name!r} type {spark_t}"
+                " (Spark would silently no-op this fill)"
+            )
+    return df.fillna(dict(fills))
+
+
+# --------------------------------------------------------------------------
+# Oracle-deterministic aggregate helpers
+# --------------------------------------------------------------------------
+#
+# Double-precision SUM is order-dependent, and Spark's partial/final
+# aggregation order differs run-to-run and engine-to-engine — a raw
+# sum(double) can hash-mismatch a DuckDB oracle in the last ulp. The
+# fix: cast each addend to DECIMAL(38,6) (exact, engine-independent —
+# a double is never exactly on a decimal midpoint so rounding mode
+# can't diverge), sum exactly in decimal, then cast the single result
+# back to double (correctly rounded, hence identical bits in any IEEE
+# engine). Same trick at 100 TB also buys overflow-safe money sums.
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Deterministic double sum: exact decimal accumulation."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sum(col.cast("decimal(38,6)")).cast("double").alias(alias)
+
+
+def exact_avg(col: Column | str, alias: str) -> Column:
+    """Deterministic average: exact decimal sum / count, divided in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast("decimal(38,6)")).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+def dsum_sql(expr: str, alias: str) -> str:
+    """DuckDB-side twin of :func:`dsum` for oracle SQL strings."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+
+
+def exact_avg_sql(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

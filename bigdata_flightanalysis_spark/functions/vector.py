@@ -1,0 +1,38 @@
+"""Vector math over array<float/double> columns — pure Catalyst
+expressions (``zip_with`` + ``aggregate``), no UDF, no MLlib VectorUDT
+at the engine boundary (SURVEY.md §1.2).
+
+Determinism note: ``F.aggregate`` folds left-to-right sequentially, so
+the double accumulation order is fixed — the same order a DuckDB
+``list_`` function uses — which keeps similarity scores stable enough
+to round-and-compare in the oracle harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL when either vector has zero norm."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot_product(a, b) / denom)

@@ -1,0 +1,229 @@
+"""Event-time query suite over the ``events`` table (SURVEY.md §2.9
+extension surface: JSON extraction, tumbling/sliding/session windows).
+
+These are the batch-mode twins of the Structured Streaming operators in
+``streaming/events.py`` — same window semantics, checkable by the
+DuckDB oracle; the streaming tests then assert streaming == batch.
+
+Window starts are rendered as strings (UTC) so the oracle hash is
+independent of engine timestamp representation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_flightanalysis_spark.functions.scalar import dsum, dsum_sql
+from bigdata_flightanalysis_spark.queries.catalog import register
+from bigdata_flightanalysis_spark.sources.readers import read_table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "events_json_extract",
+    oracle=f"""
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(*) AS n_events,
+               {dsum_sql("value", "sum_value")}
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="JSON-in-string extraction (get_json_object) feeding an "
+    "aggregate — events.props per TESTDATA; extension per SURVEY.md §2.8.",
+    tags=("events", "json"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            "value",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("*").alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=f"""
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}')
+                   AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {dsum_sql("value", "sum_value")}
+        FROM events
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    description="Tumbling 1-hour event-time window (F.window) — batch "
+    "twin of the streaming aggregation.",
+    tags=("events", "window"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_hourly",
+    oracle=f"""
+        SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                            - offs.o * INTERVAL '30 minutes',
+                        '{_TS_FMT_DUCK}') AS window_start,
+               COUNT(*) AS n_events,
+               {dsum_sql("value", "sum_value")}
+        FROM events
+        CROSS JOIN (SELECT 0 AS o UNION ALL SELECT 1) offs
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
+    description="Sliding window: 1-hour size, 30-minute slide — each "
+    "event lands in exactly 2 windows; the oracle expands them with a "
+    "2-row offset cross join.",
+    tags=("events", "window"),
+)
+def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "events_session_windows",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             >= INTERVAL '30 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+               strftime(MAX(ts) + INTERVAL '30 minutes', '{_TS_FMT_DUCK}') AS session_end,
+               COUNT(*) AS n_events,
+               {dsum_sql("value", "sum_value")}
+        FROM numbered
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
+    description="Session windows (30-min inactivity gap) per user — "
+    "F.session_window in Spark; gaps-and-islands SQL in the oracle. "
+    "Spark's session end = last event + gap (a gap of exactly 30:00 "
+    "starts a new session), mirrored as MAX(ts)+gap / >= in the lag test.",
+    tags=("events", "window", "session"),
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.col("w.end"), _TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "events_dedup_first_per_user_type",
+    oracle="""
+        SELECT user_id, event_type, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+        FROM (
+            SELECT user_id, event_type, event_id, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+        ORDER BY user_id, event_type
+    """,
+    description="Event dedup keeping the earliest occurrence per "
+    "(user, type) — batch twin of streaming dropDuplicatesWithinWatermark.",
+    tags=("events", "dedup"),
+)
+def events_dedup_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.relational import deduplicate_exact
+
+    ev = read_table(spark, sf_dir, "events")
+    deduped = deduplicate_exact(
+        ev,
+        ["user_id", "event_type"],
+        keep_order=[F.col("ts").asc(), F.col("event_id").asc()],
+    )
+    return deduped.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("first_ts"),
+    ).orderBy("user_id", "event_type")
+
+
+@register(
+    "events_user_activity_ranked",
+    oracle="""
+        SELECT user_id, n_events, rnk
+        FROM (
+            SELECT user_id, COUNT(*) AS n_events,
+                   RANK() OVER (ORDER BY COUNT(*) DESC, user_id ASC) AS rnk
+            FROM events
+            GROUP BY user_id
+        )
+        WHERE rnk <= 10
+        ORDER BY rnk
+    """,
+    description="Global rank over grouped counts with deterministic "
+    "tie-break — top-10 most active users.",
+    tags=("events", "window", "topk"),
+)
+def events_user_activity_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return (
+        counts.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("rnk")
+    )

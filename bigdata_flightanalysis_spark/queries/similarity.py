@@ -1,0 +1,265 @@
+"""Similarity-search query suite over ``embeddings`` (SURVEY.md §7
+phase 4): brute-force cosine top-k as the exactness baseline, and a
+random-hyperplane LSH-bucketed variant as the scale path.
+
+Numeric determinism: dot products fold left-to-right in double on both
+engines (Spark ``F.aggregate``; DuckDB ``list_sum`` over an ordered
+``list_transform``), so scores are compared exactly — asserted by the
+oracle, no rounding slack needed (verified empirically in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_flightanalysis_spark.functions.vector import cosine_similarity
+from bigdata_flightanalysis_spark.queries.catalog import register
+from bigdata_flightanalysis_spark.sources.readers import read_table
+
+DIM = 64
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+
+# DuckDB twin of functions.vector: sequential double fold over indices.
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, {dim} + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform(range(1, {dim} + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+def _sql_cosine(a: str, b: str, dim: int = DIM) -> str:
+    dot = _SQL_DOT.format(a=a, b=b, dim=dim)
+    na = _SQL_NORM.format(a=a, dim=dim)
+    nb = _SQL_NORM.format(a=b, dim=dim)
+    return f"CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) END"
+
+
+@register(
+    "embed_cosine_topk",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+             c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label
+                   FROM embeddings),
+             scored AS (
+                 SELECT query_id, neighbor_id, label,
+                        {_sql_cosine("qe", "ce")} AS cosine
+                 FROM q CROSS JOIN c
+                 WHERE query_id <> neighbor_id
+             )
+        SELECT query_id, neighbor_id, label, cosine, rn
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM scored
+        )
+        WHERE rn <= {TOP_K}
+        ORDER BY query_id, rn
+    """,
+    description=f"Brute-force cosine top-{TOP_K} for {N_QUERIES} query "
+    "vectors: broadcast the (tiny) query side against the full corpus, "
+    "score with pure array expressions, per-query top-k via window. "
+    "At 100 TB the same plan holds — queries broadcast, corpus never "
+    "shuffles, k rows per query come back.",
+    tags=("similarity", "ann"),
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "label"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            cosine_similarity(F.col("qe"), F.col("ce")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH: 8 fixed hyperplanes (seed 42) → 8-bit bucket;
+# same-bucket join replaces the cross join. Deterministic (hyperplanes
+# are literals), so fully oracle-checkable — both engines compute the
+# identical bucketing and identical within-bucket ranking.
+# --------------------------------------------------------------------------
+
+N_PLANES = 8
+_rng = np.random.default_rng(42)
+HYPERPLANES: list[list[float]] = [
+    [float(x) for x in _rng.standard_normal(DIM)] for _ in range(N_PLANES)
+]
+
+
+def _sql_bucket(col: str) -> str:
+    bits = []
+    for p, plane in enumerate(HYPERPLANES):
+        lits = "[" + ", ".join(f"{v!r}" for v in plane) + "]"
+        dot = _SQL_DOT.format(a=col, b=lits, dim=DIM)
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _spark_bucket(col: F.Column) -> F.Column:
+    total = F.lit(0)
+    for p, plane in enumerate(HYPERPLANES):
+        lits = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(col, lits, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        total = total + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return total
+
+
+@register(
+    "embed_lsh_topk",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding, label, {_sql_bucket("embedding")} AS bucket
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+              FROM b WHERE vec_id < {N_QUERIES}),
+        scored AS (
+            SELECT q.query_id, b.vec_id AS neighbor_id, b.label, b.bucket,
+                   {_sql_cosine("q.qe", "b.embedding")} AS cosine
+            FROM q JOIN b ON q.bucket = b.bucket AND q.query_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, label, bucket, cosine, rn
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM scored
+        )
+        WHERE rn <= {TOP_K}
+        ORDER BY query_id, rn
+    """,
+    description=f"LSH-bucketed ANN: {N_PLANES} fixed random hyperplanes "
+    "(seed 42) → sign-bit bucket; candidates are same-bucket only, so "
+    "the scale cost is a bucket-key equi-join instead of a cross join "
+    "(~1/256 of the pairs at 100 TB, tunable via planes/bands).",
+    tags=("similarity", "ann", "lsh"),
+)
+def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label", _spark_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            "bucket",
+            cosine_similarity(F.col("qe"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "bucket", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+@register(
+    "embed_label_centroids",
+    oracle=f"""
+        SELECT label, COUNT(*) AS n_vectors,
+               {", ".join(
+                   f"CAST(SUM(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)"
+                   f" / COUNT(*) AS c_{i}" for i in range(4)
+               )}
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+    description="Per-label centroid (first 4 dims shown) via exact "
+    "decimal accumulation — the map-side-combinable aggregation shape "
+    "that a distributed KMeans iteration uses.",
+    tags=("similarity", "ml"),
+)
+def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    aggs = [
+        (
+            F.sum(F.element_at("embedding", i + 1).cast("double").cast("decimal(38,12)"))
+            .cast("double")
+            / F.count("*")
+        ).alias(f"c_{i}")
+        for i in range(4)
+    ]
+    return (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("n_vectors"), *aggs)
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# MLlib KMeans over embeddings — non-SQL-expressible (iterative), so no
+# oracle; the driver records a rows-only check and tests assert
+# invariants (cluster count, seed stability).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=None,
+    description="KMeans (k=8, seed=42, MLlib) over the embedding "
+    "column; returns cluster sizes. Iterative/driver-coordinated — "
+    "rows-only driver check; invariants tested in tests/test_ml.py. "
+    "Mirrors the reference's clustering stage "
+    "(Code/flight_analysis.py:135-141).",
+    tags=("similarity", "ml", "no-oracle"),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, featuresCol="features").fit(emb)
+    pred = model.transform(emb)
+    return (
+        pred.groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cluster")
+    )

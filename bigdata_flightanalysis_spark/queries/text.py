@@ -1,0 +1,401 @@
+"""Text-analysis + dedup query suite over ``documents`` (SURVEY.md §7
+phase 4: the LLM-training-data-pipeline surface).
+
+Everything is built from codegen'd built-in expressions; hashing is the
+md5-based 60-bit family (``functions.text.md5_long``) specifically so
+MinHash signatures and fingerprints are bit-identical in the DuckDB
+oracle — a much stronger check than rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_flightanalysis_spark.functions.text import (
+    LANG_STOPWORDS,
+    md5_long,
+    md5_long_sql,
+    normalize_text,
+    punct_ratio,
+    token_count,
+    tokenize,
+    word_shingles,
+)
+from bigdata_flightanalysis_spark.queries.catalog import register
+from bigdata_flightanalysis_spark.sources.readers import read_table
+
+# DuckDB twins of the tokenizer/shingler. Both sides: trim → split on
+# whitespace runs → 3-word shingles (short texts yield one whole-text
+# shingle).
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_SQL_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_FINGERPRINT = md5_long_sql(_SQL_NORM_TEXT)
+
+
+def _sql_shingles(n: int = 3) -> str:
+    return (
+        f"list_transform(range(1, greatest(len({_SQL_TOKENS}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string({_SQL_TOKENS}[i:i+{n - 1}], ' '))"
+    )
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+               MIN(len({_SQL_TOKENS})) AS min_tokens,
+               MAX(len({_SQL_TOKENS})) AS max_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Token counting (whitespace tokenizer) aggregated per "
+    "language — training-data volume accounting.",
+    tags=("text",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", token_count("text").alias("n_tokens"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+        SELECT doc_id,
+               len({_SQL_TOKENS}) AS n_tokens,
+               n_chars,
+               CAST(len({_SQL_TOKENS}) AS DOUBLE)
+                   / len(list_distinct({_SQL_TOKENS})) AS repetition,
+               CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
+                    THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                         / length(regexp_replace(text, '\\s', '', 'g'))
+                    ELSE 0.0 END AS punct_ratio
+        FROM documents
+        ORDER BY doc_id
+    """,
+    description="Per-document quality features: token count, length, "
+    "repetition (tokens / distinct tokens), punctuation ratio — the "
+    "classic pre-training quality-filter signals.",
+    tags=("text", "quality"),
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        "n_chars",
+        (F.size(toks).cast("double") / F.size(F.array_distinct(toks))).alias(
+            "repetition"
+        ),
+        punct_ratio("text").alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+        SELECT doc_id,
+               {_SQL_FINGERPRINT} AS fingerprint
+        FROM documents
+        ORDER BY doc_id
+    """,
+    description="Whole-document 60-bit content fingerprint over "
+    "normalized text — bit-identical across Spark and DuckDB (md5 "
+    "family), the bucket key for exact dedup at scale.",
+    tags=("text", "dedup"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", md5_long(normalize_text("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_exact_dedup",
+    oracle=f"""
+        SELECT {_SQL_FINGERPRINT} AS fingerprint,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS keep_doc_id
+        FROM documents
+        GROUP BY fingerprint
+        ORDER BY fingerprint
+    """,
+    description="Exact dedup by content fingerprint: group on the hash, "
+    "keep the lowest doc_id — single hash-aggregate shuffle, the 100 TB "
+    "shape (never a driver-side distinct).",
+    tags=("text", "dedup"),
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            md5_long(normalize_text("text")).alias("fingerprint"), "doc_id"
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# Language ID — stopword-evidence heuristic with a deterministic
+# argmax (ties broken by alphabetical language order) mirrored in SQL.
+# --------------------------------------------------------------------------
+
+
+def _sql_hits(lang: str) -> str:
+    stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+    return f"len(list_filter({_SQL_TOKENS}, t -> t IN ({stops})))"
+
+
+@register(
+    "doc_langid",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang AS actual_lang,
+                   {_sql_hits("de")} AS hits_de,
+                   {_sql_hits("en")} AS hits_en,
+                   {_sql_hits("es")} AS hits_es,
+                   {_sql_hits("fr")} AS hits_fr,
+                   {_sql_hits("zh")} AS hits_zh
+            FROM documents
+        )
+        SELECT doc_id, actual_lang,
+               CASE
+                 WHEN hits_de >= hits_en AND hits_de >= hits_es
+                      AND hits_de >= hits_fr AND hits_de >= hits_zh THEN 'de'
+                 WHEN hits_en >= hits_es AND hits_en >= hits_fr
+                      AND hits_en >= hits_zh THEN 'en'
+                 WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+                 WHEN hits_fr >= hits_zh THEN 'fr'
+                 ELSE 'zh'
+               END AS predicted_lang
+        FROM scored
+        ORDER BY doc_id
+    """,
+    description="Language-ID heuristic: stopword-hit argmax with "
+    "alphabetical tie-break. Documentation-grade classifier; the "
+    "deployment path swaps in fastText via mapInPandas with the same "
+    "schema.",
+    tags=("text", "langid"),
+)
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    langs = sorted(LANG_STOPWORDS)  # de, en, es, fr, zh
+
+    def hits(lang: str):
+        stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[hits(lg).alias(f"hits_{lg}") for lg in langs],
+    )
+    # Chained argmax identical to the oracle's CASE: earlier (alphabetical)
+    # languages win ties.
+    pred = None
+    for i, lg in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = F.col(f"hits_{lg}") >= F.col(f"hits_{other}")
+            cond = c if cond is None else cond & c
+        pred = F.when(cond, F.lit(lg)) if pred is None else pred.when(cond, F.lit(lg))
+    pred = pred.otherwise(F.lit(langs[-1]))
+    return scored.select("doc_id", "actual_lang", pred.alias("predicted_lang")).orderBy(
+        "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash — oracle-checkable signatures (md5 hash family), then LSH
+# band buckets for candidate pairs. SURVEY.md §7 phase 4 near-dedup.
+# --------------------------------------------------------------------------
+
+N_PERM = 16
+BAND_SIZE = 4  # 4 bands × 4 rows
+
+
+@register(
+    "doc_minhash_signatures",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, {_sql_shingles(3)} AS shingles FROM documents
+        )
+        SELECT doc_id,
+               {", ".join(
+                   f"list_min(list_transform(shingles, s -> "
+                   f"{md5_long_sql('s', seed=i)})) AS sig_{i}"
+                   for i in range(N_PERM)
+               )}
+        FROM sh
+        ORDER BY doc_id
+    """,
+    description=f"MinHash signatures ({N_PERM} permutations, 3-word "
+    "shingles) computed entirely with array expressions — no explode, "
+    "no UDF, map-side only; bit-identical to the oracle's md5 family.",
+    tags=("text", "dedup", "minhash"),
+)
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shape matters at scale: explode shingles to rows so each shingle
+    # string is built ONCE, then hash it N_PERM ways inside a
+    # min-aggregate (partial aggregation → map-side combine, one
+    # signature row per doc crosses the shuffle). The all-array
+    # alternative (array_min(transform(...)) per perm) re-inlines the
+    # tokenize+shingle expressions into every permutation and every
+    # downstream consumer — measured ~50× slower once the self-join in
+    # doc_near_dup_candidates consumed it twice.
+    docs = read_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(word_shingles(tokenize("text"), 3)).alias("sh")
+    )
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(md5_long(F.col("sh"), seed=i)).alias(f"sig_{i}")
+                for i in range(N_PERM)
+            ]
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_near_dup_candidates",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, {_sql_shingles(3)} AS shingles FROM documents
+        ), sig AS (
+            SELECT doc_id,
+                   {", ".join(
+                       f"list_min(list_transform(shingles, s -> "
+                       f"{md5_long_sql('s', seed=i)})) AS sig_{i}"
+                       for i in range(N_PERM)
+                   )}
+            FROM sh
+        ), bands AS (
+            {" UNION ALL ".join(
+                f"SELECT doc_id, {b} AS band, "
+                f"{md5_long_sql('(' + ' || CHR(31) || '.join(f'CAST(sig_{b * BAND_SIZE + r} AS VARCHAR)' for r in range(BAND_SIZE)) + ')')}"
+                f" AS bucket FROM sig"
+                for b in range(N_PERM // BAND_SIZE)
+            )}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+    """,
+    description="MinHash-LSH candidate pairs: band the signature "
+    f"({N_PERM // BAND_SIZE} bands × {BAND_SIZE}), hash each band to a "
+    "bucket, self-join on (band, bucket) — the join is on the bucket "
+    "hash, so the shuffle is tiny regardless of corpus size.",
+    tags=("text", "dedup", "minhash", "lsh"),
+)
+def doc_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One signature computation per document: the (band, bucket) pairs
+    # are exploded from a single array-of-structs expression. A naive
+    # per-band union would recompute the 16-hash signature once per
+    # band per join side — measured 8× slower at sf0.1 and ruinous at
+    # scale. The self-join's two scans share the identical plan, so
+    # AQE/ReusedExchange materializes the shuffle once.
+    sig = doc_minhash_signatures(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_long(
+                    F.concat_ws(
+                        "\x1f",
+                        *[
+                            F.col(f"sig_{b * BAND_SIZE + r}").cast("string")
+                            for r in range(BAND_SIZE)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(N_PERM // BAND_SIZE)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+@register(
+    "doc_jaccard_pairs_sample",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, list_distinct({_sql_shingles(3)}) AS shingles
+            FROM documents WHERE doc_id < 40
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ORDER BY doc_a, doc_b
+    """,
+    description="Exact n-gram (3-shingle) Jaccard similarity over a "
+    "bounded sample — the verification stage that LSH candidates feed "
+    "at scale (candidates only; the all-pairs form here is test-bounded).",
+    tags=("text", "dedup", "jaccard"),
+)
+def doc_jaccard_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokenize("text"), 3)).alias("shingles"),
+        )
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

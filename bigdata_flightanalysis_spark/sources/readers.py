@@ -1,0 +1,85 @@
+"""Sources (SURVEY.md §2.1).
+
+S1 CSV scan, S2 local-rows source, parquet scan for driver testdata.
+The reference's scan is ``spark.read.option("header","true").csv(path)``
+with no schema (``Code/flight_analysis.py:15-16``); the engine always
+scans with an explicit schema so Catalyst can prune columns and push
+predicates into the reader, and offers the schemaless form only as a
+compat mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from bigdata_flightanalysis_spark.schemas import TABLE_NAMES, TESTDATA_SCHEMAS
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver testdata table.
+
+    Schema comes from the parquet footer (it already matches
+    ``TESTDATA_SCHEMAS`` — asserted in tests), so the vectorized
+    reader, predicate pushdown and column pruning all apply.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        return _read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events scan with nanosecond-timestamp handling.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) (TESTDATA), which Spark's
+    vectorized reader rejects. We read it as raw int64 nanoseconds
+    (``nanosAsLong``) and truncate to microseconds JVM-side —
+    ``ts div 1000`` in integer space, never through double (an epoch-ns
+    value exceeds 2^53, so a double round-trip would corrupt it). This
+    matches DuckDB's ns→µs truncation, keeping the oracle exact.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All ten testdata tables as a dict (lazy scans — nothing runs)."""
+    return {name: read_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    *,
+    header: bool = True,
+    compat_all_string: bool = False,
+) -> DataFrame:
+    """CSV scan (S1, ``Code/flight_analysis.py:15-16``).
+
+    ``compat_all_string=True`` reproduces the reference's scan exactly:
+    header on, no schema, no inference → every column StringType.
+    Default mode requires an explicit schema (scale posture: a 100 TB
+    CSV ingest must not pay an inference pass).
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if compat_all_string:
+        return reader.csv(path)
+    if schema is None:
+        raise ValueError("explicit schema required (or pass compat_all_string=True)")
+    return reader.schema(schema).csv(path)
+
+
+def from_rows(
+    spark: SparkSession, rows: list[tuple], schema: T.StructType | list[str]
+) -> DataFrame:
+    """Local-rows source (S2, ``Code/flight_analysis.py:188-194``)."""
+    return spark.createDataFrame(rows, schema)

@@ -1,0 +1,38 @@
+"""Sinks (SURVEY.md §2.1 S3).
+
+The reference writes headered CSV with overwrite
+(``Code/flight_analysis.py:244-246``). The engine keeps that sink for
+compat and defaults to parquet — columnar, compressed, splittable,
+statistics-bearing — which is the only sane sink at 100 TB. Writers
+accept partition columns so large outputs lay out for partition
+pruning on re-read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, *, mode: str = "overwrite", header: bool = True
+) -> None:
+    """CSV sink (S3) — exact reference shape, ``Code/flight_analysis.py:244-246``."""
+    (
+        df.write.format("csv")
+        .option("header", str(header).lower())
+        .mode(mode)
+        .save(path)
+    )
