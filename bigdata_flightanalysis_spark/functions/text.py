@@ -107,6 +107,30 @@ def langid_scores(tokens: Column) -> Column:
     )
 
 
+SIMHASH_BITS = 32
+
+
+def simhash_votes(token_hash: Column, n_bits: int = SIMHASH_BITS) -> list[Column]:
+    """Per-bit ±1 vote expressions for one token's hash.
+
+    Summed per document (map-side combinable aggregate), the sign of
+    each bit's vote total becomes that bit of the SimHash fingerprint.
+    """
+    return [
+        F.when(F.shiftright(token_hash, b).bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1)
+        for b in range(n_bits)
+    ]
+
+
+def simhash_from_votes(vote_cols: list[Column]) -> Column:
+    """Fold per-bit vote totals into the n-bit SimHash bigint."""
+    total = F.lit(0).cast("bigint")
+    for b, v in enumerate(vote_cols):
+        total = total + F.when(v > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
+    return total
+
+
 def rolling_fingerprint(col: Column | str) -> Column:
     """Whole-document fingerprint: 60-bit md5 of the normalized text.
 

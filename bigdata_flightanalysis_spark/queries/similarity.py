@@ -113,18 +113,18 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
-def _sql_bucket(col: str) -> str:
+def _sql_bucket(col: str, n_planes: int = N_PLANES) -> str:
     bits = []
-    for p, plane in enumerate(HYPERPLANES):
+    for p, plane in enumerate(HYPERPLANES[:n_planes]):
         lits = "[" + ", ".join(f"{v!r}" for v in plane) + "]"
         dot = _SQL_DOT.format(a=col, b=lits, dim=DIM)
         bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
 
-def _spark_bucket(col: F.Column) -> F.Column:
+def _spark_bucket(col: F.Column, n_planes: int = N_PLANES) -> F.Column:
     total = F.lit(0)
-    for p, plane in enumerate(HYPERPLANES):
+    for p, plane in enumerate(HYPERPLANES[:n_planes]):
         lits = F.array(*[F.lit(v) for v in plane])
         dot = F.aggregate(
             F.zip_with(col, lits, lambda x, y: x.cast("double") * y),
@@ -195,6 +195,62 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "label", "bucket", "cosine", "rn")
         .orderBy("query_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dedup: coarse LSH bucket (4 planes → 16
+# buckets) prunes the pair space, exact cosine filter confirms. The
+# candidate set is bucket-local by construction — the oracle checks the
+# same (bucketed ∧ cosine ≥ τ) semantics exactly.
+# --------------------------------------------------------------------------
+
+NEAR_DUP_PLANES = 4
+NEAR_DUP_TAU = 0.35
+
+
+@register(
+    "embed_near_dup_pairs",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {_sql_bucket("embedding", NEAR_DUP_PLANES)} AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_sql_cosine("a.embedding", "b.embedding")} AS cosine
+        FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {NEAR_DUP_TAU}
+        ORDER BY vec_a, vec_b
+    """,
+    description="Embedding-cosine near-duplicate pairs: "
+    f"{NEAR_DUP_PLANES}-plane sign-LSH bucket equi-join prunes the "
+    f"quadratic pair space, exact cosine ≥ {NEAR_DUP_TAU} confirms. At "
+    "100 TB the bucket count scales with more planes/band-OR so each "
+    "bucket's pair block stays bounded; the shuffle is on the bucket key.",
+    tags=("similarity", "dedup", "lsh"),
+)
+def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _spark_bucket(F.col("embedding"), NEAR_DUP_PLANES).alias("bucket"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_TAU)
+        .orderBy("vec_a", "vec_b")
     )
 
 

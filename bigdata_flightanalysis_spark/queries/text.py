@@ -14,10 +14,13 @@ from pyspark.sql import functions as F
 
 from bigdata_flightanalysis_spark.functions.text import (
     LANG_STOPWORDS,
+    SIMHASH_BITS,
     md5_long,
     md5_long_sql,
     normalize_text,
     punct_ratio,
+    simhash_from_votes,
+    simhash_votes,
     token_count,
     tokenize,
     word_shingles,
@@ -357,6 +360,129 @@ def doc_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.orderBy("doc_a", "doc_b")
+
+
+# --------------------------------------------------------------------------
+# SimHash — 32-bit bit-vote fingerprint over token hashes; near-dups
+# found by banding the fingerprint (pigeonhole: hamming <= 2 with 4
+# bands guarantees at least one identical band). SURVEY.md §7 phase 4.
+# --------------------------------------------------------------------------
+
+SIMHASH_BANDS = 4
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+HAMMING_MAX = 2
+
+_SQL_SIMHASH = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS t FROM documents
+    ), h AS (
+        SELECT doc_id, {md5_long_sql("t")} AS h FROM tok
+    ), votes AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+                   for b in range(SIMHASH_BITS)
+               )}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(
+               f"(CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END)"
+               for b in range(SIMHASH_BITS)
+           )} AS BIGINT) AS simhash
+    FROM votes
+"""
+
+
+def _simhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("t")
+    ).select("doc_id", md5_long(F.col("t")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(v).alias(f"v_{b}")
+            for b, v in enumerate(simhash_votes(F.col("h")))
+        ]
+    )
+    return votes.select(
+        "doc_id",
+        simhash_from_votes([F.col(f"v_{b}") for b in range(SIMHASH_BITS)]).alias(
+            "simhash"
+        ),
+    )
+
+
+@register(
+    "doc_simhash",
+    oracle=f"{_SQL_SIMHASH} ORDER BY doc_id",
+    description=f"{SIMHASH_BITS}-bit SimHash per document: explode "
+    "tokens, hash each once, per-bit ±1 vote sums as a single map-side-"
+    "combinable aggregate (one shuffle row per doc), sign → bit. "
+    "Bit-identical to the DuckDB oracle via the md5 hash family.",
+    tags=("text", "dedup", "simhash"),
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_frame(spark, sf_dir).orderBy("doc_id")
+
+
+@register(
+    "doc_simhash_near_dup",
+    oracle=f"""
+        WITH s AS ({_SQL_SIMHASH})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+        ORDER BY doc_a, doc_b
+    """,
+    description="SimHash near-duplicate pairs: band the fingerprint "
+    f"({SIMHASH_BANDS} bands × {_BAND_BITS} bits), equi-join on (band, "
+    f"value), keep pairs with hamming <= {HAMMING_MAX}. Pigeonhole makes "
+    "the banded join EXACT at this threshold — verified against the "
+    "oracle's all-pairs scan — while the cluster cost stays an equi-join "
+    "on small band keys instead of a quadratic cross join.",
+    tags=("text", "dedup", "simhash", "lsh"),
+)
+def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _simhash_frame(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * _BAND_BITS)
+                .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                .alias("bv"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", "simhash", F.explode(band_structs).alias("bb")).select(
+        "doc_id",
+        "simhash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bv").alias("bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 @register(
