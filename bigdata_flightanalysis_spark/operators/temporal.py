@@ -1,0 +1,141 @@
+"""Temporal join operators the reference's Spark surface lacks:
+as-of join and range join (SURVEY.md §2.3 notes the reference has no
+joins at all; these are the extension-surface temporal forms a
+training-data / event pipeline needs).
+
+Both are built to the 100 TB shape:
+
+- ``asof_join`` is the union + partitioned-window formulation — ONE
+  shuffle on the key columns, no quadratic time-range explosion, no
+  driver-side state. This is how you as-of-join a 100 TB event table:
+  tag both sides, sort within key by (ts, side), and carry the last
+  right-side row forward with ``last(..., ignorenulls=True)``.
+- ``range_join_bucketed`` turns the inequality |l.ts - r.ts| ∈ [0, w)
+  into an equi-join on coarse time buckets (each left row probes its
+  own and the previous bucket), then re-applies the exact predicate.
+  Catalyst would otherwise plan a broadcast-nested-loop join, which is
+  quadratic and unusable at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    how: str = "left",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` and equal key columns (backward as-of).
+
+    Right rows sort BEFORE left rows at equal timestamps, so an exact
+    timestamp tie counts as a match (the ``<=`` convention, matching
+    DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``).
+
+    ``how``: ``"left"`` keeps unmatched left rows (right payload NULL);
+    ``"inner"`` drops them.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+
+    lpay = [c for c in left.columns if c not in keys]
+    rpay = [c for c in right.columns if c not in keys]
+    l_struct = F.struct(*[F.col(c) for c in lpay])
+    r_struct = F.struct(
+        *[F.col(c).alias(f"{c}{suffix}" if c in left.columns else c) for c in rpay]
+    )
+    l_type = left.select(l_struct.alias("s")).schema["s"].dataType
+    r_type = right.select(r_struct.alias("s")).schema["s"].dataType
+
+    l2 = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        l_struct.alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"),
+    )
+    r2 = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_type).alias("__l"),
+        r_struct.alias("__r"),
+    )
+    u = l2.unionByName(r2)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
+        F.col("__side") == 1
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("__m").isNotNull())
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    out_cols += [F.col("__l").getField(c).alias(c) for c in lpay]
+    out_cols += [
+        F.col("__m")
+        .getField(f"{c}{suffix}" if c in left.columns else c)
+        .alias(f"{c}{suffix}" if c in left.columns else c)
+        for c in rpay
+    ]
+    return matched.select(*out_cols)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    window_seconds: int,
+) -> DataFrame:
+    """Equi-join-shaped range join: pairs with equal keys and
+    ``left_ts - window_seconds < right_ts <= left_ts``.
+
+    Each side is bucketed to ``window_seconds``-wide epoch bins; a left
+    row can only match right rows in its own or the previous bin, so
+    the left side is exploded to those two probe bins and the join is a
+    plain shuffled equi-join on (keys, bin) — linear in matches, never
+    a nested-loop scan. The exact range predicate is re-applied after
+    the join. Right-side columns that collide with left names come back
+    suffixed ``_r``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    bin_l = F.floor(F.unix_micros(F.col(left_ts)) / (window_seconds * 1_000_000))
+    bin_r = F.floor(F.unix_micros(F.col(right_ts)) / (window_seconds * 1_000_000))
+
+    probe = left.withColumn("__bin", F.explode(F.array(bin_l - 1, bin_l)))
+    build = right.select(
+        *keys,
+        bin_r.alias("__bin"),
+        *[
+            F.col(c).alias(f"{c}_r" if c in left.columns else c)
+            for c in right.columns
+            if c not in keys
+        ],
+    )
+    rts = f"{right_ts}_r" if right_ts in left.columns else right_ts
+    joined = probe.join(build, [*keys, "__bin"]).filter(
+        (F.col(rts) <= F.col(left_ts))
+        & (
+            F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(rts))
+            < window_seconds * 1_000_000
+        )
+    )
+    return joined.drop("__bin")

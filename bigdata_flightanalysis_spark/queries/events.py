@@ -227,3 +227,105 @@ def events_user_activity_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal joins (operators.temporal): as-of join and bucketed range
+# join — the event-pipeline forms the reference's surface lacks
+# entirely (SURVEY.md §2.3). Oracles: DuckDB's native ASOF JOIN and a
+# plain inequality join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_purchase_click",
+    oracle=f"""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+               c.event_id AS click_event_id,
+               date_diff('microsecond', c.ts, p.ts) AS gap_us
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
+    """,
+    description="Backward as-of join: each purchase matched to the "
+    "same user's latest prior-or-equal click. Implemented as the "
+    "union + partitioned-window formulation (operators.temporal."
+    "asof_join): ONE shuffle on user_id, no time-range pair explosion "
+    "— the shape that survives a 100 TB event table. Oracle: DuckDB's "
+    "native ASOF LEFT JOIN.",
+    tags=("events", "asof", "join"),
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), "user_id", "ts"
+    )
+    j = asof_join(p, c, on="user_id", left_ts="ts", right_ts="ts", how="left")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("purchase_ts"),
+        "click_event_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))).alias(
+            "gap_us"
+        ),
+    ).orderBy("event_id")
+
+
+@register(
+    "events_range_join_error_context",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'error'),
+             a AS (SELECT event_id, user_id, ts, event_type FROM events
+                   WHERE event_type <> 'error')
+        SELECT e.event_id AS error_id, a.event_id AS context_id,
+               a.event_type AS context_type,
+               date_diff('microsecond', a.ts, e.ts) AS lead_us
+        FROM e JOIN a
+          ON e.user_id = a.user_id
+         AND a.ts <= e.ts
+         AND date_diff('microsecond', a.ts, e.ts) < CAST(3600000000 AS BIGINT)
+        ORDER BY error_id, context_id
+    """,
+    description="Range join: every non-error event by the same user in "
+    "the hour before each error. Implemented with operators.temporal."
+    "range_join_bucketed — time bucketed to the window width, each "
+    "probe row explodes to 2 candidate bins, equi-join on (user, bin), "
+    "exact predicate re-applied — so Catalyst plans a shuffled "
+    "equi-join, never the quadratic broadcast-nested-loop a raw "
+    "inequality join degenerates to.",
+    tags=("events", "range-join", "join"),
+)
+def events_range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.temporal import range_join_bucketed
+
+    ev = read_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    ctx = ev.filter(F.col("event_type") != "error").select(
+        F.col("event_id").alias("context_id"),
+        "user_id",
+        "ts",
+        F.col("event_type").alias("context_type"),
+    )
+    j = range_join_bucketed(
+        errors, ctx, on="user_id", left_ts="ts", right_ts="ts", window_seconds=3600
+    )
+    return j.select(
+        "error_id",
+        "context_id",
+        "context_type",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias("lead_us"),
+    ).orderBy("error_id", "context_id")

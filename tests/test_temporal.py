@@ -1,0 +1,114 @@
+"""Unit tests for operators.temporal (as-of join, bucketed range join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bigdata_flightanalysis_spark.operators.temporal import (
+    asof_join,
+    range_join_bucketed,
+)
+
+
+def _ts(minute: int, second: int = 0, micro: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second, micro)
+
+
+def test_asof_backward_match_and_tie(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts(10)), (2, "k", _ts(5)), (3, "k", _ts(1))],
+        "id int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, "k", _ts(5)), (200, "k", _ts(8))],
+        "rid int, k string, ts timestamp",
+    )
+    out = {
+        r["id"]: r["rid"]
+        for r in asof_join(left, right, on="k").collect()
+    }
+    # id=1 at :10 → latest right ≤ :10 is rid=200 (:08)
+    # id=2 at :05 → exact tie matches (≤ convention) → rid=100
+    # id=3 at :01 → no prior right → NULL
+    assert out == {1: 200, 2: 100, 3: None}
+
+
+def test_asof_inner_drops_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts(10)), (3, "k", _ts(1))], "id int, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, "k", _ts(5))], "rid int, k string, ts timestamp"
+    )
+    rows = asof_join(left, right, on="k", how="inner").collect()
+    assert [(r["id"], r["rid"]) for r in rows] == [(1, 100)]
+
+
+def test_asof_key_isolation(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _ts(10)), (2, "b", _ts(10))], "id int, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, "a", _ts(9))], "rid int, k string, ts timestamp"
+    )
+    out = {r["id"]: r["rid"] for r in asof_join(left, right, on="k").collect()}
+    assert out == {1: 100, 2: None}
+
+
+def test_asof_colliding_names_suffixed(spark):
+    left = spark.createDataFrame([(1, "k", _ts(10))], "id int, k string, ts timestamp")
+    right = spark.createDataFrame([(9, "k", _ts(9))], "id int, k string, ts timestamp")
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["id"] == 1 and row["id_right"] == 9
+    assert row["ts"] == _ts(10) and row["ts_right"] == _ts(9)
+
+
+def test_range_join_window_edges(spark):
+    # window = 60s, semantics: left_ts - 60s < right_ts <= left_ts.
+    left = spark.createDataFrame(
+        [(1, "k", _ts(10, 0))], "id int, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "k", _ts(9, 0, 1)),  # 59.999999s before → in
+            (101, "k", _ts(9, 0)),  # exactly 60s before → out (strict)
+            (102, "k", _ts(10, 0)),  # same instant → in
+            (103, "k", _ts(10, 1)),  # after → out
+        ],
+        "rid int, k string, ts timestamp",
+    )
+    got = sorted(
+        r["rid"]
+        for r in range_join_bucketed(
+            left, right, on="k", window_seconds=60
+        ).collect()
+    )
+    assert got == [100, 102]
+
+
+def test_range_join_crosses_bucket_boundary(spark):
+    # right row in the previous epoch bucket must still be found.
+    left = spark.createDataFrame(
+        [(1, "k", _ts(2, 5))], "id int, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, "k", _ts(1, 50))], "rid int, k string, ts timestamp"
+    )
+    rows = range_join_bucketed(left, right, on="k", window_seconds=60).collect()
+    assert [r["rid"] for r in rows] == [100]
+
+
+def test_asof_plan_has_single_shuffle(spark):
+    """The as-of join must be one exchange on the key — not a join."""
+    left = spark.createDataFrame([(1, "k", _ts(10))], "id int, k string, ts timestamp")
+    right = spark.createDataFrame([(9, "k", _ts(9))], "rid int, k string, ts timestamp")
+    plan = (
+        asof_join(left, right, on="k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
