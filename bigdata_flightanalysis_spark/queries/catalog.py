@@ -53,6 +53,7 @@ def register(
 def load_all() -> dict[str, EngineQuery]:
     """Import every query module (side effect: registration)."""
     import bigdata_flightanalysis_spark.queries.events  # noqa: F401
+    import bigdata_flightanalysis_spark.queries.multimodal  # noqa: F401
     import bigdata_flightanalysis_spark.queries.relational  # noqa: F401
     import bigdata_flightanalysis_spark.queries.similarity  # noqa: F401
     import bigdata_flightanalysis_spark.queries.text  # noqa: F401

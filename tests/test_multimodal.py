@@ -1,0 +1,79 @@
+"""Unit tests for operators.multimodal: batch plumbing, stub gating,
+deterministic fake decode, frame-sampling plan."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_flightanalysis_spark.operators.multimodal import (
+    FEATURE_SCHEMA,
+    decode_audio,
+    decode_image,
+    extract_payload_features,
+    frame_sample_offsets,
+    text_as_payload,
+)
+
+
+def test_payload_wrap_schema(spark):
+    df = spark.createDataFrame([(1, "hello")], "id bigint, txt string")
+    out = text_as_payload(df, "id", "txt")
+    assert [f.name for f in out.schema.fields] == ["asset_id", "payload", "meta"]
+    row = out.collect()[0]
+    assert bytes(row["payload"]) == b"hello"
+    assert row["meta"]["mime"] == "text/plain"
+
+
+def test_extract_features_matches_hashlib(spark):
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "héllo wörld")], "id bigint, txt string"
+    )
+    feats = {
+        r["asset_id"]: r
+        for r in extract_payload_features(
+            text_as_payload(df, "id", "txt")
+        ).collect()
+    }
+    for i, txt in [(1, "abc"), (2, ""), (3, "héllo wörld")]:
+        raw = txt.encode("utf-8")
+        d = hashlib.md5(raw).hexdigest()
+        assert feats[i]["byte_len"] == len(raw)
+        assert feats[i]["payload_md5"] == d
+        assert feats[i]["fingerprint"] == int(d[:15], 16)
+    assert extract_payload_features(text_as_payload(df, "id", "txt")).schema == (
+        FEATURE_SCHEMA
+    )
+
+
+def test_extract_features_many_partitions(spark):
+    """Batch iteration must be per-partition-safe, including empty ones."""
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "id bigint, txt string"
+    ).repartition(16)
+    out = extract_payload_features(text_as_payload(df, "id", "txt"))
+    assert out.count() == 100
+    assert out.select(F.countDistinct("payload_md5")).collect()[0][0] == 100
+
+
+def test_decode_stubs_gate(spark):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG", "image/png")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF", "audio/wav")
+    a = decode_image(b"\x89PNG", "image/png", fake=True)
+    b = decode_image(b"\x89PNG", "image/png", fake=True)
+    assert a == b  # deterministic
+    assert a["checksum"] != decode_image(b"JFIF", "image/jpeg", fake=True)["checksum"]
+
+
+def test_frame_sample_offsets(spark):
+    df = spark.createDataFrame([(10,), (1,), (0,)], "n_frames int")
+    rows = df.select(
+        frame_sample_offsets(F.col("n_frames"), every=4).alias("offs")
+    ).collect()
+    assert rows[0]["offs"] == [0, 4, 8]
+    assert rows[1]["offs"] == [0]
+    assert rows[2]["offs"] == [0]
