@@ -1,0 +1,184 @@
+"""Structured Streaming twins of the batch event-time queries
+(``queries/events.py``), over the same events parquet.
+
+Shapes, not toys: each operator is the production streaming form —
+event-time windows under a watermark, watermark-scoped dedup, and an
+``applyInPandasWithState`` custom stateful aggregator. Tests drive
+them with ``Trigger.AvailableNow`` against a memory sink and assert
+the result equals the oracle-checked batch query, which is the
+strongest equivalence statement a bounded replay can make.
+
+At scale the same code runs against a Kafka/file-drop source by
+swapping ``stream_events``; everything downstream is source-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+
+#: events schema as the FILE SOURCE must declare it (streaming reads
+#: cannot infer): ts is parquet TIMESTAMP(NANOS), surfaced as int64
+#: under ``nanosAsLong`` and converted to a real timestamp below.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (one file = one replay).
+
+    Same ns→µs integer-space truncation as the batch reader
+    (``sources.readers._read_events``) so stream and batch see
+    identical timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file source requires a DIRECTORY (it tails new files in it);
+    # the testdata dir mixes all ten tables, so stage a dir containing
+    # just the events file (symlink — no data copy).
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window counts/sums under a 1-hour watermark —
+    streaming twin of ``events_tumbling_hourly``."""
+    from bigdata_flightanalysis_spark.functions.scalar import dsum
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_windows(events: DataFrame) -> DataFrame:
+    """Per-user session windows (30-minute gap) — streaming twin of
+    ``events_session_windows``."""
+    from bigdata_flightanalysis_spark.functions.scalar import dsum
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.col("w.end"), _TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_unique_first_events(events: DataFrame) -> DataFrame:
+    """First event per (user_id, event_type) with state expiry —
+    ``dropDuplicatesWithinWatermark``, the streaming dedup form whose
+    state store stays bounded by the watermark horizon."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("first_ts"),
+        )
+    )
+
+
+_USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def streaming_user_stats_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): running
+    per-user count / sum / max maintained in a typed state store,
+    emitted as update rows each micro-batch. The pattern slot for any
+    bespoke accumulator Spark's built-ins can't express."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        n, total, mx = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = float(pdf["value"].max()) if len(pdf) else None
+            if batch_max is not None:
+                mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream: DataFrame, spark: SparkSession, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; return the sink's contents as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)

@@ -1,0 +1,104 @@
+"""Streaming == batch equivalence tests (SURVEY.md §7 hard-part 5).
+
+Each streaming operator replays the sf0.001 events parquet with
+Trigger.AvailableNow into a memory sink and must produce exactly the
+rows of its oracle-checked batch twin.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_flightanalysis_spark.queries.catalog import load_all
+from bigdata_flightanalysis_spark.streaming import (
+    run_to_memory,
+    stream_events,
+    streaming_session_windows,
+    streaming_tumbling_hourly,
+    streaming_unique_first_events,
+    streaming_user_stats_stateful,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_streaming_tumbling_equals_batch(spark, registry):
+    batch = registry["events_tumbling_hourly"].fn(spark, SF_DIR)
+    stream = run_to_memory(
+        streaming_tumbling_hourly(stream_events(spark, SF_DIR)), spark
+    )
+    cols = batch.columns
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_streaming_sessions_equal_batch(spark, registry):
+    batch = registry["events_session_windows"].fn(spark, SF_DIR)
+    stream = run_to_memory(
+        streaming_session_windows(stream_events(spark, SF_DIR)), spark
+    )
+    cols = batch.columns
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_streaming_dedup_equals_batch(spark, registry):
+    # events.parquet rows arrive in ts order (asserted below), so
+    # arrival-first == event-time-first and the streaming dedup must
+    # reproduce the batch min-ts dedup exactly.
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    ev = read_table(spark, SF_DIR, "events")
+    w_ordered = ev.orderBy("event_id").select("ts").collect()
+    assert all(
+        w_ordered[i]["ts"] <= w_ordered[i + 1]["ts"]
+        for i in range(len(w_ordered) - 1)
+    )
+
+    batch = registry["events_dedup_first_per_user_type"].fn(spark, SF_DIR)
+    stream = run_to_memory(
+        streaming_unique_first_events(stream_events(spark, SF_DIR)),
+        spark,
+        output_mode="append",
+    )
+    cols = batch.columns
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_streaming_stateful_user_stats(spark):
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    stream = run_to_memory(
+        streaming_user_stats_stateful(stream_events(spark, SF_DIR)),
+        spark,
+        output_mode="update",
+    )
+    # One replay = one micro-batch per source split; the LAST update row
+    # per user is the final state. With a single file it's one batch.
+    final = stream.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    ev = read_table(spark, SF_DIR, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+        F.max("value").alias("max_value"),
+    )
+    cols = ["user_id", "n_events", "max_value"]
+    assert _rows(final, cols) == _rows(batch, cols)
+    # float sums: compare with tolerance (stream accumulates per-batch)
+    f = {r["user_id"]: r["total_value"] for r in final.collect()}
+    b = {r["user_id"]: r["total_value"] for r in batch.collect()}
+    assert f.keys() == b.keys()
+    for k in f:
+        assert abs(f[k] - b[k]) < 1e-6
