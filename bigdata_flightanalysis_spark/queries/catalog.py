@@ -55,6 +55,7 @@ def load_all() -> dict[str, EngineQuery]:
     import bigdata_flightanalysis_spark.queries.events  # noqa: F401
     import bigdata_flightanalysis_spark.queries.multimodal  # noqa: F401
     import bigdata_flightanalysis_spark.queries.relational  # noqa: F401
+    import bigdata_flightanalysis_spark.queries.relational_ext  # noqa: F401
     import bigdata_flightanalysis_spark.queries.similarity  # noqa: F401
     import bigdata_flightanalysis_spark.queries.text  # noqa: F401
 

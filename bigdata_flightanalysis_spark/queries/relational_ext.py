@@ -1,0 +1,304 @@
+"""Extended relational coverage beyond ``queries/relational.py``
+(SURVEY.md §2.4 note: grouping sets / rollup / percentiles are free
+Catalyst surface the reference never used — the engine exposes them as
+first-class, oracle-checked operators).
+
+Determinism conventions as in the rest of the registry: decimal-exact
+double sums (``dsum``), identical expression trees on both engines for
+derived doubles, stringified timestamps, explicit tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_flightanalysis_spark.functions.scalar import dsum, dsum_sql
+from bigdata_flightanalysis_spark.queries.catalog import register
+from bigdata_flightanalysis_spark.sources.readers import read_table
+
+
+@register(
+    "rollup_revenue_region_nation",
+    oracle=f"""
+        SELECT r_name, n_name,
+               COUNT(*) AS n_orders,
+               {dsum_sql("o_totalprice", "revenue")}
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    description="ROLLUP over (region, nation): per-nation rows, "
+    "per-region subtotals, grand total in ONE aggregate pass (Catalyst "
+    "Expand + partial agg — not three scans). Dims broadcast; the only "
+    "shuffle is the final aggregate.",
+    tags=("relational", "rollup"),
+)
+def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "grouping_sets_order_stats",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {dsum_sql("o_totalprice", "total_price")}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    description="GROUPING SETS through the engine's SQL-text entry "
+    "point (spark.sql over a registered temp view — SURVEY.md §3 "
+    "entry point 2): two disjoint group-bys in one Expand+aggregate "
+    "pass, byte-identical SQL on both engines.",
+    tags=("relational", "grouping-sets", "sql-entry"),
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               {dsum_sql("o_totalprice", "total_price")}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@register(
+    "quantity_percentiles_by_flag",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25,
+               quantile_cont(l_quantity, 0.50) AS p50,
+               quantile_cont(l_quantity, 0.75) AS p75,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    description="Exact linear-interpolation percentiles per group "
+    "(Spark `percentile` == DuckDB `quantile_cont`; quantities are "
+    "small integral doubles, so the interpolation arithmetic is "
+    "bit-exact across engines). The approx_percentile swap-in is the "
+    "single-pass sketch at 100 TB.",
+    tags=("relational", "percentile"),
+)
+def quantity_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+            F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+            F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Prices are clean 2-decimal money; cast to decimal FIRST and square in
+# exact decimal space. Casting the already-squared double would hit
+# engine-specific double→decimal rounding in the last ulp.
+_SQL_SA = "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+_SQL_SA2 = (
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))"
+    " * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+)
+
+
+@register(
+    "price_stddev_by_status",
+    oracle=f"""
+        SELECT o_orderstatus, n,
+               sqrt((sa2 - sa * sa / n) / (n - 1)) AS stddev_price
+        FROM (
+            SELECT o_orderstatus,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   {_SQL_SA} AS sa,
+                   {_SQL_SA2} AS sa2
+            FROM orders
+            GROUP BY o_orderstatus
+        )
+        ORDER BY o_orderstatus
+    """,
+    description="Deterministic sample stddev: decimal-exact Σx and Σx² "
+    "(map-side combinable — one shuffle row per group), then an "
+    "IDENTICAL double expression tree on both engines, so the result "
+    "is bit-reproducible — unlike built-in stddev whose merge order "
+    "varies run to run at scale.",
+    tags=("relational", "stats"),
+)
+def price_stddev_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    grouped = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(p).cast("double").alias("sa"),
+        F.sum(p * p).cast("double").alias("sa2"),
+    )
+    n, sa, sa2 = F.col("n"), F.col("sa"), F.col("sa2")
+    return grouped.select(
+        "o_orderstatus",
+        "n",
+        F.sqrt((sa2 - sa * sa / n) / (n - 1)).alias("stddev_price"),
+    ).orderBy("o_orderstatus")
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT o_custkey, o_totalprice,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                            OVER (PARTITION BY o_custkey) AS DOUBLE)
+                       / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+            FROM orders
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_above_avg,
+               {dsum_sql("o_totalprice", "revenue_above_avg")}
+        FROM flagged
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > cust_avg
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    description="Correlated-subquery semantics (orders above their own "
+    "customer's average) decorrelated into a partitioned window — one "
+    "shuffle on o_custkey instead of a per-row subquery; the classic "
+    "Catalyst rewrite, authored explicitly.",
+    tags=("relational", "window", "subquery"),
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey")
+    p = F.col("o_totalprice")
+    flagged = orders.select(
+        "o_custkey",
+        "o_totalprice",
+        (
+            F.sum(p.cast("decimal(38,6)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("cust_avg"),
+    ).filter(p > F.col("cust_avg"))
+    return (
+        flagged.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            flagged.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_above_avg"),
+            dsum("o_totalprice", "revenue_above_avg"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "nation_counts_full_outer",
+    oracle="""
+        WITH cc AS (
+            SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+            FROM customer GROUP BY c_nationkey
+        ), sc AS (
+            SELECT s_nationkey AS nk, COUNT(*) AS n_rich_suppliers
+            FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+        )
+        SELECT COALESCE(cc.nk, sc.nk) AS nationkey,
+               n_customers, n_rich_suppliers
+        FROM cc FULL OUTER JOIN sc ON cc.nk = sc.nk
+        ORDER BY nationkey
+    """,
+    description="Full outer join of two aggregates (customer counts vs "
+    "high-balance supplier counts per nation) — preserves nations "
+    "present on only one side with NULLs on the other.",
+    tags=("relational", "join", "outer"),
+)
+def nation_counts_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    cc = customer.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count("*").alias("n_customers")
+    )
+    sc = (
+        supplier.filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count("*").alias("n_rich_suppliers"))
+    )
+    return (
+        cc.join(sc, cc.nk_c == sc.nk_s, "full_outer")
+        .select(
+            F.coalesce("nk_c", "nk_s").alias("nationkey"),
+            "n_customers",
+            "n_rich_suppliers",
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "monthly_revenue_delta",
+    oracle=f"""
+        WITH m AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS order_month,
+                   {dsum_sql("o_totalprice", "revenue")}
+            FROM orders
+            GROUP BY order_month
+        )
+        SELECT order_month, revenue,
+               revenue - lag(revenue) OVER (ORDER BY order_month)
+                   AS revenue_delta
+        FROM m
+        ORDER BY order_month
+    """,
+    description="Month-over-month revenue delta: grouped decimal-exact "
+    "revenue then lag() over the (tiny) month series — the window "
+    "runs on post-aggregate data, so the single-partition window is "
+    "bounded regardless of input scale.",
+    tags=("relational", "window", "lag"),
+)
+def monthly_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "order_month"
+        )
+    ).agg(dsum("o_totalprice", "revenue"))
+    w = Window.orderBy("order_month")
+    return m.select(
+        "order_month",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
+    ).orderBy("order_month")
