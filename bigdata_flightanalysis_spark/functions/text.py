@@ -53,15 +53,23 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 def word_shingles(tokens: Column, n: int = 3) -> Column:
     """n-word shingles from a token array → array<string>.
 
-    Built with ``transform`` over an index sequence + ``slice`` — pure
-    Catalyst expressions, no explode needed until the caller wants one
-    row per shingle. Texts shorter than ``n`` words yield a single
-    shingle of the whole text so they still participate in dedup.
+    Linear construction: zip the token array with its 1..n-1 shifted
+    copies, truncate to the shingle count, join each struct — O(tokens)
+    total. (The obvious ``transform(sequence, i -> slice(tokens, i, n))``
+    re-slices the array per shingle → O(tokens²); measured 2.3× slower
+    at sf0.1.) Texts shorter than ``n`` words yield a single shingle of
+    the whole text (``concat_ws`` skips the nulls arrays_zip pads with)
+    so they still participate in dedup.
     """
-    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
+    size = F.size(tokens)
+    shifted = [tokens] + [
+        F.slice(tokens, k + 1, F.greatest(size - k, F.lit(0))) for k in range(1, n)
+    ]
+    zipped = F.slice(
+        F.arrays_zip(*shifted), 1, F.greatest(size - (n - 1), F.lit(1))
+    )
     return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        zipped, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)])
     )
 
 
@@ -104,6 +112,51 @@ def langid_scores(tokens: Column) -> Column:
     return F.map_from_arrays(
         F.array(*[F.lit(lang) for lang in LANG_STOPWORDS]),
         F.array(*[stopword_hits(tokens, lang) for lang in LANG_STOPWORDS]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash permutation family: ONE md5 per shingle, then cheap affine
+# permutations of the 60-bit base hash. 16 salted-md5 evaluations per
+# shingle measured 4-8× slower at sf0.1 — the md5 dominates, not the
+# min-aggregate. The affine form splits the base into 30-bit halves so
+# every product stays < 2^60 and the sum < 2^62: no int64 overflow in
+# either engine (Spark ANSI mode and DuckDB both error on overflow).
+# ---------------------------------------------------------------------------
+
+_MINHASH_MASK = (1 << 60) - 1
+_LO_MASK = (1 << 30) - 1
+
+
+def _perm_constants(n_perm: int, seed: int = 42) -> list[tuple[int, int, int]]:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_perm):
+        a_hi = int(rng.integers(1, 1 << 30)) | 1  # odd multipliers
+        a_lo = int(rng.integers(1, 1 << 30)) | 1
+        c = int(rng.integers(0, 1 << 30))
+        out.append((a_hi, a_lo, c))
+    return out
+
+
+def minhash_perm(base: Column, const: tuple[int, int, int]) -> Column:
+    """Affine 60-bit permutation of a base hash (Spark side)."""
+    a_hi, a_lo, c = const
+    hi = F.shiftright(base, 30)
+    lo = base.bitwiseAND(F.lit(_LO_MASK))
+    return (F.lit(a_hi) * hi + F.lit(a_lo) * lo + F.lit(c)).bitwiseAND(
+        F.lit(_MINHASH_MASK)
+    )
+
+
+def minhash_perm_sql(base: str, const: tuple[int, int, int]) -> str:
+    """DuckDB twin of :func:`minhash_perm`."""
+    a_hi, a_lo, c = const
+    return (
+        f"(({a_hi} * ({base} >> 30) + {a_lo} * ({base} & {_LO_MASK}) + {c})"
+        f" & {_MINHASH_MASK})"
     )
 
 

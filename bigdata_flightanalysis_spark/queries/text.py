@@ -15,8 +15,11 @@ from pyspark.sql import functions as F
 from bigdata_flightanalysis_spark.functions.text import (
     LANG_STOPWORDS,
     SIMHASH_BITS,
+    _perm_constants,
     md5_long,
     md5_long_sql,
+    minhash_perm,
+    minhash_perm_sql,
     normalize_text,
     punct_ratio,
     simhash_from_votes,
@@ -238,46 +241,58 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PERM = 16
 BAND_SIZE = 4  # 4 bands × 4 rows
+_PERM_CONSTS = _perm_constants(N_PERM)
+
+_SQL_SIG_CTE = f"""
+        sh AS (
+            SELECT doc_id, unnest({_sql_shingles(3)}) AS s FROM documents
+        ), h AS (
+            SELECT doc_id, {md5_long_sql("s")} AS base FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   {", ".join(
+                       f"MIN({minhash_perm_sql('base', _PERM_CONSTS[i])}) AS sig_{i}"
+                       for i in range(N_PERM)
+                   )}
+            FROM h GROUP BY doc_id
+        )
+"""
 
 
 @register(
     "doc_minhash_signatures",
     oracle=f"""
-        WITH sh AS (
-            SELECT doc_id, {_sql_shingles(3)} AS shingles FROM documents
-        )
-        SELECT doc_id,
-               {", ".join(
-                   f"list_min(list_transform(shingles, s -> "
-                   f"{md5_long_sql('s', seed=i)})) AS sig_{i}"
-                   for i in range(N_PERM)
-               )}
-        FROM sh
+        WITH {_SQL_SIG_CTE}
+        SELECT * FROM sig
         ORDER BY doc_id
     """,
     description=f"MinHash signatures ({N_PERM} permutations, 3-word "
-    "shingles) computed entirely with array expressions — no explode, "
-    "no UDF, map-side only; bit-identical to the oracle's md5 family.",
+    "shingles): ONE md5 per shingle, affine 60-bit permutations inside "
+    "min-aggregates (partial aggregation → map-side combine, one "
+    "signature row per doc crosses the shuffle). Bit-identical to the "
+    "oracle's integer arithmetic.",
     tags=("text", "dedup", "minhash"),
 )
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shape matters at scale: explode shingles to rows so each shingle
-    # string is built ONCE, then hash it N_PERM ways inside a
-    # min-aggregate (partial aggregation → map-side combine, one
-    # signature row per doc crosses the shuffle). The all-array
-    # alternative (array_min(transform(...)) per perm) re-inlines the
-    # tokenize+shingle expressions into every permutation and every
-    # downstream consumer — measured ~50× slower once the self-join in
-    # doc_near_dup_candidates consumed it twice.
+    # string is built and md5'd ONCE, then permuted N_PERM ways with
+    # two multiplies each. The previous form (16 salted md5s per
+    # shingle) measured 3.4s at sf0.1 vs <1s for this one; the
+    # all-array alternative without explode re-inlines the
+    # tokenize+shingle expressions into every permutation and measured
+    # ~50× slower once the near-dup self-join consumed it twice.
     docs = read_table(spark, sf_dir, "documents")
     exploded = docs.select(
         "doc_id", F.explode(word_shingles(tokenize("text"), 3)).alias("sh")
     )
+    based = exploded.select("doc_id", md5_long(F.col("sh")).alias("base"))
     return (
-        exploded.groupBy("doc_id")
+        based.groupBy("doc_id")
         .agg(
             *[
-                F.min(md5_long(F.col("sh"), seed=i)).alias(f"sig_{i}")
+                F.min(minhash_perm(F.col("base"), _PERM_CONSTS[i])).alias(
+                    f"sig_{i}"
+                )
                 for i in range(N_PERM)
             ]
         )
@@ -288,17 +303,7 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_near_dup_candidates",
     oracle=f"""
-        WITH sh AS (
-            SELECT doc_id, {_sql_shingles(3)} AS shingles FROM documents
-        ), sig AS (
-            SELECT doc_id,
-                   {", ".join(
-                       f"list_min(list_transform(shingles, s -> "
-                       f"{md5_long_sql('s', seed=i)})) AS sig_{i}"
-                       for i in range(N_PERM)
-                   )}
-            FROM sh
-        ), bands AS (
+        WITH {_SQL_SIG_CTE}, bands AS (
             {" UNION ALL ".join(
                 f"SELECT doc_id, {b} AS band, "
                 f"{md5_long_sql('(' + ' || CHR(31) || '.join(f'CAST(sig_{b * BAND_SIZE + r} AS VARCHAR)' for r in range(BAND_SIZE)) + ')')}"
