@@ -27,15 +27,22 @@ HEADLINE = [
     "revenue_by_region",
     "q3_shipping_priority",
     "top_customers_per_segment",
+    "rollup_revenue_region_nation",
+    "quantity_percentiles_by_flag",
     "events_tumbling_hourly",
     "events_session_windows",
     "events_json_extract",
+    "events_asof_purchase_click",
+    "events_range_join_error_context",
     "doc_exact_dedup",
     "doc_minhash_signatures",
     "doc_near_dup_candidates",
+    "doc_simhash_near_dup",
     "doc_token_stats",
     "embed_cosine_topk",
     "embed_lsh_topk",
+    "embed_near_dup_pairs",
+    "multimodal_feature_extract",
 ]
 
 

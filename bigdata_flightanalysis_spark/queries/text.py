@@ -163,6 +163,49 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_BPE = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+
+
+@register(
+    "doc_bpe_token_stats",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM({_SQL_BPE}) AS BIGINT) AS total_bpe_tokens,
+               CAST(SUM({_SQL_BPE}) AS DOUBLE) / COUNT(*)
+                   AS avg_bpe_tokens,
+               CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_ws_tokens
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Sub-word-ish token accounting (words + digit runs + "
+    "punctuation marks — the cheap regex proxy for a BPE tokenizer's "
+    "token count) vs whitespace tokens, per language. The cost model "
+    "input for LLM training-data sizing.",
+    tags=("text", "tokens"),
+)
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.functions.text import bpe_ish_token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            bpe_ish_token_count("text").alias("bpe"),
+            token_count("text").alias("ws"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bpe").cast("bigint").alias("total_bpe_tokens"),
+            (F.sum("bpe").cast("double") / F.count("*")).alias("avg_bpe_tokens"),
+            F.sum("ws").cast("bigint").alias("total_ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # Language ID — stopword-evidence heuristic with a deterministic
 # argmax (ties broken by alphabetical language order) mirrored in SQL.
