@@ -1,0 +1,95 @@
+"""Skew-mitigation operators (SURVEY.md §4 / 100 TB posture).
+
+AQE's skew-join splitting handles most sort-merge skew at runtime, but
+two situations still need explicit salting at 100 TB:
+
+- a shuffled equi-join where one side has a few pathological hot keys
+  AND the other side is too big to broadcast (``salted_join``),
+- a high-cardinality aggregation whose key distribution is so skewed
+  that single reducers spill (``salted_aggregate`` two-stage form —
+  though for algebraic aggregates Spark's partial aggregation already
+  absorbs most of it; the two-stage form matters for
+  ``collect_list``-like holistic aggregates).
+
+Both are deterministic: the salt is ``pmod(hash(cols...), n)`` — no
+``rand()``, so plans stay replayable and testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt_col(df: DataFrame, n_salts: int, exclude: Sequence[str]) -> Column:
+    """Deterministic per-row salt in [0, n_salts) from the non-key
+    columns (falls back to all columns if everything is a key)."""
+    cols = [c for c in df.columns if c not in exclude] or list(df.columns)
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str],
+    *,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed``'s hot keys are spread over
+    ``n_salts`` reducers.
+
+    The skewed side gets a deterministic salt; ``other`` is replicated
+    ``n_salts`` ways (explode of a literal range — CHEAP relative to a
+    hot reducer stalling the stage); the join key becomes
+    (keys..., salt). Result rows are identical to the plain join —
+    asserted by tests — only their placement changes: each hot key's
+    rows land on ``n_salts`` reducers instead of one.
+
+    Use when: ``other`` is too big to broadcast AND AQE's skew split
+    can't help (e.g. the skew is in a hash-aggregate feeding the join).
+    Replication multiplies ``other``'s shuffle volume by ``n_salts`` —
+    pick the smaller side as ``other`` and keep ``n_salts`` modest.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salted = skewed.withColumn("__salt", _salt_col(skewed, n_salts, keys))
+    replicated = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return salted.join(replicated, [*keys, "__salt"], how).drop("__salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    aggs: dict[str, str],
+    *,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-stage aggregation for skewed keys: aggregate on
+    (keys..., salt) first — hot keys fan out over ``n_salts`` partial
+    reducers — then merge the partials per key.
+
+    ``aggs`` maps output column → one of count/sum/min/max (the
+    mergeable algebraic aggregates; count merges via sum). Input
+    columns are named by the agg spec as ``"fn:col"``, e.g.
+    ``{"n": "count:*", "total": "sum:value"}``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    first: list[Column] = []
+    second: list[Column] = []
+    for out, spec in aggs.items():
+        fn, _, col = spec.partition(":")
+        if fn == "count":
+            first.append(F.count("*" if col in ("", "*") else col).alias(out))
+            second.append(F.sum(out).alias(out))
+        elif fn in ("sum", "min", "max"):
+            first.append(getattr(F, fn)(col).alias(out))
+            second.append(getattr(F, fn)(out).alias(out))
+        else:
+            raise ValueError(f"unsupported agg {spec!r}")
+    salted = df.withColumn("__salt", _salt_col(df, n_salts, keys))
+    partial = salted.groupBy(*keys, "__salt").agg(*first)
+    return partial.groupBy(*keys).agg(*second)

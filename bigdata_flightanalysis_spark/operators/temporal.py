@@ -75,9 +75,16 @@ def asof_join(
     )
     u = l2.unionByName(r2)
 
+    # Tie-breaks, in order: right rows before left at equal ts (the ≤
+    # convention), then the right payload struct ascending — so among
+    # several right rows sharing the match timestamp the LARGEST
+    # payload struct wins deterministically (requires orderable right
+    # payload types, which all engine queries satisfy).
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc(), F.col("__side").asc(), F.col("__r").asc_nulls_last()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(

@@ -320,6 +320,92 @@ def embed_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+IVF_K = 16
+IVF_NPROBE = 4
+
+
+@register(
+    "embed_ivf_topk",
+    oracle=None,
+    description=f"IVF-style ANN: KMeans (k={IVF_K}, seed=42) partitions "
+    "the corpus into inverted lists; each query probes its "
+    f"{IVF_NPROBE} nearest centroids and scores exact cosine only "
+    "inside those lists — at 100 TB the corpus is hash-partitioned by "
+    "list id, the (tiny) probe plan broadcasts, and the scan touches "
+    f"~{IVF_NPROBE}/{IVF_K} of the data. Iterative centroid fit ⇒ no "
+    "SQL oracle (rows-only driver check); recall vs brute force and "
+    "subset invariants are asserted in tests/test_ivf.py.",
+    tags=("similarity", "ann", "ivf", "no-oracle"),
+)
+def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    feat = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=IVF_K, seed=42, featuresCol="features").fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "embedding", F.col("prediction").alias("list_id")
+    )
+    pre = assigned.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+        "list_id",
+    )
+
+    # Probe plan: per query, the IVF_NPROBE nearest centroids by
+    # (squared) euclidean distance. Centroids are a k-row literal —
+    # driver-side math on k vectors, broadcast back out.
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    q = pre.filter(F.col("vec_id") < N_QUERIES)
+    dist_cols = []
+    for cid, c in enumerate(centers):
+        lits = F.array(*[F.lit(v) for v in c])
+        d = F.aggregate(
+            F.zip_with(F.col("e"), lits, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        dist_cols.append(F.struct(d.alias("dist"), F.lit(cid).alias("cid")))
+    probes = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.explode(
+            F.slice(F.array_sort(F.array(*dist_cols)), 1, IVF_NPROBE)
+        ).alias("p"),
+    ).select("query_id", "qe", "qnrm", F.col("p.cid").alias("list_id"))
+
+    cand = pre.join(F.broadcast(probes), "list_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "list_id",
+        cosine_from_parts(dot, F.col("qnrm"), F.col("nrm")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "list_id", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
 @register(
     "kmeans_embedding_clusters",
     oracle=None,

@@ -11,6 +11,7 @@ from bigdata_flightanalysis_spark.streaming.events import (  # noqa: F401
     run_to_memory,
     stream_events,
     streaming_session_windows,
+    streaming_sliding_hourly,
     streaming_tumbling_hourly,
     streaming_unique_first_events,
     streaming_user_stats_stateful,

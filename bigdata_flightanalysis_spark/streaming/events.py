@@ -77,6 +77,24 @@ def streaming_tumbling_hourly(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sliding_hourly(events: DataFrame) -> DataFrame:
+    """Sliding window (1 hour size, 30 min slide) under a watermark —
+    streaming twin of ``events_sliding_hourly``; each event lands in
+    exactly two windows."""
+    from bigdata_flightanalysis_spark.functions.scalar import dsum
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_session_windows(events: DataFrame) -> DataFrame:
     """Per-user session windows (30-minute gap) — streaming twin of
     ``events_session_windows``."""

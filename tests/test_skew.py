@@ -1,0 +1,78 @@
+"""salted_join / salted_aggregate must be result-identical to their
+plain forms — only the shuffle placement differs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_flightanalysis_spark.operators.skew import (
+    salted_aggregate,
+    salted_join,
+)
+
+
+def _skewed_df(spark):
+    # 900 rows on one hot key, a few on others
+    rows = [(i, "hot", float(i)) for i in range(900)]
+    rows += [(1000 + i, k, float(i)) for i, k in enumerate(["a", "b", "c"] * 5)]
+    return spark.createDataFrame(rows, "id int, k string, v double")
+
+
+def _dim_df(spark):
+    return spark.createDataFrame(
+        [("hot", 1), ("a", 2), ("b", 3), ("z", 9)], "k string, attr int"
+    )
+
+
+def test_salted_join_equals_plain_inner(spark):
+    skewed, dim = _skewed_df(spark), _dim_df(spark)
+    plain = skewed.join(dim, "k").select("id", "k", "attr")
+    salted = salted_join(skewed, dim, "k", n_salts=4).select("id", "k", "attr")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_join_left(spark):
+    skewed, dim = _skewed_df(spark), _dim_df(spark)
+    plain = skewed.join(dim, "k", "left").select("id", "k", "attr")
+    salted = salted_join(skewed, dim, "k", n_salts=4, how="left").select(
+        "id", "k", "attr"
+    )
+    assert sorted(map(tuple, plain.collect()), key=repr) == sorted(
+        map(tuple, salted.collect()), key=repr
+    )
+
+
+def test_salted_aggregate_equals_plain(spark):
+    df = _skewed_df(spark)
+    plain = df.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("total"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    salted = salted_aggregate(
+        df,
+        "k",
+        {"n": "count:*", "total": "sum:v", "lo": "min:v", "hi": "max:v"},
+        n_salts=4,
+    )
+    cols = ["k", "n", "total", "lo", "hi"]
+    assert sorted(tuple(r[c] for c in cols) for r in plain.collect()) == sorted(
+        tuple(r[c] for c in cols) for r in salted.collect()
+    )
+
+
+def test_salt_spreads_hot_key(spark):
+    df = _skewed_df(spark)
+    from bigdata_flightanalysis_spark.operators.skew import _salt_col
+
+    n = (
+        df.withColumn("__salt", _salt_col(df, 4, ["k"]))
+        .filter(F.col("k") == "hot")
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n == 4  # the hot key really lands on all salt partitions

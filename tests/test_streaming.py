@@ -41,6 +41,17 @@ def test_streaming_tumbling_equals_batch(spark, registry):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_streaming_sliding_equals_batch(spark, registry):
+    from bigdata_flightanalysis_spark.streaming import streaming_sliding_hourly
+
+    batch = registry["events_sliding_hourly"].fn(spark, SF_DIR)
+    stream = run_to_memory(
+        streaming_sliding_hourly(stream_events(spark, SF_DIR)), spark
+    )
+    cols = batch.columns
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
 def test_streaming_sessions_equal_batch(spark, registry):
     batch = registry["events_session_windows"].fn(spark, SF_DIR)
     stream = run_to_memory(
