@@ -366,12 +366,17 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "minhash", "lsh"),
 )
 def doc_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One signature computation per document: the (band, bucket) pairs
-    # are exploded from a single array-of-structs expression. A naive
-    # per-band union would recompute the 16-hash signature once per
-    # band per join side — measured 8× slower at sf0.1 and ruinous at
-    # scale. The self-join's two scans share the identical plan, so
-    # AQE/ReusedExchange materializes the shuffle once.
+    # Banded self-join. Three shapes were measured at sf0.1: (a) this
+    # plain self-join (signature pipeline computed once per side —
+    # ReusedExchange does not fire across self-join scans), (b)
+    # persist() the signatures then self-join, (c) per-bucket
+    # collect_list + array pair combinatorics. (a) wins: the signature
+    # recompute is one cheap md5 pass, while (b) pays cache
+    # materialization (3× slower) and (c) materializes quadratic pair
+    # arrays in single tasks on hot buckets (this corpus is
+    # near-dup-dense). At cluster scale, (b) becomes the right choice
+    # with a checkpointed signature table — the crossover is when the
+    # corpus scan costs more than the shuffle-through-cache.
     sig = doc_minhash_signatures(spark, sf_dir)
     band_structs = F.array(
         *[
@@ -493,6 +498,8 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "simhash", "lsh"),
 )
 def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same banded self-join shape as doc_near_dup_candidates (see the
+    # shape comparison there), exact hamming re-check after the join.
     sig = _simhash_frame(spark, sf_dir)
     band_structs = F.array(
         *[

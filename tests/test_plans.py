@@ -1,0 +1,90 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations the
+engine relies on at 100 TB must actually appear in the executed plans
+— pushdown, pruning, broadcast, top-K without full sort, partial
+aggregation, and no Python row-UDFs in hot paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_flightanalysis_spark.queries.catalog import load_all
+from bigdata_flightanalysis_spark.sources.readers import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = read_table(spark, SF, "orders").filter(F.col("o_orderstatus") == "F")
+    scan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in scan
+
+
+def test_column_pruning_reaches_parquet(spark):
+    df = read_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    scan = df._jdf.queryExecution().sparkPlan().toString()
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in scan
+
+
+def test_flagship_broadcasts_dim_and_takeordered(spark, registry):
+    plan = _plan(registry["flagship_top_segments"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_partial_aggregation(spark, registry):
+    plan = _plan(registry["q1_pricing_summary"].fn(spark, SF))
+    assert "partial_" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_topn_uses_window_group_limit(spark, registry):
+    plan = _plan(registry["top_customers_per_segment"].fn(spark, SF))
+    assert "WindowGroupLimit" in plan  # per-group top-N pruned below the sort
+
+
+def test_minhash_single_shuffle_to_signatures(spark, registry):
+    plan = _plan(registry["doc_minhash_signatures"].fn(spark, SF))
+    # explode → partial min-agg → ONE exchange → final agg (+ sort for
+    # the display ordering, which is exempt)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_near_dup_is_bucket_equijoin(spark, registry):
+    """LSH candidates must come from an equi-join on (band, bucket) —
+    never a quadratic join shape."""
+    plan = _plan(registry["doc_near_dup_candidates"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_python_row_udfs_in_oracle_queries(spark, registry):
+    """BatchEvalPython (row-at-a-time Python UDF) must never appear;
+    ArrowEvalPython/mapInPandas only in the multimodal path."""
+    for name, q in registry.items():
+        if q.oracle is None:
+            continue
+        plan = _plan(q.fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        if "multimodal" not in name:
+            assert "ArrowEvalPython" not in plan, name
+
+
+def test_range_join_is_not_nested_loop(spark, registry):
+    plan = _plan(registry["events_range_join_error_context"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
