@@ -302,3 +302,92 @@ def monthly_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
     ).orderBy("order_month")
+
+
+@register(
+    "status_intersect_except",
+    oracle="""
+        SELECT o_orderstatus, 'both_years' AS membership FROM (
+            SELECT DISTINCT o_orderstatus FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) = 1995
+            INTERSECT
+            SELECT DISTINCT o_orderstatus FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) = 1996
+        )
+        UNION ALL
+        SELECT o_orderstatus, 'only_1995' AS membership FROM (
+            SELECT DISTINCT o_orderstatus FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) = 1995
+            EXCEPT
+            SELECT DISTINCT o_orderstatus FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) = 1996
+        )
+        ORDER BY membership, o_orderstatus
+    """,
+    description="Set operations (INTERSECT / EXCEPT) over per-year "
+    "order-status sets — Catalyst plans both as aggregates + joins, so "
+    "they inherit partial aggregation and AQE like any other shuffle.",
+    tags=("relational", "set-ops"),
+)
+def status_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+
+    def year_statuses(y: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select("o_orderstatus")
+            .distinct()
+        )
+
+    both = (
+        year_statuses(1995)
+        .intersect(year_statuses(1996))
+        .select("o_orderstatus", F.lit("both_years").alias("membership"))
+    )
+    only95 = (
+        year_statuses(1995)
+        .exceptAll(year_statuses(1996))
+        .select("o_orderstatus", F.lit("only_1995").alias("membership"))
+    )
+    return both.unionByName(only95).orderBy("membership", "o_orderstatus")
+
+
+@register(
+    "events_type_pivot",
+    oracle=f"""
+        SELECT user_id,
+               {", ".join(
+                   f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+                   f" AS n_{t}"
+                   for t in ["click", "error", "purchase", "signup", "view"]
+               )},
+               {dsum_sql("CASE WHEN event_type = 'purchase' THEN value END",
+                         "purchase_value")}
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    description="Pivot (wide per-type counts per user) via groupBy()."
+    "pivot() with an EXPLICIT value list — never the implicit form, "
+    "which needs an extra distinct-scan job to discover columns and is "
+    "nondeterministic about column order at scale.",
+    tags=("relational", "pivot", "events"),
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = read_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("v"),
+        )
+    )
+    out = [F.col("user_id")]
+    out += [
+        F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("bigint").alias(f"n_{t}")
+        for t in types
+    ]
+    out.append(F.col("purchase_v").cast("double").alias("purchase_value"))
+    return pivoted.select(*out).orderBy("user_id")
