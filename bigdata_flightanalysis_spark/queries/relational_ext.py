@@ -391,3 +391,105 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out.append(F.col("purchase_v").cast("double").alias("purchase_value"))
     return pivoted.select(*out).orderBy("user_id")
+
+
+@register(
+    "order_priority_count_exists",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity > 45
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape: EXISTS correlated subquery → left-semi "
+    "join in Spark (identical plan Catalyst derives from the SQL EXISTS "
+    "form) — per-priority counts of orders with any high-quantity line.",
+    tags=("relational", "semi-join", "subquery"),
+)
+def order_priority_count_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    hot = lineitem.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        orders.join(hot, orders.o_orderkey == hot.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "large_orders_q18",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 150
+        )
+        SELECT c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               {dsum_sql("o_totalprice", "totalprice")}
+        FROM orders
+        JOIN big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_name, o_orderkey, orderdate
+        ORDER BY o_orderkey
+    """,
+    description="TPC-H Q18 shape (large-volume orders): grouped HAVING "
+    "on the fact table feeds a semi-ish join back to orders + customer. "
+    "The HAVING aggregate is partial+final; only qualifying orderkeys "
+    "cross the join.",
+    tags=("relational", "having", "join"),
+)
+def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    customer = read_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(dsum("o_totalprice", "totalprice"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "approx_distinct_users_by_type",
+    oracle=None,
+    description="approx_count_distinct (HyperLogLog++) per event type — "
+    "the single-pass mergeable sketch that replaces exact "
+    "count-distinct at 100 TB (exact needs a full shuffle of the "
+    "distinct keys; the sketch is constant-size per group). Sketch "
+    "internals are engine-specific ⇒ rows-only driver check; the "
+    "≤5%-error bound vs exact is asserted in tests/test_approx.py.",
+    tags=("relational", "approx", "no-oracle"),
+)
+def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
