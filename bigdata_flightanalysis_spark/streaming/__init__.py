@@ -10,6 +10,7 @@ on the same parquet input.
 from bigdata_flightanalysis_spark.streaming.events import (  # noqa: F401
     run_to_memory,
     stream_events,
+    streaming_purchase_click_join,
     streaming_session_windows,
     streaming_sliding_hourly,
     streaming_tumbling_hourly,

@@ -184,6 +184,45 @@ def streaming_user_stats_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_purchase_click_join(
+    purchases: DataFrame, clicks: DataFrame
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to the same
+    user's clicks in the preceding hour. Both sides carry watermarks so
+    the join state is bounded — Spark retains click state only long
+    enough for a matching purchase to still arrive (the time-range
+    condition defines the horizon).
+
+    Streaming twin of the batch bucketed range join
+    (``events_range_join_error_context`` shape): same pairs, incremental
+    state instead of a bucket equi-join.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "1 hour")
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", "2 hours")
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))).alias(
+            "lead_us"
+        ),
+    )
+
+
 def run_to_memory(
     stream: DataFrame, spark: SparkSession, *, output_mode: str = "complete"
 ) -> DataFrame:

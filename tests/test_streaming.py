@@ -84,6 +84,41 @@ def test_streaming_dedup_equals_batch(spark, registry):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_streaming_stream_stream_join_equals_batch(spark):
+    """Stream-stream time-range join == batch range join on the same
+    bounded replay."""
+    from bigdata_flightanalysis_spark.operators.temporal import range_join_bucketed
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+    from bigdata_flightanalysis_spark.streaming import streaming_purchase_click_join
+
+    ev_stream = stream_events(spark, SF_DIR)
+    purchases = ev_stream.filter(F.col("event_type") == "purchase")
+    clicks = ev_stream.filter(F.col("event_type") == "click")
+    stream = run_to_memory(
+        streaming_purchase_click_join(purchases, clicks),
+        spark,
+        output_mode="append",
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    batch = range_join_bucketed(
+        p, c, on="user_id", left_ts="ts", right_ts="ts", window_seconds=3600
+    ).select(
+        "purchase_id",
+        "user_id",
+        "click_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias("lead_us"),
+    )
+    cols = ["purchase_id", "user_id", "click_id", "lead_us"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
 def test_streaming_stateful_user_stats(spark):
     from bigdata_flightanalysis_spark.sources.readers import read_table
 
