@@ -1,0 +1,23 @@
+"""Smoke test for the executable pipeline CLI (demo fixtures, both
+modes) — the reference-user migration path."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_flightanalysis_spark.pipeline.run import main
+
+
+@pytest.mark.parametrize("mode", ["idiomatic", "compat"])
+def test_cli_demo_end_to_end(spark, tmp_path, mode, capsys):
+    out = str(tmp_path / f"out_{mode}")
+    main(["--out", out, "--demo", "--mode", mode])
+    printed = capsys.readouterr().out
+    assert "Silhouette 2019:" in printed
+    assert "Top-5 airlines" in printed
+    preds = spark.read.parquet(f"{out}/predictions_2023_parquet")
+    assert preds.count() > 0
+    assert "prediction" in preds.columns
+    # CSV sink must be readable back (features stringified, reference S3)
+    csv = spark.read.option("header", "true").csv(f"{out}/predictions_2023_csv")
+    assert csv.count() == preds.count()
