@@ -51,8 +51,13 @@ def main() -> None:
     registry = load_all()
     spark = get_session("bigdata-flightanalysis-bench")
 
-    # Warmup: prime JVM, codegen and the parquet footers with the
-    # cheapest query so per-query numbers reflect steady state.
+    # Warmup: prime the JVM/codegen paths and every table's parquet
+    # footer so per-query numbers measure the plans, not first-touch
+    # I/O or classloading.
+    from bigdata_flightanalysis_spark.sources.readers import TABLE_NAMES, read_table
+
+    for t in TABLE_NAMES:
+        read_table(spark, sf_dir, t).count()
     registry["flagship_top_segments"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
