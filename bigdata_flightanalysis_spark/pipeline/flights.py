@@ -434,3 +434,38 @@ def run_flight_pipeline(
         reasons_2023=cluster_reason_counts(pred_23, "DelayReason", mode),
         top_airlines_2023=top_airlines_by_cancellations(prepped_23, 5, mode),
     )
+
+
+def conform_flights(clean_2019: DataFrame, clean_2023: DataFrame) -> DataFrame:
+    """Conform both cleaned years into ONE fact table (SURVEY.md §2.7:
+    the reference keeps the years separate end-to-end; the engine's
+    union form is what a longitudinal analysis actually needs).
+
+    Canonical columns: Year, FlightDate, Airline, DelayMinutes
+    (ArrDelay serves as the 2019 delay measure), Cancelled, Diverted,
+    Distance, DelayReason, CancellationReason (NULL for 2023 rows via
+    ``unionByName(allowMissingColumns=True)``). At scale the union is
+    a metadata-only concatenation — no shuffle.
+    """
+    a = clean_2019.select(
+        F.lit(2019).alias("Year"),
+        F.to_date("FL_DATE").alias("FlightDate"),
+        "Airline",
+        F.col("ArrDelay").alias("DelayMinutes"),
+        "Cancelled",
+        "Diverted",
+        "Distance",
+        "DelayReason",
+        "CancellationReason",
+    )
+    b = clean_2023.select(
+        F.lit(2023).alias("Year"),
+        F.to_date("ScheduledDeparture").alias("FlightDate"),
+        "Airline",
+        "DelayMinutes",
+        "Cancelled",
+        "Diverted",
+        "Distance",
+        "DelayReason",
+    )
+    return a.unionByName(b, allowMissingColumns=True)

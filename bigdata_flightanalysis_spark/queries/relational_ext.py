@@ -493,3 +493,77 @@ def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "salted_user_event_counts",
+    oracle=f"""
+        SELECT user_id, COUNT(*) AS n_events,
+               {dsum_sql("value", "total_value")}
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    description="Skew-salted two-stage aggregation (operators.skew."
+    "salted_aggregate): partial aggregate on (user_id, salt) spreads "
+    "hot users over many reducers, then a per-key merge. The oracle is "
+    "the plain GROUP BY — identical results by construction, verified "
+    "row-for-row.",
+    tags=("relational", "skew", "events"),
+)
+def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.skew import salted_aggregate
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("decimal(38,6)").alias("v")
+    )
+    out = salted_aggregate(
+        ev, "user_id", {"n_events": "count:*", "total_value": "sum:v"}, n_salts=8
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    ).orderBy("user_id")
+
+
+@register(
+    "order_value_quartiles",
+    oracle="""
+        SELECT o_orderstatus, quartile,
+               COUNT(*) AS n_orders,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi
+        FROM (
+            SELECT o_orderstatus, o_totalprice,
+                   NTILE(4) OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice ASC, o_orderkey ASC)
+                       AS quartile
+            FROM orders
+        )
+        GROUP BY o_orderstatus, quartile
+        ORDER BY o_orderstatus, quartile
+    """,
+    description="ntile(4) quartile assignment per status with a total "
+    "order (price, then orderkey tie-break — ntile is ordinal, so the "
+    "tie-break is what makes the oracle hash exact), summarized per "
+    "bucket.",
+    tags=("relational", "window", "ntile"),
+)
+def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderstatus", "o_totalprice", F.ntile(4).over(w).alias("quartile")
+        )
+        .groupBy("o_orderstatus", "quartile")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("o_orderstatus", "quartile")
+    )

@@ -1,0 +1,31 @@
+"""Data peek CLI — the engine's replacement for ``Code/data_view.py``
+(S5): print the head of any CSV/parquet through the same scan
+operators the engine uses, instead of an eager pandas read.
+
+    python -m bigdata_flightanalysis_spark.sources.peek path [--n 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("path")
+    parser.add_argument("--n", type=int, default=5)
+    args = parser.parse_args(argv)
+
+    from bigdata_flightanalysis_spark.session import get_session
+
+    spark = get_session("peek")
+    if args.path.endswith(".csv"):
+        df = spark.read.option("header", "true").csv(args.path)
+    else:
+        df = spark.read.parquet(args.path)
+    df.printSchema()
+    df.show(args.n, truncate=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -259,3 +259,24 @@ def test_stringify_features_compat_format(spark, typed19):
     json_out = P.stringify_features(assembled, "idiomatic")
     js = json_out.select("features_str").first()["features_str"]
     assert js.startswith("[") and ", " not in js
+
+
+def test_conform_flights_union(raw19, raw23):
+    from bigdata_flightanalysis_spark.pipeline.flights import (
+        clean_flights_2019,
+        clean_flights_2023,
+        conform_flights,
+    )
+
+    c19 = clean_flights_2019(raw19)
+    c23 = clean_flights_2023(raw23)
+    both = conform_flights(c19, c23)
+    assert both.count() == c19.count() + c23.count()
+    years = {r["Year"] for r in both.select("Year").distinct().collect()}
+    assert years == {2019, 2023}
+    # 2023 rows get NULL CancellationReason via allowMissingColumns
+    null_reason = both.filter(
+        (both.Year == 2023) & both.CancellationReason.isNotNull()
+    ).count()
+    assert null_reason == 0
+    assert dict(both.dtypes)["FlightDate"] == "date"
