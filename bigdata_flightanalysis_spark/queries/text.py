@@ -343,10 +343,8 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_near_dup_candidates",
-    oracle=f"""
-        WITH {_SQL_SIG_CTE}, bands AS (
+_SQL_BANDS_CTE = f"""
+        bands AS (
             {" UNION ALL ".join(
                 f"SELECT doc_id, {b} AS band, "
                 f"{md5_long_sql('(' + ' || CHR(31) || '.join(f'CAST(sig_{b * BAND_SIZE + r} AS VARCHAR)' for r in range(BAND_SIZE)) + ')')}"
@@ -354,9 +352,20 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(N_PERM // BAND_SIZE)
             )}
         )
+"""
+
+_SQL_PAIRS_SELECT = """
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "doc_near_dup_candidates",
+    oracle=f"""
+        WITH {_SQL_SIG_CTE}, {_SQL_BANDS_CTE}
+        {_SQL_PAIRS_SELECT}
         ORDER BY doc_a, doc_b
     """,
     description="MinHash-LSH candidate pairs: band the signature "
@@ -580,3 +589,62 @@ def doc_jaccard_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup clustering — connected components over the LSH candidate
+# pairs. Pair queries find A~B and B~C; CLUSTERING is what dedup
+# actually needs (keep one doc per transitive cluster, even when A and
+# C never collide in any band). Oracle: DuckDB recursive CTE doing
+# min-label closure — labels only propagate downhill (lbl < target),
+# which reaches every node from its component minimum and bounds the
+# intermediate row count.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SIG_CTE}, {_SQL_BANDS_CTE}, pairs AS (
+            {_SQL_PAIRS_SELECT}
+        ), edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ), cc(node, lbl) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT e.d, cc.lbl FROM cc JOIN edges e ON e.s = cc.node
+            WHERE cc.lbl < e.d
+        ), labels AS (
+            SELECT node, MIN(lbl) AS component FROM cc GROUP BY node
+        )
+        SELECT d.doc_id,
+               COALESCE(m.component, d.doc_id) AS cluster_id,
+               (COALESCE(m.component, d.doc_id) = d.doc_id) AS is_canonical
+        FROM documents d LEFT JOIN labels m ON d.doc_id = m.node
+        ORDER BY d.doc_id
+    """,
+    description="Transitive dedup clusters: connected components "
+    "(alternating large-star/small-star, operators/graph.py — O(log n) "
+    "rounds independent of chain length) over the MinHash-LSH candidate "
+    "pairs; every doc labeled with its cluster's min doc_id, canonical "
+    "flag for the keep-one-per-cluster filter. Oracle is an independent "
+    "algorithm (recursive-CTE label closure) on the same edge set.",
+    tags=("text", "dedup", "graph", "connected-components"),
+)
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.graph import (
+        assign_components,
+        connected_components,
+    )
+
+    pairs = doc_near_dup_candidates(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    out = assign_components(docs, "doc_id", cc, alias="cluster_id")
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    ).orderBy("doc_id")

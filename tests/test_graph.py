@@ -1,0 +1,93 @@
+"""Connected components (operators/graph.py) — correctness vs a
+driver-side union-find on random graphs, plus structural cases that
+exercise multi-hop merging (the reason dedup needs CC at all)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_flightanalysis_spark.operators.graph import (
+    assign_components,
+    connected_components,
+)
+
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in component
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _cc_dict(spark, edges):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = connected_components(df)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_chain_merges_transitively(spark):
+    # A~B, B~C, C~D: no direct A~D edge, yet one cluster — the exact
+    # situation pair-wise dedup cannot handle without CC.
+    got = _cc_dict(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_direction_and_duplicates_ignored(spark):
+    got = _cc_dict(spark, [(2, 1), (1, 2), (2, 2), (3, 2), (5, 7)])
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 5}
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src bigint, dst bigint")
+    assert connected_components(df).count() == 0
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graphs_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 120
+    # sparse enough to leave many components, dense enough for long
+    # chains (path edges i -> i+k)
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    ] + [(i, i + rng.choice([1, 3])) for i in range(0, n - 3, 7)]
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = sorted({x for e in edges for x in e})
+    want = _union_find(edges, nodes)
+    got = _cc_dict(spark, edges)
+    assert got == want
+
+
+def test_assign_components_singletons(spark):
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "z")], "doc_id bigint, text string"
+    )
+    cc = connected_components(
+        spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    )
+    out = assign_components(docs, "doc_id", cc)
+    got = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 9: 9}
+    # canonical-doc selection: keep min doc per cluster
+    kept = (
+        out.groupBy("component")
+        .agg(F.min("doc_id").alias("keep"))
+        .select("keep")
+    )
+    assert {r["keep"] for r in kept.collect()} == {1, 3, 9}
