@@ -56,6 +56,7 @@ def load_all() -> dict[str, EngineQuery]:
     import bigdata_flightanalysis_spark.queries.multimodal  # noqa: F401
     import bigdata_flightanalysis_spark.queries.relational  # noqa: F401
     import bigdata_flightanalysis_spark.queries.relational_ext  # noqa: F401
+    import bigdata_flightanalysis_spark.queries.sampling  # noqa: F401
     import bigdata_flightanalysis_spark.queries.similarity  # noqa: F401
     import bigdata_flightanalysis_spark.queries.text  # noqa: F401
 

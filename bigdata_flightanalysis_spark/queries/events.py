@@ -329,3 +329,98 @@ def events_range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFra
         "context_type",
         (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias("lead_us"),
     ).orderBy("error_id", "context_id")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+        WITH u1 AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+            FROM events GROUP BY user_id
+        ), u2 AS (
+            SELECT e.user_id, u1.first_view,
+                   MIN(CASE WHEN e.event_type = 'click'
+                             AND e.ts >= u1.first_view THEN e.ts END)
+                       AS first_click
+            FROM events e JOIN u1 USING (user_id)
+            GROUP BY e.user_id, u1.first_view
+        ), u3 AS (
+            SELECT e.user_id, u2.first_view, u2.first_click,
+                   MIN(CASE WHEN e.event_type = 'purchase'
+                             AND e.ts >= u2.first_click THEN e.ts END)
+                       AS first_purchase
+            FROM events e JOIN u2 USING (user_id)
+            GROUP BY e.user_id, u2.first_view, u2.first_click
+        )
+        SELECT COUNT(*) AS n_users,
+               COUNT(first_view) AS n_viewed,
+               COUNT(first_click) AS n_clicked_after_view,
+               COUNT(first_purchase) AS n_purchased_after_click,
+               CAST(COUNT(first_click) AS DOUBLE) / COUNT(first_view)
+                   AS view_to_click_rate,
+               CAST(COUNT(first_purchase) AS DOUBLE) / COUNT(first_click)
+                   AS click_to_purchase_rate
+        FROM u3
+    """,
+    description="Ordered view→click→purchase funnel: three chained "
+    "conditional-min windows over ONE user_id partitioning (Spark "
+    "reuses the single exchange across all three — one shuffle total, "
+    "the shape that survives 100× event growth), each stage anchored "
+    "at-or-after the previous stage's first timestamp.",
+    tags=("events", "funnel", "window"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    per_user = funnel_stages(ev)
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_view").alias("n_viewed"),
+        F.count("first_click").alias("n_clicked_after_view"),
+        F.count("first_purchase").alias("n_purchased_after_click"),
+        (F.count("first_click").cast("double") / F.count("first_view")).alias(
+            "view_to_click_rate"
+        ),
+        (
+            F.count("first_purchase").cast("double") / F.count("first_click")
+        ).alias("click_to_purchase_rate"),
+    )
+
+
+def funnel_stages(ev: DataFrame) -> DataFrame:
+    """Per-user ordered funnel timestamps (first_view, then first
+    click at-or-after it, then first purchase at-or-after that). All
+    three conditional-min windows share one user_id partitioning, so
+    the whole stage pipeline costs a single shuffle."""
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    return staged.groupBy("user_id").agg(
+        F.max("first_view").alias("first_view"),
+        F.max("first_click").alias("first_click"),
+        F.max("first_purchase").alias("first_purchase"),
+    )

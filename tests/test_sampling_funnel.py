@@ -1,0 +1,88 @@
+"""Funnel ordering semantics (crafted fixtures) and deterministic
+split invariance (repartition-independence — the property random
+sampling lacks)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from bigdata_flightanalysis_spark.queries.events import funnel_stages
+from bigdata_flightanalysis_spark.queries.sampling import (
+    TRAIN_HEX_LT,
+    hash_bucket_hex,
+)
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, datetime(2024, 1, 1, 0, 0, s)) for u, t, s in rows],
+        "user_id bigint, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_requires_stage_order(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, "view", 1), (1, "click", 2), (1, "purchase", 3),
+        # u2: purchase BEFORE click — must not count as converted
+        (2, "view", 1), (2, "purchase", 2), (2, "click", 3),
+        # u3: click before any view — click must not count
+        (3, "click", 1), (3, "view", 2),
+        # u4: no view at all
+        (4, "purchase", 1),
+    ]
+    got = {
+        r["user_id"]: (
+            r["first_view"] is not None,
+            r["first_click"] is not None,
+            r["first_purchase"] is not None,
+        )
+        for r in funnel_stages(_ev(spark, rows)).collect()
+    }
+    assert got == {
+        1: (True, True, True),
+        2: (True, True, False),
+        3: (True, False, False),
+        4: (False, False, False),
+    }
+
+
+def test_funnel_same_timestamp_counts(spark):
+    # at-or-after: click at the same second as the view qualifies
+    rows = [(1, "view", 5), (1, "click", 5), (1, "purchase", 5)]
+    r = funnel_stages(_ev(spark, rows)).first()
+    assert r["first_click"] is not None and r["first_purchase"] is not None
+
+
+def test_funnel_single_wide_shuffle(spark):
+    ev = _ev(spark, [(1, "view", 1), (2, "click", 2)])
+    plan = (
+        funnel_stages(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # all three windows + the per-user agg ride ONE hashpartitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_split_is_repartition_invariant(spark):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet").select("doc_id")
+    bucket = hash_bucket_hex("doc_id")
+    a = {
+        r["doc_id"]: r["b"]
+        for r in docs.repartition(3).select("doc_id", bucket.alias("b")).collect()
+    }
+    b = {
+        r["doc_id"]: r["b"]
+        for r in docs.repartition(17, "doc_id")
+        .select("doc_id", bucket.alias("b"))
+        .collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v < TRAIN_HEX_LT) / len(a)
+    assert 0.82 < frac < 0.97  # ≈0.898 target, 500-doc sample noise
