@@ -567,3 +567,190 @@ def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "quartile")
     )
+
+
+# --------------------------------------------------------------------------
+# Q12 / Q14 / Q17 / Q19 shapes (adapted to the testdata's columns):
+# conditional-agg-over-join, ratio-of-conditional-sums, decorrelated
+# per-key threshold, disjunctive multi-column pushdown.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q12_priority_by_flag",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    description="Q12 shape: fact-fact join with the date filter pushed "
+    "to the lineitem scan (prunes before the shuffle), then "
+    "conditional counts by priority class. AQE picks shuffle vs "
+    "broadcast by the filtered size.",
+    tags=("relational", "tpch", "q12"),
+)
+def q12_priority_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+        SELECT 100.0
+               * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                   AS promo_revenue_pct,
+               {dsum_sql("l_extendedprice * (1 - l_discount)", "total_revenue")}
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    description="Q14 shape: promo-revenue share — ratio of two "
+    "decimal-exact conditional sums over a month of lineitem "
+    "broadcast-joined to part (part is the small side; no fact "
+    "shuffle at any scale).",
+    tags=("relational", "tpch", "q14"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = read_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo.cast("decimal(38,6)")).cast("double")
+            / F.sum(disc.cast("decimal(38,6)")).cast("double")
+        ).alias("promo_revenue_pct"),
+        dsum(disc, "total_revenue"),
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+        WITH joined AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#13'
+        ), with_avg AS (
+            SELECT l_extendedprice, l_quantity,
+                   0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                               OVER (PARTITION BY l_partkey) AS DOUBLE)
+                          / COUNT(l_quantity) OVER (PARTITION BY l_partkey))
+                       AS threshold
+            FROM joined
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               / 7.0 AS avg_yearly
+        FROM with_avg
+        WHERE l_quantity < threshold
+    """,
+    description="Q17 shape: per-part average-quantity threshold. The "
+    "correlated subquery is DECORRELATED into a window over one "
+    "partitioning — lineitem is scanned once and shuffled once on "
+    "l_partkey, instead of the naive scan-per-part re-read. Exact "
+    "decimal average so the double threshold is engine-identical.",
+    tags=("relational", "tpch", "q17", "window"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    )
+    w = Window.partitionBy("l_partkey")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    with_avg = joined.select(
+        "l_extendedprice",
+        "l_quantity",
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+                .over(w)
+                .cast("double")
+                / F.count("l_quantity").over(w)
+            )
+        ).alias("threshold"),
+    )
+    return with_avg.filter(F.col("l_quantity") < F.col("threshold")).agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+            / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+_Q19_ARMS_SQL = """
+          (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#9'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+        SELECT COUNT(*) AS n_lines,
+               {dsum_sql("l_extendedprice * (1 - l_discount)", "revenue")}
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE {_Q19_ARMS_SQL}
+    """,
+    description="Q19 shape: three disjunctive multi-column predicate "
+    "arms across both join sides. The single-column residues "
+    "(quantity range union, size bound) are still pushed to the scans; "
+    "the cross-table arms evaluate post-join on the broadcast hash "
+    "join — never a cartesian.",
+    tags=("relational", "tpch", "q19"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    arms = (
+        ((b == "Brand#13") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#20") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#9") & s.between(1, 35) & q.between(20, 30))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arms)
+        .agg(F.count("*").alias("n_lines"), dsum(disc, "revenue"))
+    )
