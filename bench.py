@@ -34,9 +34,13 @@ HEADLINE = [
     "events_json_extract",
     "events_asof_purchase_click",
     "events_range_join_error_context",
+    "events_funnel",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
     "doc_exact_dedup",
     "doc_minhash_signatures",
     "doc_near_dup_candidates",
+    "doc_dup_clusters",
     "doc_simhash_near_dup",
     "doc_token_stats",
     "embed_cosine_topk",
