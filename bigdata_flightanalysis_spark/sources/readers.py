@@ -83,3 +83,19 @@ def from_rows(
 ) -> DataFrame:
     """Local-rows source (S2, ``Code/flight_analysis.py:188-194``)."""
     return spark.createDataFrame(rows, schema)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """JSON-lines source. An explicit schema is strongly preferred at
+    scale — without one Spark runs a full inference pass over the data
+    (a second 100 TB scan) before the real job starts."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.json(path)

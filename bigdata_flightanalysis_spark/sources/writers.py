@@ -36,3 +36,15 @@ def write_csv(
         .mode(mode)
         .save(path)
     )
+
+
+def write_json(
+    df: DataFrame, path: str, *, mode: str = "overwrite", compression: str | None = "gzip"
+) -> None:
+    """JSON-lines sink — the interchange format for document/training
+    corpora. Splittable-enough at scale when written as many compressed
+    part files (one per task); never a single driver-side dump."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
