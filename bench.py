@@ -41,6 +41,7 @@ HEADLINE = [
     "doc_minhash_signatures",
     "doc_near_dup_candidates",
     "doc_dup_clusters",
+    "doc_decontamination",
     "doc_simhash_near_dup",
     "doc_token_stats",
     "embed_cosine_topk",

@@ -648,3 +648,76 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination — n-gram collision between the training
+# corpus and a held-out benchmark set. The training-pipeline op that
+# keeps eval data out of the training mix: any doc sharing a 5-word
+# shingle with a benchmark doc is flagged.
+# --------------------------------------------------------------------------
+
+BENCH_SOURCE = "src0"  # the designated benchmark/eval slice
+DECON_N = 5
+
+
+@register(
+    "doc_decontamination",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct({_sql_shingles(DECON_N)})) AS s
+            FROM documents
+        ), bench AS (
+            SELECT DISTINCT s FROM sh WHERE source = '{BENCH_SOURCE}'
+        ), hits AS (
+            SELECT t.doc_id, COUNT(*) AS n
+            FROM sh t JOIN bench b USING (s)
+            WHERE t.source <> '{BENCH_SOURCE}'
+            GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shingle_hits,
+               COALESCE(h.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.source <> '{BENCH_SOURCE}'
+        ORDER BY d.doc_id
+    """,
+    description=f"Benchmark decontamination: {DECON_N}-word shingle "
+    "collisions between every training doc and the benchmark slice "
+    f"('{BENCH_SOURCE}'). The benchmark shingle set is tiny relative "
+    "to the corpus, so it BROADCASTS — the 100 TB training side never "
+    "shuffles; per-doc distinct hit counts and a contaminated flag "
+    "come from one partial-aggregated count.",
+    tags=("text", "decontamination", "ngram"),
+)
+def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(word_shingles(tokenize("text"), DECON_N))
+        ).alias("s"),
+    )
+    bench = (
+        shingled.filter(F.col("source") == BENCH_SOURCE).select("s").distinct()
+    )
+    train = shingled.filter(F.col("source") != BENCH_SOURCE)
+    hits = (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    train_docs = docs.filter(F.col("source") != BENCH_SOURCE).select("doc_id")
+    return (
+        train_docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias(
+                "n_shingle_hits"
+            ),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
