@@ -375,6 +375,13 @@ _SQL_PAIRS_SELECT = """
     tags=("text", "dedup", "minhash", "lsh"),
 )
 def doc_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _candidate_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered distinct LSH candidate pairs — the form downstream
+    operators (connected components) consume; only the registry query
+    pays for a presentation sort."""
     # Banded self-join. Three shapes were measured at sf0.1: (a) this
     # plain self-join (signature pipeline computed once per side —
     # ReusedExchange does not fire across self-join scans), (b)
@@ -421,7 +428,7 @@ def doc_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.orderBy("doc_a", "doc_b")
+    return pairs
 
 
 # --------------------------------------------------------------------------
@@ -639,7 +646,7 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    pairs = doc_near_dup_candidates(spark, sf_dir)
+    pairs = _candidate_pairs(spark, sf_dir)
     cc = connected_components(pairs, "doc_a", "doc_b")
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     out = assign_components(docs, "doc_id", cc, alias="cluster_id")
