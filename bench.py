@@ -37,6 +37,10 @@ HEADLINE = [
     "events_funnel",
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
+    "q5_local_supplier_revenue",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q21_sole_late_supplier",
     "doc_exact_dedup",
     "doc_minhash_signatures",
     "doc_near_dup_candidates",

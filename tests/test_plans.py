@@ -88,3 +88,57 @@ def test_range_join_is_not_nested_loop(spark, registry):
     plan = _plan(registry["events_range_join_error_context"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_all_predicates_pushed_no_shuffle_before_agg(spark, registry):
+    df = registry["q6_forecast_revenue"].fn(spark, SF)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    scan = buf.getvalue()
+    # every Q6 predicate reaches the parquet reader
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in scan, f"missing pushed filter {frag}"
+    plan = _plan(df)
+    assert "partial_" in plan  # map-side combine; only the 1-row final exchange
+
+
+def test_q5_dims_broadcast_facts_shuffled(spark, registry):
+    plan = _plan(registry["q5_local_supplier_revenue"].fn(spark, SF))
+    # nation/region/supplier chain broadcast; orders⋈customer and
+    # lineitem⋈orders are the only shuffled joins
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_is_single_fact_shuffle(spark, registry):
+    plan = _plan(registry["q21_sole_late_supplier"].fn(spark, SF))
+    # decorrelated form: lineitem⋈orders then ONE per-order aggregate;
+    # the correlated EXISTS/NOT-EXISTS form would probe the fact 3×
+    assert plan.count("Scan parquet") == 3  # lineitem, orders, supplier once each
+    assert "BroadcastHashJoin" in plan  # supplier side
+
+
+def test_q15_no_second_fact_scan(spark, registry):
+    plan = _plan(registry["q15_top_supplier"].fn(spark, SF))
+    # the scalar MAX is computed from the aggregated frame; a naive
+    # plan re-scans lineitem for the subquery
+    assert plan.count("Scan parquet") <= 3  # lineitem(+reuse), supplier
+
+
+def test_q2_window_decorrelation_reuses_aggregate_partitioning(spark, registry):
+    plan = _plan(registry["q2_min_cost_supplier"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # correlated MIN became a window over the aggregated offers frame
+    assert "Window" in plan
