@@ -48,6 +48,8 @@ HEADLINE = [
     "doc_decontamination",
     "doc_simhash_near_dup",
     "doc_token_stats",
+    "doc_repetition_scores",
+    "doc_salient_terms",
     "embed_cosine_topk",
     "embed_lsh_topk",
     "embed_near_dup_pairs",

@@ -59,6 +59,7 @@ def load_all() -> dict[str, EngineQuery]:
     import bigdata_flightanalysis_spark.queries.sampling  # noqa: F401
     import bigdata_flightanalysis_spark.queries.similarity  # noqa: F401
     import bigdata_flightanalysis_spark.queries.text  # noqa: F401
+    import bigdata_flightanalysis_spark.queries.text_ext  # noqa: F401
     import bigdata_flightanalysis_spark.queries.tpch_shapes  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,237 @@
+"""Training-data-pipeline text operators beyond the core dedup suite
+(``queries/text.py``): corpus statistics a 100 TB pretraining pipeline
+runs between dedup and sampling — repetition-based quality filtering,
+global vocabulary statistics, domain mixture weighting, and per-doc
+salient-term extraction.
+
+Determinism notes:
+- per-doc ratios are pure quotients of counts (IEEE-identical on both
+  engines given identical expression trees);
+- salient-term ranking deliberately avoids tf·idf's logarithm
+  (transcendental functions are NOT bit-stable across engines) and
+  ranks by the equivalent total order (tf DESC, df ASC, term ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_flightanalysis_spark.functions.text import tokenize, word_shingles
+from bigdata_flightanalysis_spark.queries.catalog import register
+from bigdata_flightanalysis_spark.queries.text import _SQL_TOKENS, _sql_shingles
+from bigdata_flightanalysis_spark.sources.readers import read_table
+
+
+@register(
+    "doc_repetition_scores",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(bg) AS BIGINT) AS n_bigrams,
+               CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+               1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                   AS rep_ratio
+        FROM (
+            SELECT doc_id, {_sql_shingles(2)} AS bg FROM documents
+        )
+        ORDER BY doc_id
+    """,
+    description="Repeated-bigram quality score (Gopher/C4-style "
+    "repetition filter): 1 − distinct/total word-bigrams per doc. "
+    "Pure narrow transformation — zero shuffles except the "
+    "presentation sort; the shingler is the linear arrays_zip form "
+    "(see memory: O(n²) transform(sequence) variant is 2.3× slower).",
+    tags=("text", "quality"),
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bg = word_shingles(tokenize("text"), 2)
+    return (
+        docs.select("doc_id", bg.alias("bg"))
+        .select(
+            "doc_id",
+            F.size("bg").cast("long").alias("n_bigrams"),
+            F.size(F.array_distinct("bg")).cast("long").alias("n_distinct"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")
+            ).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_ngram_topk",
+    oracle=f"""
+        SELECT ng, COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM (
+            SELECT doc_id, unnest({_sql_shingles(3)}) AS ng FROM documents
+        )
+        GROUP BY ng
+        ORDER BY n_occurrences DESC, ng
+        LIMIT 20
+    """,
+    description="Global top-20 word 3-grams with occurrence and "
+    "document frequency — the corpus-vocabulary sweep. Explode is "
+    "a narrow op; ONE shuffle on the n-gram key with map-side "
+    "partial aggregation, then TakeOrderedAndProject (never a full "
+    "sort of the vocabulary).",
+    tags=("text", "vocabulary", "topk"),
+)
+def doc_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.explode(word_shingles(tokenize("text"), 3)).alias("ng")
+    )
+    return (
+        exploded.groupBy("ng")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("ng").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "doc_source_mixture_weights",
+    oracle="""
+        WITH per_source AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+                   COUNT(*) AS n_sources
+            FROM per_source
+        )
+        SELECT source, n_docs, total_chars,
+               CAST(total_docs AS DOUBLE) / (n_sources * n_docs)
+                   AS resample_weight
+        FROM per_source, tot
+        ORDER BY source
+    """,
+    description="Domain-mixture weighting: per-source corpus mass and "
+    "the resampling weight that flattens the mixture to uniform "
+    "(weight = uniform-share / actual-share). The corpus-level "
+    "scalars come from the tiny per-source aggregate (one fact "
+    "shuffle), broadcast back as a one-row cross join.",
+    tags=("text", "sampling"),
+)
+def doc_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.count("*").alias("n_sources"),
+    )
+    return (
+        per_source.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            (
+                F.col("total_docs").cast("double")
+                / (F.col("n_sources") * F.col("n_docs"))
+            ).alias("resample_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+        SELECT lang,
+               CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS bucket_chars
+        FROM documents
+        GROUP BY lang, len_bucket
+        ORDER BY lang, len_bucket
+    """,
+    description="Per-language document-length histogram (100-char "
+    "buckets) — the length-filter calibration sweep. Integer bucket "
+    "arithmetic (no transcendental binning); single shuffle on the "
+    "composite key with partial aggregation.",
+    tags=("text", "quality"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+            "n_chars",
+        )
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("bucket_chars"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
+
+
+@register(
+    "doc_salient_terms",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY term
+        )
+        SELECT doc_id, term, tf, df, rk
+        FROM (
+            SELECT doc_id, term, tf, df,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tf DESC, df ASC, term ASC
+                   ) AS INT) AS rk
+            FROM tf JOIN df USING (term)
+        )
+        WHERE rk <= 3
+        ORDER BY doc_id, rk
+    """,
+    description="Per-document salient terms (tf-idf shape): term "
+    "frequency per doc joined with corpus document frequency, top-3 "
+    "per doc. Ranks by the order tf·idf induces — (tf DESC, df ASC, "
+    "term ASC) — WITHOUT computing a logarithm: transcendentals are "
+    "not bit-stable across engines, the total order is. One explode, "
+    "two aggregations, a shuffled join on the term key (vocabulary "
+    "scales past broadcast range at corpus scale), and a "
+    "WindowGroupLimit-prunable per-doc window.",
+    tags=("text", "vocabulary", "window"),
+)
+def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rk")
+        .orderBy("doc_id", "rk")
+    )
