@@ -99,3 +99,58 @@ def read_json(
     else:
         reader = reader.option("inferSchema", "true")
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar posture as parquet (vectorized reader,
+    predicate pushdown, column pruning); schema from the file footer."""
+    return spark.read.orc(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    *,
+    whole_text: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Plain-text source: one row per line (``value: string``), or one
+    row per FILE with ``whole_text=True`` — the raw-document ingest
+    path for training corpora. Whole-file mode is not splittable, so
+    at scale it belongs on many small files, never one giant one."""
+    reader = spark.read
+    if line_sep is not None:
+        reader = reader.option("lineSep", line_sep)
+    return reader.text(path, wholetext=whole_text)
+
+
+def read_csv_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    header: bool = True,
+    mode: str = "PERMISSIVE",
+    corrupt_column: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV scan with malformed-row handling — mandatory posture for a
+    100 TB ingest, where some rows WILL be broken.
+
+    ``mode='PERMISSIVE'`` (default) keeps bad rows, nulls the unparsable
+    fields, and lands the raw line in ``corrupt_column`` so a filter can
+    split the quarantine stream from the clean one in a single pass.
+    ``mode='DROPMALFORMED'`` silently drops them; ``mode='FAILFAST'``
+    aborts the job on the first bad row.
+    """
+    full_schema = schema
+    if mode.upper() == "PERMISSIVE" and corrupt_column not in schema.fieldNames():
+        full_schema = T.StructType(
+            [*schema.fields, T.StructField(corrupt_column, T.StringType(), True)]
+        )
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", corrupt_column)
+        .schema(full_schema)
+        .csv(path)
+    )

@@ -48,3 +48,29 @@ def write_json(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — columnar alternative when the downstream reader is
+    ORC-native (Hive/Trino estates); same partition-layout options as
+    the parquet sink."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def write_text(df: DataFrame, path: str, *, mode: str = "overwrite",
+               compression: str | None = None) -> None:
+    """Plain-text sink: requires a single string column (Spark's
+    contract); one line per row, one file per task."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)

@@ -239,3 +239,89 @@ def run_to_memory(
     q.awaitTermination()
     q.stop()
     return spark.table(name)
+
+
+def streaming_enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a batch
+    dimension table. The static side needs no watermark and keeps no
+    state — Spark re-plans it per micro-batch (so a dim refresh is
+    picked up on the next trigger). Broadcast: the dim ships to
+    executors once per batch instead of shuffling the stream.
+
+    LEFT join so stream rows never block on dim completeness — the
+    production posture for enrichment (drop-on-miss loses events).
+    """
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], "left"
+    )
+
+
+def upsert_foreach_batch(path: str, key_cols: list[str]):
+    """``foreachBatch`` sink: idempotent keyed upsert into a parquet
+    state directory — the exactly-once pattern for sinks without
+    transactional MERGE.
+
+    Each call merges the micro-batch into the current state keeping the
+    highest ``_v`` (ingest version = batch id) per key, writes the new
+    state to a staging dir, and atomically renames it in. Replaying a
+    batch after a crash-restart converges to the same state (same keys,
+    same version → same winner), which together with the checkpoint's
+    batch-id tracking gives end-to-end exactly-once.
+
+    The directory rename is atomic on POSIX and HDFS; object stores
+    (S3/GCS) need a table format (Delta/Iceberg/Hudi) for the same
+    guarantee — this sink is the format-free equivalent for
+    filesystem-backed state.
+    """
+    from pyspark.sql.window import Window
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        spark = batch_df.sparkSession
+        new = batch_df.withColumn("_v", F.lit(batch_id).cast("long"))
+        if os.path.exists(path):
+            new = new.unionByName(spark.read.parquet(path))
+        w = Window.partitionBy(*key_cols).orderBy(F.col("_v").desc())
+        merged = (
+            new.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        staging = path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return _apply
+
+
+def run_foreach_batch(
+    stream: DataFrame,
+    sink_fn,
+    *,
+    checkpoint_dir: str | None = None,
+    output_mode: str = "update",
+) -> None:
+    """Drive a streaming frame through a ``foreachBatch`` sink to
+    completion (AvailableNow)."""
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="fb_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(sink_fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()

@@ -1,0 +1,99 @@
+"""ORC / plain-text source-sink round-trips and malformed-CSV
+handling (S1/S3 family extensions — the ingest-robustness surface a
+100 TB pipeline needs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdata_flightanalysis_spark.sources.readers import (
+    read_csv_permissive,
+    read_orc,
+    read_table,
+    read_text,
+)
+from bigdata_flightanalysis_spark.sources.writers import (
+    write_orc,
+    write_text,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_orc_round_trip_with_partitioning(spark, tmp_path):
+    docs = read_table(spark, SF, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by=["lang"])
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    a = sorted((r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect())
+    b = sorted((r["doc_id"], r["lang"], r["n_chars"]) for r in back.collect())
+    assert a == b
+
+
+def test_orc_partition_pruning(spark, tmp_path):
+    docs = read_table(spark, SF, "documents").select("doc_id", "lang")
+    path = str(tmp_path / "docs_orc2")
+    write_orc(docs, path, partition_by=["lang"])
+    one = read_orc(spark, path).filter(F.col("lang") == "en")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # the lang=en predicate must prune directories, not filter rows
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    expected = docs.filter(F.col("lang") == "en").count()
+    assert one.count() == expected
+
+
+def test_text_round_trip_line_per_row(spark, tmp_path):
+    docs = read_table(spark, SF, "documents").select("text").limit(50)
+    path = str(tmp_path / "docs_txt")
+    write_text(docs, path)
+    back = read_text(spark, path)
+    assert back.columns == ["value"]
+    assert sorted(r["value"] for r in back.collect()) == sorted(
+        r["text"] for r in docs.collect()
+    )
+
+
+def test_csv_permissive_quarantines_bad_rows(spark, tmp_path):
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,10,1.5\n"
+        "2,notanumber,2.5\n"  # qty fails the int cast
+        "3,30,3.5\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    df = read_csv_permissive(spark, str(p), schema).cache()
+    try:
+        assert df.count() == 3
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        good = df.filter(F.col("_corrupt_record").isNull())
+        assert bad.count() == 1
+        row = bad.first()
+        assert row["id"] == 2 and row["qty"] is None  # raw line preserved
+        assert row["_corrupt_record"] == "2,notanumber,2.5"
+        assert good.count() == 2
+    finally:
+        df.unpersist()
+
+
+def test_csv_dropmalformed_drops_bad_rows(spark, tmp_path):
+    p = tmp_path / "mixed2.csv"
+    p.write_text("id,qty\n1,10\n2,notanumber\n3,30\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.IntegerType()),
+        ]
+    )
+    df = read_csv_permissive(spark, str(p), schema, mode="DROPMALFORMED")
+    assert sorted(r["id"] for r in df.collect()) == [1, 3]

@@ -1,0 +1,115 @@
+"""Stream-static enrichment and the foreachBatch idempotent upsert
+sink (exactly-once into a plain-parquet state directory)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_flightanalysis_spark.sources.readers import read_table
+from bigdata_flightanalysis_spark.streaming.events import (
+    run_foreach_batch,
+    run_to_memory,
+    stream_events,
+    streaming_enrich_with_dim,
+    upsert_foreach_batch,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_static_join_equals_batch(spark):
+    dim = read_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = streaming_enrich_with_dim(
+        stream_events(spark, SF_DIR), dim
+    ).select("event_id", "user_id", "c_mktsegment")
+    got = run_to_memory(enriched, spark, output_mode="append")
+
+    batch = (
+        read_table(spark, SF_DIR, "events")
+        .join(
+            F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "left"
+        )
+        .select("event_id", "user_id", "c_mktsegment")
+    )
+    a = sorted(tuple(r) for r in got.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b
+
+
+def _write_events_files(spark, base, n_files=3):
+    """Stage the events table as n separate files (mod-time ordered)
+    so AvailableNow + maxFilesPerTrigger=1 yields one batch per file."""
+    import glob
+    import shutil
+
+    ev = read_table(spark, SF_DIR, "events").withColumn(
+        "part", F.pmod(F.col("event_id"), F.lit(n_files))
+    )
+    os.makedirs(base, exist_ok=True)
+    for i in range(n_files):
+        tmp = f"{base}/.tmp{i}"
+        (
+            ev.filter(F.col("part") == i)
+            .drop("part")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part_file = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part_file, f"{base}/f{i}.parquet")
+        shutil.rmtree(tmp)
+        time.sleep(1.1)  # distinct mod-times → deterministic batch order
+    return base
+
+
+def test_foreach_batch_upsert_latest_per_user(spark, tmp_path):
+    src_dir = _write_events_files(spark, str(tmp_path / "src"))
+    state = str(tmp_path / "state")
+
+    src = (
+        spark.readStream.schema(read_table(spark, SF_DIR, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    per_user = src.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.max("event_id").alias("max_event")
+    )
+    run_foreach_batch(
+        per_user,
+        upsert_foreach_batch(state, ["user_id"]),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="update",
+    )
+
+    got = spark.read.parquet(state)
+    # Update-mode per-batch aggregates: the LAST version per user holds
+    # the cumulative value (state carried across batches inside the agg)
+    expected = (
+        read_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("event_id").alias("max_event"))
+    )
+    a = sorted(
+        (r["user_id"], r["n"], r["max_event"]) for r in got.collect()
+    )
+    b = sorted(tuple(r) for r in expected.collect())
+    assert a == b
+
+
+def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
+    state = str(tmp_path / "state")
+    sink = upsert_foreach_batch(state, ["user_id"])
+    batch = read_table(spark, SF_DIR, "events").groupBy("user_id").agg(
+        F.count("*").alias("n")
+    )
+    sink(batch, 7)
+    first = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    sink(batch, 7)  # crash-replay of the same batch id
+    second = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    assert first == second
