@@ -424,3 +424,29 @@ def funnel_stages(ev: DataFrame) -> DataFrame:
         F.max("first_click").alias("first_click"),
         F.max("first_purchase").alias("first_purchase"),
     )
+
+
+@register(
+    "events_heavy_hitters_topk",
+    oracle="""
+        SELECT event_type AS item, COUNT(*) AS est_count
+        FROM events
+        GROUP BY event_type
+        ORDER BY est_count DESC, item
+        LIMIT 5
+    """,
+    description="Heavy hitters via the approx_top_k sketch "
+    "(operators/sketches.py): bounded-memory per-partition summaries "
+    "merged at the exchange — the scale path for key-frequency scans "
+    "where an exact groupBy's hash table would not fit. Oracle-exact "
+    "here because the cardinality (5 types) sits inside the sketch's "
+    "tracked-item budget; the estimate-vs-exact error bound for the "
+    "overflowing regime is unit-tested separately.",
+    tags=("events", "sketch", "topk"),
+)
+def events_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.sketches import approx_top_k_items
+
+    return approx_top_k_items(
+        read_table(spark, sf_dir, "events"), "event_type", 5
+    )

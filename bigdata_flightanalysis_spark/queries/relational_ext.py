@@ -754,3 +754,109 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(arms)
         .agg(F.count("*").alias("n_lines"), dsum(disc, "revenue"))
     )
+
+
+@register(
+    "max_order_per_status_argmax",
+    oracle="""
+        SELECT o_orderstatus,
+               struct_extract(max({'v': o_totalprice, 'k': o_orderkey}), 'v')
+                   AS max_price,
+               struct_extract(max({'v': o_totalprice, 'k': o_orderkey}), 'k')
+                   AS max_orderkey
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    description="Deterministic arg-max (max_by shape): plain "
+    "max_by/arg_max leaves ties engine-defined, so the engine uses "
+    "the lexicographic struct-max idiom — max(struct(value, key)) — "
+    "which both Spark and DuckDB order identically, making the "
+    "winning key well-defined under price ties. One partial-agg "
+    "shuffle, no window.",
+    tags=("relational", "aggregate", "argmax"),
+)
+def max_order_per_status_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    m = F.max(F.struct(F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("k")))
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(m.alias("m"))
+        .select(
+            "o_orderstatus",
+            F.col("m.v").alias("max_price"),
+            F.col("m.k").alias("max_orderkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "order_price_percentile_rank",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice, pr, cd
+        FROM (
+            SELECT o_orderkey, o_orderstatus, o_totalprice,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+        )
+        WHERE pr >= 0.999
+        ORDER BY o_orderstatus, o_orderkey
+    """,
+    description="percent_rank + cume_dist per status partition — the "
+    "relative-standing window pair. Both are pure rational functions "
+    "of rank and partition size ((r−1)/(n−1), r/n), so the doubles "
+    "are IEEE-identical cross-engine; ties share a rank, making the "
+    "result independent of intra-tie order. Top 0.1% filter keeps "
+    "the output bounded at any scale.",
+    tags=("relational", "window"),
+)
+def order_price_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .filter(F.col("pr") >= 0.999)
+        .orderBy("o_orderstatus", "o_orderkey")
+    )
+
+
+@register(
+    "brand_number_histogram",
+    oracle="""
+        SELECT CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INT) AS brand_no,
+               COUNT(*) AS n_parts,
+               COUNT(DISTINCT p_type) AS n_types
+        FROM part
+        GROUP BY brand_no
+        ORDER BY brand_no
+    """,
+    description="Regexp group extraction + cast feeding an aggregate "
+    "(string-function surface: the reference's string ops are "
+    "casts/CASE only — SURVEY.md §2.8 notes no regex; this is the "
+    "engine extension). Identical RE2-compatible pattern on both "
+    "engines.",
+    tags=("relational", "scalar", "string"),
+)
+def brand_number_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "part")
+        .select(
+            F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_no"),
+            "p_type",
+        )
+        .groupBy("brand_no")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+        )
+        .orderBy("brand_no")
+    )

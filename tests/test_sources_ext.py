@@ -97,3 +97,20 @@ def test_csv_dropmalformed_drops_bad_rows(spark, tmp_path):
     )
     df = read_csv_permissive(spark, str(p), schema, mode="DROPMALFORMED")
     assert sorted(r["id"] for r in df.collect()) == [1, 3]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a column added mid-stream is reconstructed
+    (NULL-filled for old files) under mergeSchema — the posture for a
+    long-lived 100 TB table whose producers upgrade over time."""
+    base = str(tmp_path / "evolving")
+    docs = read_table(spark, SF, "documents")
+    docs.select("doc_id", "lang").write.parquet(f"{base}/batch=0")
+    docs.select("doc_id", "lang", "n_chars").write.parquet(f"{base}/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"doc_id", "lang", "n_chars", "batch"}
+    old = merged.filter(F.col("batch") == 0)
+    assert old.filter(F.col("n_chars").isNull()).count() == old.count()
+    new = merged.filter(F.col("batch") == 1)
+    assert new.filter(F.col("n_chars").isNull()).count() == 0
+    assert merged.count() == 2 * docs.count()
