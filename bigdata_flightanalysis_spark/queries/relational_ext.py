@@ -860,3 +860,48 @@ def brand_number_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_no")
     )
+
+
+@register(
+    "lineitem_safe_math",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               COUNT(ratio) AS n_valid,
+               CAST(COUNT(*) - COUNT(ratio) AS BIGINT) AS n_div_zero,
+               MIN(ratio) AS min_ratio,
+               MAX(ratio) AS max_ratio
+        FROM (
+            SELECT l_returnflag,
+                   l_extendedprice / nullif(l_quantity - 24.0, 0.0) AS ratio
+            FROM lineitem
+        )
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    description="ANSI-safe arithmetic surface (Spark 4 defaults ANSI "
+    "on, where bare division by zero ABORTS the job): try_divide "
+    "yields NULL instead, matching SQL's x / NULLIF(y, 0). "
+    "Aggregates are min/max/counts — deliberately NOT a sum of the "
+    "full-precision quotients, whose decimal rounding is not "
+    "bit-stable cross-engine.",
+    tags=("relational", "scalar", "ansi"),
+)
+def lineitem_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.lit(24.0)
+        ).alias("ratio"),
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.count("ratio").alias("n_valid"),
+            (F.count("*") - F.count("ratio")).alias("n_div_zero"),
+            F.min("ratio").alias("min_ratio"),
+            F.max("ratio").alias("max_ratio"),
+        )
+        .orderBy("l_returnflag")
+    )

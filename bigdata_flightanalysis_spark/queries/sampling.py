@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_flightanalysis_spark.functions.text import md5_long, md5_long_sql
 from bigdata_flightanalysis_spark.queries.catalog import register
 from bigdata_flightanalysis_spark.sources.readers import read_table
 
@@ -106,4 +107,114 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sampled_chars"),
         )
         .orderBy("lang")
+    )
+
+
+_PACK_BUDGET = 4096  # chars per packed training sequence
+_N_SHARDS = 16
+
+
+@register(
+    "doc_pack_sequences",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT doc_id, n_chars,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ),
+        packed AS (
+            SELECT shard, doc_id, n_chars,
+                   CAST(floor(
+                       (SUM(n_chars) OVER (
+                            PARTITION BY shard ORDER BY h
+                            ROWS UNBOUNDED PRECEDING
+                        ) - n_chars) / {_PACK_BUDGET}
+                   ) AS BIGINT) AS bin
+            FROM ordered
+        )
+        SELECT shard, bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS bin_chars
+        FROM packed
+        GROUP BY shard, bin
+        ORDER BY shard, bin
+    """,
+    description="Training-sequence packing: docs are sharded by md5 "
+    "(16 independent packing streams — the parallelism unit at "
+    "scale), pseudorandomly ordered WITHIN each shard by their full "
+    "hash, and assigned to fixed-budget context bins by their "
+    "starting offset in the shard's running character count "
+    "(window cumsum — one shuffle on the shard key; each doc may "
+    "straddle one bin boundary, the standard approximation that "
+    "keeps packing a pure window instead of a sequential scan). "
+    "Output is per-bin fill statistics.",
+    tags=("sampling", "packing"),
+)
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    docs = docs.withColumn("shard", F.substring("h", 1, 1))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_chars").over(w) - F.col("n_chars")) / _PACK_BUDGET
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("bin_chars"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+@register(
+    "doc_quality_weighted_sample",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars
+        FROM (
+            SELECT doc_id, lang, n_chars,
+                   CAST({md5_long_sql("'qw|' || CAST(doc_id AS VARCHAR)")}
+                        AS DOUBLE) / 1152921504606846976 AS u,
+                   least(1.0, CAST(n_chars AS DOUBLE) / 400) AS keep_p
+            FROM documents
+        )
+        WHERE u < keep_p
+        ORDER BY doc_id
+    """,
+    description="Quality-weighted deterministic sampling: keep "
+    "probability proportional to a per-doc quality proxy (here "
+    "length/400, capped at 1), decided by comparing the doc's 60-bit "
+    "md5 uniform draw against its own threshold — Bernoulli sampling "
+    "that is partition-order-invariant and bit-reproducible across "
+    "engines (unlike df.sample(weights)). Narrow: the predicate is a "
+    "per-row expression, no shuffle.",
+    tags=("sampling", "quality"),
+)
+def doc_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    u = (
+        md5_long(F.concat(F.lit("qw|"), F.col("doc_id").cast("string"))).cast(
+            "double"
+        )
+        / F.lit(float(1 << 60))
+    )
+    keep_p = F.least(F.lit(1.0), F.col("n_chars").cast("double") / 400)
+    return (
+        docs.filter(u < keep_p)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     )
