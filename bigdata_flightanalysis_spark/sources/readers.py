@@ -154,3 +154,14 @@ def read_csv_permissive(
         .schema(full_schema)
         .csv(path)
     )
+
+
+def register_star(spark: SparkSession, sf_dir: str) -> list[str]:
+    """SQL entry point (SURVEY.md §3 entry point 2, generalized):
+    register every testdata table as a temp view so arbitrary
+    ``spark.sql(...)`` runs against the star schema. Views are lazy
+    scans — registration costs nothing; each query still gets full
+    pushdown/pruning through the view."""
+    for name in TABLE_NAMES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(TABLE_NAMES)

@@ -142,3 +142,10 @@ def test_q2_window_decorrelation_reuses_aggregate_partitioning(spark, registry):
     assert "BroadcastNestedLoopJoin" not in plan
     # correlated MIN became a window over the aggregated offers frame
     assert "Window" in plan
+
+
+def test_q20_agg_and_window_share_one_exchange(spark, registry):
+    plan = _plan(registry["q20_heavy_flow_suppliers"].fn(spark, SF))
+    # repartition(l_partkey) satisfies both the pair groupBy's and the
+    # part window's distribution — the agg→window chain shuffles once
+    assert plan.count("Exchange hashpartitioning") == 1

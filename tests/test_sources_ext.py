@@ -114,3 +114,26 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     new = merged.filter(F.col("batch") == 1)
     assert new.filter(F.col("n_chars").isNull()).count() == 0
     assert merged.count() == 2 * docs.count()
+
+
+def test_register_star_sql_entry_point(spark):
+    from bigdata_flightanalysis_spark.sources.readers import register_star
+
+    tables = register_star(spark, SF)
+    assert len(tables) == 10
+    got = spark.sql(
+        """
+        SELECT r_name, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    ).collect()
+    assert len(got) == 5 and all(r["n"] > 0 for r in got)
+    # pushdown survives the view
+    plan = (
+        spark.sql("SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'")
+        ._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "EqualTo(o_orderstatus,F)" in plan

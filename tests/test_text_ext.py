@@ -1,0 +1,89 @@
+"""Property tests for the corpus-statistics and packing operators
+(beyond oracle parity: invariants that hold at ANY scale)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_flightanalysis_spark.queries.catalog import load_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return load_all()[name].fn
+
+
+def test_repetition_scores_bounded(spark):
+    rows = _q("doc_repetition_scores")(spark, SF).collect()
+    for r in rows:
+        assert 0.0 <= r["rep_ratio"] < 1.0
+        assert 1 <= r["n_distinct"] <= r["n_bigrams"]
+
+
+def test_pack_sequences_bins_contiguous_and_budgeted(spark):
+    """Each (shard, bin) holds < budget + one-max-doc chars (straddle
+    bound), bins are dense from 0, and totals conserve the corpus."""
+    rows = _q("doc_pack_sequences")(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    max_doc = docs.agg(F.max("n_chars")).first()[0]
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["bin_chars"] for r in rows) == total
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["bin"])
+    for shard, bins in by_shard.items():
+        assert sorted(bins) == list(range(len(bins))), shard  # dense
+    for r in rows:
+        # a bin can exceed the budget only by the straddle of its last doc
+        assert r["bin_chars"] < 4096 + max_doc
+
+
+def test_pack_assignment_partition_order_invariant(spark):
+    a = _q("doc_pack_sequences")(spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").repartition(7)
+    # same computation over a differently-partitioned scan must agree:
+    # the ordering key is a pure function of doc_id, not partition layout
+    b = (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("h"),
+        )
+        .withColumn("shard", F.substring("h", 1, 1))
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = b.withColumn(
+        "bin",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / 4096).cast(
+            "long"
+        ),
+    )
+    bb = sorted(
+        tuple(r)
+        for r in packed.groupBy("shard", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("bin_chars"))
+        .collect()
+    )
+    assert sorted(tuple(r) for r in a) == bb
+
+
+def test_quality_weighted_sample_monotone_in_length(spark):
+    """Longer docs must be kept at a (weakly) higher rate — the whole
+    point of weighting — and docs over the cap kept always."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = {r["doc_id"] for r in _q("doc_quality_weighted_sample")(spark, SF).collect()}
+    rows = docs.select("doc_id", "n_chars").collect()
+    big = [r for r in rows if r["n_chars"] >= 400]
+    small = [r for r in rows if r["n_chars"] < 200]
+    assert all(r["doc_id"] in kept for r in big)  # weight capped at 1.0
+    rate_small = sum(r["doc_id"] in kept for r in small) / max(len(small), 1)
+    assert rate_small < 1.0
