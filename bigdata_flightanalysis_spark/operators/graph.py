@@ -118,3 +118,77 @@ def assign_components(
         .drop("node")
         .withColumn(alias, F.coalesce(F.col("component"), key_col))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """Deterministic distributed PageRank (fixed iteration count).
+
+    Iterative-algorithm surface beyond connected components: each
+    round is contribution-scatter (edge join) + gather (groupBy sum).
+    Scale posture mirrors ``connected_components``:
+
+    - contributions are a partial aggregate — a hub's out-edges are
+      summed map-side, never collected into one task;
+    - ``localCheckpoint`` per round truncates the growing lineage
+      (``checkpoint()`` on a cluster);
+    - the degree frame is computed once and re-joined per round on the
+      same key, so AQE reuses the exchange where possible;
+    - rank sums accumulate in DECIMAL(38,18) and cast back to double
+      once per round, making ranks independent of partition/merge
+      order — bit-reproducible across runs, which plain double sums
+      are not.
+
+    Dangling nodes (no out-edges) leak their mass — the standard
+    simplification; ranks still order nodes correctly for dedup-canon
+    selection (pick the highest-rank doc of a cluster as canonical).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    e_deg = e.join(out_deg, "src").localCheckpoint()  # (src, dst, deg)
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            e_deg.join(ranks, e_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(
+                F.sum(F.col("c").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("in_sum")
+            )
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -728,3 +728,52 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_dup_canonical_pagerank",
+    oracle=None,  # iterative PageRank — not SQL-expressible (rows-only)
+    description="Canonical-doc selection by PageRank: rank the "
+    "MinHash-LSH similarity graph (operators/graph.py:pagerank — "
+    "decimal-accumulated, partition-order-invariant) and pick each "
+    "dup cluster's highest-rank member as canonical (tie: lower "
+    "doc_id). Rank-based canon beats min-doc_id when near-dup "
+    "clusters mix originals with mutilated copies: the most-connected "
+    "variant is the best keep. Iterative scatter/gather per round, "
+    "lineage truncated; cluster assignment reuses the same "
+    "connected-components frame as doc_dup_clusters.",
+    tags=("text", "dedup", "graph", "pagerank"),
+)
+def doc_dup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
+
+    pairs = _candidate_pairs(spark, sf_dir)
+    # similarity edges are undirected: feed both directions
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=5)
+    cc = connected_components(pairs, "doc_a", "doc_b")  # (node, component)
+    best = (
+        cc.join(ranks, "node")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("rank").alias("r"),
+                    (-F.col("node")).alias("neg_id"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col("component").alias("cluster_id"),
+            (-F.col("m.neg_id")).alias("canonical_doc_id"),
+            F.col("m.r").alias("canonical_rank"),
+        )
+    )
+    return best.orderBy("cluster_id")

@@ -19,3 +19,13 @@ def test_queries_and_oracles_aligned():
     # every oracle is non-empty SQL
     for name, sql in oracles.items():
         assert "SELECT" in sql.upper(), name
+
+
+def test_every_registry_query_runs_at_smoke_sf(spark):
+    """Driver t1-smoke twin: every query (including the rows-only
+    three) must execute and return a stable schema at sf0.001."""
+    qs = e.queries()
+    for name, fn in qs.items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        assert df.columns, name
+        df.limit(5).collect()  # forces execution of the whole plan

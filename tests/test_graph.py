@@ -91,3 +91,43 @@ def test_assign_components_singletons(spark):
         .select("keep")
     )
     assert {r["keep"] for r in kept.collect()} == {1, 3, 9}
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    from bigdata_flightanalysis_spark.operators.graph import pagerank
+
+    n = 8
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    # symmetric cycle → exactly uniform ranks
+    assert len(ranks) == n
+    assert max(ranks.values()) - min(ranks.values()) < 1e-12
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # no dangling mass lost
+
+
+def test_pagerank_star_center_dominates(spark):
+    from bigdata_flightanalysis_spark.operators.graph import pagerank
+
+    # bidirectional star: leaves 1..6 ↔ hub 0 (no dangling nodes);
+    # the hub aggregates every leaf's full contribution, each leaf
+    # gets back only a 1/6 share
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 7)] + [(0, i) for i in range(1, 7)],
+        "src long, dst long",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert ranks[0] == max(ranks.values())
+    assert ranks[0] > 3 * ranks[2]
+
+
+def test_pagerank_partition_order_invariant(spark):
+    from bigdata_flightanalysis_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 20) for i in range(40)], "src long, dst long"
+    ).where("src != dst")
+    a = sorted(tuple(r) for r in pagerank(edges.repartition(1)).collect())
+    b = sorted(tuple(r) for r in pagerank(edges.repartition(8)).collect())
+    assert a == b  # decimal accumulation → bit-identical ranks

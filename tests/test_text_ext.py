@@ -87,3 +87,18 @@ def test_quality_weighted_sample_monotone_in_length(spark):
     assert all(r["doc_id"] in kept for r in big)  # weight capped at 1.0
     rate_small = sum(r["doc_id"] in kept for r in small) / max(len(small), 1)
     assert rate_small < 1.0
+
+
+def test_pagerank_canonical_consistent_with_clusters(spark):
+    """The PageRank canonical of each cluster must be a member of that
+    cluster, and clusters must match doc_dup_clusters' assignment."""
+    canon = {
+        r["cluster_id"]: r["canonical_doc_id"]
+        for r in _q("doc_dup_canonical_pagerank")(spark, SF).collect()
+    }
+    clusters: dict[int, set] = {}
+    for r in _q("doc_dup_clusters")(spark, SF).collect():
+        clusters.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    for cid, doc in canon.items():
+        assert doc in clusters[cid], (cid, doc)
+        assert len(clusters[cid]) > 1  # only real dup clusters are ranked
