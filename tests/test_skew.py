@@ -76,3 +76,40 @@ def test_salt_spreads_hot_key(spark):
         .count()
     )
     assert n == 4  # the hot key really lands on all salt partitions
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's skew-join handling — the runtime complement to the manual
+    salting operators: a hot key's shuffle partition is split into
+    multiple tasks (right side replicated), visible in the final
+    adaptive plan. This is the zero-code path we rely on at 100 TB for
+    skew we did NOT predict; salting remains for skew we did."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.rand(42).alias("v"),
+        )
+        right = spark.range(0, 5_000).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("w")
+        )
+        j = left.join(right, "k").select(F.lit(1).alias("one"))
+        j.collect()  # executes THIS plan, finalizing the adaptive one
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # AQEShuffleRead marks the split side
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
