@@ -220,16 +220,32 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "vocabulary", "window"),
 )
 def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE corpus scan and TWO hash exchanges (plan-asserted), where the
+    # naive form pays four plus a second explode pass:
+    # - explode once, repartition by term: term partitioning satisfies
+    #   the (doc_id, term) tf groupBy's clustered distribution, the
+    #   term-level df aggregate, AND the tf⋈df join — all shuffle-free
+    #   on top of it;
+    # - df (docs containing the term) = row count of the tf frame per
+    #   term, so the corpus is never re-exploded;
+    # - the per-doc window is the second (doc_id) exchange.
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    toks = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("term")
+    ).repartition("term")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = (
         Window.partitionBy("doc_id")
         .orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
     )
+    # shuffle_hash, not broadcast: both sides already share the term
+    # partitioning (zero extra exchange), and a broadcast of df would
+    # plan a SECOND scan+explode of the corpus for the build side
+    # (exchange reuse only rescues it at runtime under AQE). At corpus
+    # scale the vocabulary outgrows broadcast range anyway.
     return (
-        tf.join(df, "term")
+        tf.join(df.hint("shuffle_hash"), "term")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", "rk")

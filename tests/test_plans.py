@@ -149,3 +149,18 @@ def test_q20_agg_and_window_share_one_exchange(spark, registry):
     # repartition(l_partkey) satisfies both the pair groupBy's and the
     # part window's distribution — the agg→window chain shuffles once
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salient_terms_single_corpus_shuffle_reused(spark, registry):
+    df = registry["doc_salient_terms"].fn(spark, SF)
+    df.collect()  # finalize the adaptive plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # the term repartition serves the tf agg, the df agg AND the join:
+    # the join is shuffle-hash on the existing partitioning (never a
+    # broadcast that would plan a second corpus explode), and the df
+    # branch's copy of the explode→repartition subtree collapses into
+    # a ReusedExchange at runtime — the corpus is read+shuffled ONCE
+    assert "ShuffledHashJoin" in plan
+    assert "ReusedExchange" in plan
+    assert "BroadcastHashJoin" not in plan
