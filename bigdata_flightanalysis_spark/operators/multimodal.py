@@ -129,3 +129,71 @@ def extract_payload_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("asset_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, *, fake: bool = False
+) -> DataFrame:
+    """Arrow-batched image resize via ``mapInPandas`` — the
+    transform-in-place multimodal shape (decode → resample → re-encode
+    per batch, payload AND typed meta rewritten together so they can
+    never drift apart).
+
+    The resample kernel is a STUB (no image libs in this container);
+    ``fake=True`` swaps in a deterministic byte-decimation stand-in
+    that preserves every Spark-side property a real kernel needs:
+    batch iteration, binary-in/binary-out, meta rewrite, and an
+    output-size contract (ceil(len·scale²)) the tests assert. Input
+    needs (asset_id, payload, meta.mime, meta.width, meta.height).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_payload, out_meta = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                w, h = meta.get("width"), meta.get("height")
+                if not fake:
+                    raise NotImplementedError(
+                        "image codecs are not installed in this "
+                        "environment; pass fake=True for the "
+                        "deterministic test resampler"
+                    )
+                scale_num = target_w * target_h
+                scale_den = max((w or target_w) * (h or target_h), 1)
+                n = len(payload)
+                keep = max(1, -(-n * scale_num // scale_den))  # ceil
+                step = max(1, n // keep)
+                out_payload.append(bytes(payload[::step][:keep]))
+                out_meta.append(
+                    {"mime": meta.get("mime"), "width": target_w,
+                     "height": target_h}
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return df.select("asset_id", "payload", "meta").mapInPandas(
+        batches, RESIZED_SCHEMA
+    )

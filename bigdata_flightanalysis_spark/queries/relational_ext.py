@@ -905,3 +905,50 @@ def lineitem_safe_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "supplier_trailing_week_quantity",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_suppkey,
+               strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+                   PARTITION BY l_suppkey ORDER BY epoch(l_shipdate)
+                   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS trailing_7d_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+        ORDER BY l_suppkey, ship_day, l_orderkey, l_linenumber
+    """,
+    description="RANGE window frame over event time: per-supplier "
+    "trailing-7-day shipped quantity — the time-window analytic the "
+    "rows-frame running total can't express (peers at the same "
+    "timestamp share a frame, gaps shrink it). Frame bounds are "
+    "seconds on the epoch ordering key; the decimal-cast sum keeps "
+    "the double deterministic. One shuffle on the partition key.",
+    tags=("relational", "window", "range-frame"),
+)
+def supplier_trailing_week_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01 00:00:00").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_timestamp("l_shipdate"))
+        .rangeBetween(-604800, Window.currentRow)
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_day"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_7d_qty"),
+        )
+        .orderBy("l_suppkey", "ship_day", "l_orderkey", "l_linenumber")
+    )

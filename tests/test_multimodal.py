@@ -77,3 +77,58 @@ def test_frame_sample_offsets(spark):
     assert rows[0]["offs"] == [0, 4, 8]
     assert rows[1]["offs"] == [0]
     assert rows[2]["offs"] == [0]
+
+
+def test_resize_images_rewrites_payload_and_meta_together(spark):
+    from bigdata_flightanalysis_spark.operators.multimodal import (
+        resize_images,
+        text_as_payload,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assets = text_as_payload(docs.limit(40), "doc_id", "text").select(
+        "asset_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(64).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+    out = resize_images(assets, 32, 32, fake=True)
+    rows = out.collect()
+    assert len(rows) == 40
+    originals = {r["asset_id"]: r["payload"] for r in assets.collect()}
+    for r in rows:
+        assert r["meta"]["width"] == 32 and r["meta"]["height"] == 32
+        n = len(originals[r["asset_id"]])
+        expected = max(1, -(-n * (32 * 32) // (64 * 64)))  # ceil(n/4)
+        assert len(r["payload"]) <= n
+        assert abs(len(r["payload"]) - expected) <= 1  # size contract
+    # deterministic: same input → same bytes
+    again = {r["asset_id"]: r["payload"] for r in resize_images(
+        assets, 32, 32, fake=True).collect()}
+    assert {r["asset_id"]: r["payload"] for r in rows} == again
+
+
+def test_resize_images_real_codec_path_raises(spark):
+    from bigdata_flightanalysis_spark.operators.multimodal import (
+        resize_images,
+        text_as_payload,
+    )
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assets = text_as_payload(docs.limit(2), "doc_id", "text").select(
+        "asset_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(8).cast("int").alias("width"),
+            F.lit(8).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+    with _pytest.raises(Exception, match="(?i)codecs are not installed"):
+        resize_images(assets, 4, 4).collect()
