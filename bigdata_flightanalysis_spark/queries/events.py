@@ -450,3 +450,114 @@ def events_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_top_k_items(
         read_table(spark, sf_dir, "events"), "event_type", 5
     )
+
+
+@register(
+    "events_sessionization_gaps",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800000000
+                        OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_id,
+                   SUM(is_start) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_no
+            FROM marked
+        )
+        SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+               COUNT(*) AS n_events,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+                   AS duration_us
+        FROM sessions
+        GROUP BY user_id, session_no
+        ORDER BY user_id, session_no
+    """,
+    description="Gaps-and-islands sessionization (30-min inactivity "
+    "gap): lag-diff marks session starts, a running sum numbers the "
+    "islands, then per-session stats. The window pair AND the final "
+    "aggregate all share the user_id partitioning — one shuffle total "
+    "for three logical steps. The batch twin of session_window "
+    "(events_session_windows) with an explicit algorithm the oracle "
+    "can replay; ties broken by event_id so the lag order is total; "
+    "gap/duration arithmetic in integer microseconds (second-floored "
+    "unix_timestamp vs DuckDB fractional epoch() disagree).",
+    tags=("events", "window", "sessionization"),
+)
+def events_sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "is_start",
+        F.when(
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(wo))
+                > 1_800_000_000
+            )
+            | F.lag("ts").over(wo).isNull(),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = marked.withColumn(
+        "session_no",
+        F.sum("is_start")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+@register(
+    "status_first_last_orders",
+    oracle="""
+        SELECT DISTINCT o_orderstatus,
+               first_value(o_orderkey) OVER w AS first_key,
+               last_value(o_orderkey) OVER w AS last_key,
+               nth_value(o_orderkey, 2) OVER w AS second_key
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+        ORDER BY o_orderstatus
+    """,
+    description="first_value / last_value / nth_value over an "
+    "explicit UNBOUNDED frame (the default RANGE..CURRENT ROW frame "
+    "makes last_value a footgun — it sees only the prefix) with a "
+    "total order (date, key) so all three are deterministic.",
+    tags=("relational", "window"),
+)
+def status_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderstatus",
+            F.first("o_orderkey").over(w).alias("first_key"),
+            F.last("o_orderkey").over(w).alias("last_key"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        )
+        .distinct()
+        .orderBy("o_orderstatus")
+    )

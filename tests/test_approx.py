@@ -55,3 +55,15 @@ def test_approx_top_k_exact_in_small_cardinality_regime(spark, sf_dir):
         key=lambda t: (-t[1], t[0]),
     )
     assert got == exact
+
+
+def test_approx_percentile_within_accuracy_bound(spark, sf_dir):
+    """approx_percentile(acc=100) guarantees rank error ≤ N/acc: the
+    sketch's answer must sit within ±1% of the exact rank."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    n = li.count()
+    approx = li.agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 100)")
+    ).first()[0]
+    exact_rank = li.filter(F.col("l_extendedprice") <= approx).count()
+    assert abs(exact_rank - 0.5 * n) <= n / 100 + 1
