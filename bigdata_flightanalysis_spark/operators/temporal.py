@@ -35,6 +35,7 @@ def asof_join(
     right_ts: str = "ts",
     how: str = "left",
     suffix: str = "_right",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` and equal key columns (backward as-of).
@@ -45,6 +46,11 @@ def asof_join(
 
     ``how``: ``"left"`` keeps unmatched left rows (right payload NULL);
     ``"inner"`` drops them.
+
+    ``tolerance_seconds``: max staleness — a match older than this is
+    discarded (NULLed under ``"left"``, dropped under ``"inner"``),
+    pandas ``merge_asof(tolerance=...)`` semantics. Applied AFTER the
+    window pass, so it adds no shuffle.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
@@ -90,6 +96,16 @@ def asof_join(
     matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).filter(
         F.col("__side") == 1
     )
+    if tolerance_seconds is not None:
+        rts_field = f"{right_ts}{suffix}" if right_ts in left.columns else right_ts
+        stale = F.col("__m").isNotNull() & (
+            F.unix_micros(F.col("__ts"))
+            - F.unix_micros(F.col("__m").getField(rts_field))
+            > tolerance_seconds * 1_000_000
+        )
+        matched = matched.withColumn(
+            "__m", F.when(stale, F.lit(None).cast(r_type)).otherwise(F.col("__m"))
+        )
     if how == "inner":
         matched = matched.filter(F.col("__m").isNotNull())
     out_cols: list[Column] = [F.col(k) for k in keys]

@@ -952,3 +952,74 @@ def supplier_trailing_week_quantity(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("l_suppkey", "ship_day", "l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "orders_quality_report",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_custkey,
+               CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nonpositive_price,
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+               CAST(SUM(CASE WHEN o_orderdate <  TIMESTAMP '1990-01-01 00:00:00'
+                               OR o_orderdate >= TIMESTAMP '2030-01-01 00:00:00'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_date,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS duplicate_keys
+        FROM orders
+    """,
+    description="One-pass data-quality report (expectations surface): "
+    "null / range / domain / uniqueness rules evaluated as conditional "
+    "sums in a SINGLE aggregate over a single scan — N rules never "
+    "cost N passes, the posture that matters when the table is 100 TB. "
+    "The distinct-count rule rides the same shuffle via Catalyst's "
+    "expand.",
+    tags=("relational", "quality"),
+)
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    bad_date = (
+        F.col("o_orderdate") < F.lit("1990-01-01 00:00:00").cast("timestamp")
+    ) | (F.col("o_orderdate") >= F.lit("2030-01-01 00:00:00").cast("timestamp"))
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0.0, 1).otherwise(0)
+        ).alias("nonpositive_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+        F.sum(F.when(bad_date, 1).otherwise(0)).alias("out_of_range_date"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("duplicate_keys"),
+    )
+
+
+@register(
+    "status_priority_sets",
+    oracle="""
+        SELECT o_orderstatus,
+               list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+               COUNT(DISTINCT o_orderpriority) AS n_priorities
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    description="Deterministic array aggregation: collect_set is "
+    "unordered (partition-dependent), so the engine always sorts the "
+    "collected array before emitting it — the only way an array-typed "
+    "result can be reproducible, diffable, and oracle-checkable.",
+    tags=("relational", "array-agg"),
+)
+def status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -93,3 +93,35 @@ def test_range_join_matches_naive(spark, left, right, w):
         for r in range_join_bucketed(ldf, rdf, on="k", window_seconds=w).collect()
     }
     assert got == _naive_range(left, right, w)
+
+
+def _naive_asof_tol(left, right, tol_s):
+    out = {}
+    for lid, lk, lt in left:
+        best = None
+        for rid, rk, rt in right:
+            if rk == lk and rt <= lt and (lt - rt).total_seconds() <= tol_s:
+                if best is None or rt > best[1] or (rt == best[1] and rid > best[0]):
+                    best = (rid, rt)
+        out[lid] = best[0] if best else None
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_left_rows, right=_right_rows, tol=st.sampled_from([0, 60, 240]))
+def test_asof_tolerance_matches_naive(spark, left, right, tol):
+    ldf = spark.createDataFrame(left, "id int, k string, ts timestamp") if left else (
+        spark.createDataFrame([], "id int, k string, ts timestamp")
+    )
+    rdf = spark.createDataFrame(right, "rid int, k string, ts timestamp") if right else (
+        spark.createDataFrame([], "rid int, k string, ts timestamp")
+    )
+    got = {
+        r["id"]: r["rid"]
+        for r in asof_join(ldf, rdf, on="k", tolerance_seconds=tol).collect()
+    }
+    assert got == _naive_asof_tol(left, right, tol)
