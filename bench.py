@@ -35,6 +35,7 @@ HEADLINE = [
     "events_asof_purchase_click",
     "events_range_join_error_context",
     "events_funnel",
+    "events_sessionization_gaps",
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
     "q5_local_supplier_revenue",
@@ -50,6 +51,7 @@ HEADLINE = [
     "doc_token_stats",
     "doc_repetition_scores",
     "doc_salient_terms",
+    "doc_pack_sequences",
     "embed_cosine_topk",
     "embed_lsh_topk",
     "embed_near_dup_pairs",

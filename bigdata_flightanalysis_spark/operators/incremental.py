@@ -1,0 +1,67 @@
+"""Incremental corpus operators: dedup a NEW ingest batch against the
+accumulated history without rescanning the historical corpus.
+
+The batch complement to the streaming `dropDuplicatesWithinWatermark`
+path: a crawl/ingest pipeline lands batches daily; re-deduplicating
+100 TB of history per batch is not viable, so history is represented
+by its fingerprint store (64-bit hash per kept doc — ~10⁻⁴ of corpus
+bytes), and each new batch pays one anti-join against it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_flightanalysis_spark.functions.text import md5_long, normalize_text
+
+
+def fingerprint_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fp): the 60-bit md5 fingerprint of normalized text — the
+    same family the oracle-checked `doc_fingerprints` query uses."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        md5_long(normalize_text(text_col)).alias("fp"),
+    )
+
+
+def incremental_exact_dedup(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    state_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Return the subset of ``new_docs`` not seen before (exact text
+    dedup), and extend the fingerprint store with the survivors.
+
+    Steps, one shuffle each:
+    1. within-batch dedup — keep the lowest id per fingerprint
+       (row_number window, deterministic);
+    2. cross-history dedup — LEFT ANTI join against the store on the
+       fingerprint key (at scale: the store is bucketed by fp so this
+       is a shuffle-free merge per bucket);
+    3. append the survivors' fingerprints (append mode — the store
+       only grows, and replaying a FAILED batch before its append
+       committed is safe: survivors are recomputed identically).
+    """
+    fps = fingerprint_docs(new_docs, id_col, text_col)
+    w = Window.partitionBy("fp").orderBy("id")
+    batch_unique = (
+        fps.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if os.path.exists(state_path):
+        seen = spark.read.parquet(state_path)
+        fresh = batch_unique.join(seen, "fp", "left_anti")
+    else:
+        fresh = batch_unique
+    fresh.select("fp").write.mode("append").parquet(state_path)
+    return new_docs.join(
+        fresh.select(F.col("id").alias(id_col)), id_col, "left_semi"
+    )

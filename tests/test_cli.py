@@ -21,3 +21,16 @@ def test_cli_demo_end_to_end(spark, tmp_path, mode, capsys):
     # CSV sink must be readable back (features stringified, reference S3)
     csv = spark.read.option("header", "true").csv(f"{out}/predictions_2023_csv")
     assert csv.count() == preds.count()
+
+
+def test_engine_cli_list_and_run(capsys):
+    from bigdata_flightanalysis_spark.__main__ import main
+
+    main(["list", "--tag", "tpch"])
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" not in out  # tagged relational, not tpch
+    assert "q6_forecast_revenue" in out and "[oracle]" in out
+
+    main(["run", "q6_forecast_revenue", "--limit", "5"])
+    out = capsys.readouterr().out
+    assert "revenue" in out
