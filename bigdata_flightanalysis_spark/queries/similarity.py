@@ -430,3 +430,46 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("cluster")
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+        SELECT vec_id,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS maxabs,
+               list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(
+                       x * (127.0 / list_max(list_transform(
+                               CAST(embedding AS DOUBLE[]), y -> abs(y))))
+                       + 0.5) AS INT)
+               ) AS q
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+    description="Symmetric int8 quantization (the 4× embedding-store "
+    "compression every vector index at corpus scale runs on): "
+    "per-vector scale 127/max|x|, values floor(x·scale + 0.5). "
+    "Deliberately NOT round(): Spark rounds HALF_UP, DuckDB "
+    "HALF_EVEN — floor(+0.5) is the same total function on both. "
+    "All arithmetic in double after one explicit cast from the "
+    "float32 storage type; pure narrow transformation, zero "
+    "shuffles except the presentation sort.",
+    tags=("similarity", "quantization"),
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    maxabs = F.array_max(F.transform("e", lambda x: F.abs(x)))
+    scaled = emb.select("vec_id", "e", maxabs.alias("maxabs"))
+    q = F.transform(
+        "e",
+        lambda x: F.floor(x * (F.lit(127.0) / F.col("maxabs")) + F.lit(0.5))
+        .cast("int"),
+    )
+    return (
+        scaled.select("vec_id", "maxabs", q.alias("q"))
+        .orderBy("vec_id")
+    )

@@ -67,3 +67,21 @@ def test_approx_percentile_within_accuracy_bound(spark, sf_dir):
     ).first()[0]
     exact_rank = li.filter(F.col("l_extendedprice") <= approx).count()
     assert abs(exact_rank - 0.5 * n) <= n / 100 + 1
+
+
+def test_int8_quantization_reconstruction_error_bound(spark, sf_dir):
+    """floor(x·scale + 0.5) is nearest-int, so dequantized values are
+    within half a quantization step: |x − q/scale| ≤ maxabs/254."""
+    q = load_all()["embed_quantize_int8"].fn(spark, sf_dir).limit(50).collect()
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in read_table(spark, sf_dir, "embeddings").limit(50).collect()
+    }
+    for r in q:
+        if r["vec_id"] not in emb or r["maxabs"] == 0:
+            continue
+        scale = 127.0 / r["maxabs"]
+        step = r["maxabs"] / 254.0
+        for x, qi in zip(emb[r["vec_id"]], r["q"]):
+            assert abs(qi) <= 127
+            assert abs(x - qi / scale) <= step * 1.0000001
