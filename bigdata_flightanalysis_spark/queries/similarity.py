@@ -473,3 +473,86 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled.select("vec_id", "maxabs", q.alias("q"))
         .orderBy("vec_id")
     )
+
+
+@register(
+    "embed_quantized_topk",
+    oracle=None,  # int8 rerank pipeline — recall-tested, not SQL-twinned
+    description="Asymmetric quantized ANN: corpus vectors stored int8 "
+    "(embed_quantize_int8's 4× compression), queries kept float. "
+    "Stage 1 scores int-dot-product against the quantized corpus and "
+    "keeps 3k candidates per query (integer math — SIMD-friendly and "
+    "cheap at corpus scale); stage 2 reranks only those candidates "
+    "with exact float cosine. Same broadcast-queries/corpus-never-"
+    "shuffles plan as the brute-force query; recall vs exact top-k "
+    "is asserted in tests/test_ivf.py.",
+    tags=("similarity", "ann", "quantization"),
+)
+def embed_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    # int8-quantized corpus: q = floor(x·(127/maxabs) + 0.5)
+    e_dbl = F.col("embedding").cast("array<double>")
+    maxabs = F.array_max(F.transform(e_dbl, lambda x: F.abs(x)))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        e_dbl.alias("ce"),
+        maxabs.alias("c_maxabs"),
+        F.transform(
+            e_dbl,
+            lambda x: F.floor(x * (F.lit(127.0) / maxabs) + F.lit(0.5)).cast(
+                "int"
+            ),
+        ).alias("cq"),
+    )
+    queries = corpus.filter(F.col("neighbor_id") < N_QUERIES).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("ce").alias("qe"),
+        F.col("cq").alias("qq"),
+    )
+    # stage 1: integer dot product on quantized vectors
+    int_dot = F.aggregate(
+        F.zip_with("qq", "cq", lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand_k = 3 * TOP_K
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", "label", "qe", "ce",
+            int_dot.alias("idot"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("idot").desc(), F.col("neighbor_id").asc()
+    )
+    cands = scored.withColumn("crn", F.row_number().over(w1)).filter(
+        F.col("crn") <= cand_k
+    )
+    # stage 2: exact float cosine rerank of the survivors only
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
+                    lambda acc, x: acc + x)
+    )
+    reranked = cands.select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        (dot / (norm(F.col("qe")) * norm(F.col("ce")))).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    )

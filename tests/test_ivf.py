@@ -40,3 +40,24 @@ def test_ivf_deterministic(spark):
     a = sorted(map(tuple, r["embed_ivf_topk"].fn(spark, SF).collect()))
     b = sorted(map(tuple, r["embed_ivf_topk"].fn(spark, SF).collect()))
     assert a == b
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 candidate generation + float rerank must recover nearly all
+    of the exact top-k (8-bit quantization on ~unit vectors loses far
+    less ranking signal than the 3x candidate margin covers)."""
+    reg = load_all()
+    exact = reg["embed_cosine_topk"].fn(spark, SF).collect()
+    quant = reg["embed_quantized_topk"].fn(spark, SF).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    quant_sets = {}
+    for r in quant:
+        quant_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(quant_sets) == set(exact_sets)
+    hits = sum(
+        len(exact_sets[q] & quant_sets[q]) for q in exact_sets
+    )
+    total = sum(len(v) for v in exact_sets.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"

@@ -137,3 +137,30 @@ def test_register_star_sql_entry_point(spark):
         ._jdf.queryExecution().sparkPlan().toString()
     )
     assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_observation_metrics_ride_the_query(spark):
+    """df.observe(): pipeline telemetry (row counts, sums, null counts)
+    collected DURING the query — no second scan. The operational
+    posture for a 100 TB job: metrics come from the same pass that
+    produced the output."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_metrics")
+    orders = read_table(spark, SF, "orders")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_price"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkeys"
+        ),
+    )
+    out = observed.filter(F.col("o_orderstatus") == "F").count()
+    m = obs.get
+    assert m["n_rows"] == orders.count()  # metrics see pre-filter rows
+    assert m["null_custkeys"] == 0
+    assert m["total_price"] > 0
+    assert out > 0
