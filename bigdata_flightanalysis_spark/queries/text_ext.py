@@ -251,3 +251,68 @@ def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+_BP_N = 5  # shingle width for boilerplate detection
+_BP_DOC_FREQ = 20  # a shingle in more docs than this is boilerplate
+
+
+@register(
+    "doc_boilerplate_density",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct({_sql_shingles(_BP_N)})) AS s
+            FROM documents
+        ),
+        freq AS (
+            SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_BP_DOC_FREQ}
+        )
+        SELECT sh.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN freq.s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boiler,
+               CAST(SUM(CASE WHEN freq.s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS boiler_frac
+        FROM sh LEFT JOIN freq ON sh.s = freq.s
+        GROUP BY sh.doc_id
+        ORDER BY sh.doc_id
+    """,
+    description="Boilerplate density (C4-style cleanup signal): the "
+    "fraction of a doc's distinct 5-gram shingles that occur in more "
+    f"than {_BP_DOC_FREQ} documents corpus-wide — headers, footers, "
+    "and licence blocks light up, prose stays near zero. One explode; "
+    "the shingle-frequency aggregate and the membership join share "
+    "the shingle-key partitioning (repartition + shuffle_hash, same "
+    "single-corpus-shuffle shape as doc_salient_terms); per-doc "
+    "re-aggregation is the second exchange.",
+    tags=("text", "quality", "boilerplate"),
+)
+def doc_boilerplate_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokenize("text"), _BP_N))
+        ).alias("s"),
+    ).repartition("s")
+    freq = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _BP_DOC_FREQ)
+        .select("s", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        sh.join(freq.hint("shuffle_hash"), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("long")
+            .alias("n_boiler"),
+            (
+                F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).cast("double")
+                / F.count("*")
+            ).alias("boiler_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -60,3 +60,68 @@ def test_incremental_dedup_first_batch_equals_exact_dedup(spark, tmp_path):
     a = sorted(r["doc_id"] for r in kept.collect())
     b = sorted(r["doc_id"] for r in expected.collect())
     assert a == b
+
+
+def test_streaming_ingest_with_incremental_dedup(spark, tmp_path):
+    """E2E ingest composition: a document stream lands in micro-batches;
+    each batch is deduplicated against the accumulated fingerprint
+    store inside foreachBatch and survivors appended to the clean
+    corpus. Final corpus == one-shot batch dedup of everything."""
+    import glob
+    import shutil
+    import time as _t
+
+    from bigdata_flightanalysis_spark.streaming.events import run_foreach_batch
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    # stage 3 files with OVERLAPPING content (docs re-ingested)
+    slices = [(0, 200), (150, 350), (300, 500)]
+    import os as _os
+
+    _os.makedirs(src, exist_ok=True)
+    for i, (lo, hi) in enumerate(slices):
+        tmp = f"{src}/.tmp{i}"
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/f{i}.parquet")
+        shutil.rmtree(tmp)
+        _t.sleep(1.1)
+
+    state = str(tmp_path / "fp_store")
+    corpus = str(tmp_path / "clean_corpus")
+
+    def ingest(batch_df, batch_id):
+        kept = incremental_exact_dedup(spark, batch_df, state)
+        kept.write.mode("append").parquet(corpus)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_foreach_batch(
+        stream, ingest, checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+
+    got = spark.read.parquet(corpus)
+    # one survivor per distinct text, and no duplicates in the corpus
+    from bigdata_flightanalysis_spark.functions.text import (
+        md5_long,
+        normalize_text,
+    )
+
+    n_texts = (
+        docs.select(md5_long(normalize_text("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_texts
+    assert (
+        got.select(md5_long(normalize_text("text")).alias("fp"))
+        .distinct()
+        .count()
+        == n_texts
+    )
