@@ -73,3 +73,43 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     assets = text_as_payload(docs, "doc_id", "text")
     return extract_payload_features(assets).orderBy("asset_id")
+
+
+@register(
+    "multimodal_frame_sampling",
+    oracle="""
+        SELECT asset_id, n_frames,
+               CAST(range(0, n_frames, 25) AS INTEGER[]) AS frame_ids,
+               CAST(len(range(0, n_frames, 25)) AS INT) AS n_sampled
+        FROM (
+            SELECT doc_id AS asset_id,
+                   CAST(1 + n_chars % 500 AS INT) AS n_frames
+            FROM documents
+        )
+        ORDER BY asset_id
+    """,
+    description="Video frame-sampling plan (every 25th frame): the "
+    "sampled indices are computed as an array column from the typed "
+    "meta alone — the DECODE of the selected frames is the only "
+    "per-byte work, so a 10k-frame clip costs 400 decode calls, not "
+    "10k. Synthetic n_frames derives deterministically from doc "
+    "length (the testdata has no real video); the plan shape "
+    "(sequence → explode into the batch decoder) is the real one.",
+    tags=("multimodal", "video"),
+)
+def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.multimodal import (
+        frame_sample_offsets,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        (1 + F.col("n_chars") % 500).cast("int").alias("n_frames"),
+    )
+    ids = frame_sample_offsets(F.col("n_frames"), 25)
+    return docs.select(
+        "asset_id",
+        "n_frames",
+        ids.cast("array<int>").alias("frame_ids"),
+        F.size(ids).alias("n_sampled"),
+    ).orderBy("asset_id")

@@ -777,3 +777,51 @@ def doc_dup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best.orderBy("cluster_id")
+
+
+@register(
+    "doc_near_dup_edit_distance",
+    oracle=f"""
+        WITH {_SQL_SIG_CTE}, {_SQL_BANDS_CTE}, pairs AS (
+            {_SQL_PAIRS_SELECT}
+        )
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(substr(da.text, 1, 40),
+                                substr(db.text, 1, 40)) AS INT) AS prefix_edit,
+               CAST(abs(da.n_chars - db.n_chars) AS BIGINT) AS len_delta
+        FROM pairs
+        JOIN documents da ON da.doc_id = doc_a
+        JOIN documents db ON db.doc_id = doc_b
+        ORDER BY doc_a, doc_b
+    """,
+    description="Edit-distance verification of LSH candidates: the "
+    "cheap fuzzy-match confirmation stage after banding — Levenshtein "
+    "on a fixed 40-char prefix (bounded cost per pair: the full-text "
+    "distance is quadratic in doc length and NEVER the right scale "
+    "move) plus the length delta. Shuffled joins back to the corpus "
+    "on doc_id; both engines implement classic unit-cost Levenshtein "
+    "so the ints hash-match.",
+    tags=("text", "dedup", "fuzzy"),
+)
+def doc_near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _candidate_pairs(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix"), "n_chars"
+    )
+    da = docs.withColumnsRenamed(
+        {"doc_id": "doc_a", "prefix": "pa", "n_chars": "na"}
+    )
+    db = docs.withColumnsRenamed(
+        {"doc_id": "doc_b", "prefix": "pb", "n_chars": "nb"}
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").alias("prefix_edit"),
+            F.abs(F.col("na") - F.col("nb")).alias("len_delta"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
