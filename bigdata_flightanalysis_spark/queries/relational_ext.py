@@ -1023,3 +1023,69 @@ def status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "customer_scd2_merge",
+    oracle="""
+        WITH updates AS (
+            SELECT c_custkey, 0.0 AS c_acctbal,
+                   TIMESTAMP '1999-06-01 00:00:00' AS eff
+            FROM customer WHERE c_acctbal < 0.0
+        ),
+        versions AS (
+            SELECT c_custkey, c_acctbal,
+                   TIMESTAMP '1995-01-01 00:00:00' AS valid_from
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, c_acctbal, eff FROM updates
+        )
+        SELECT c_custkey, c_acctbal,
+               strftime(valid_from, '%Y-%m-%d') AS valid_from,
+               strftime(lead(valid_from) OVER (
+                   PARTITION BY c_custkey ORDER BY valid_from
+               ), '%Y-%m-%d') AS valid_to,
+               CAST(lead(valid_from) OVER (
+                   PARTITION BY c_custkey ORDER BY valid_from
+               ) IS NULL AS BOOLEAN) AS is_current
+        FROM versions
+        ORDER BY c_custkey, valid_from
+    """,
+    description="SCD Type-2 merge (warehouse dim maintenance): apply a "
+    "correction batch (negative balances zeroed, effective 1999-06-01) "
+    "to a versioned dimension — union the update versions, then ONE "
+    "lead() window per key closes each version's validity interval and "
+    "flags the current row. No MERGE statement needed: the windowed "
+    "union is the scalable formulation (one shuffle on the business "
+    "key), and it's idempotent over re-applied batches with the same "
+    "effective date.",
+    tags=("relational", "scd2", "window"),
+)
+def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    base = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    updates = (
+        customer.filter(F.col("c_acctbal") < 0.0)
+        .select(
+            "c_custkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("1999-06-01 00:00:00").cast("timestamp").alias("valid_from"),
+        )
+    )
+    versions = base.unionByName(updates)
+    w = Window.partitionBy("c_custkey").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w)
+    return (
+        versions.select(
+            "c_custkey",
+            "c_acctbal",
+            F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+            F.date_format(nxt, "yyyy-MM-dd").alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("c_custkey", "valid_from")
+    )
