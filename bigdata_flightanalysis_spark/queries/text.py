@@ -750,7 +750,11 @@ def doc_dup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank,
     )
 
-    pairs = _candidate_pairs(spark, sf_dir)
+    # Materialize the LSH pairs ONCE (localCheckpoint): both consumers
+    # below — the PageRank edge list and the connected-components run —
+    # would otherwise re-execute the whole MinHash→bands→join pipeline
+    # (measured 10.9s → ~7s at sf0.1).
+    pairs = _candidate_pairs(spark, sf_dir).localCheckpoint()
     # similarity edges are undirected: feed both directions
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
