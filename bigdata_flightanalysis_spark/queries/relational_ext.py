@@ -1089,3 +1089,46 @@ def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "valid_from")
     )
+
+
+@register(
+    "order_metrics_unpivot",
+    oracle="""
+        WITH wide AS (
+            SELECT o_orderstatus,
+                   COUNT(*) * 1.0 AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                       AS total_price,
+                   MAX(o_totalprice) AS max_price
+            FROM orders GROUP BY o_orderstatus
+        )
+        UNPIVOT wide
+        ON n_orders, total_price, max_price
+        INTO NAME metric VALUE value
+        ORDER BY o_orderstatus, metric
+    """,
+    description="Wide-to-long reshaping (unpivot/melt): a per-status "
+    "metrics row fans out to (status, metric, value) triples — the "
+    "reporting/metric-store export shape, inverse of the pivot query. "
+    "Runs on the already-aggregated frame (Expand over 3 rows per "
+    "group, not over the fact).",
+    tags=("relational", "unpivot"),
+)
+def order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            (F.count("*") * 1.0).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    return wide.unpivot(
+        "o_orderstatus",
+        ["n_orders", "total_price", "max_price"],
+        "metric",
+        "value",
+    ).orderBy("o_orderstatus", "metric")

@@ -316,3 +316,42 @@ def doc_boilerplate_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_term_first_positions",
+    oracle=f"""
+        SELECT doc_id, t.x AS term, CAST(MIN(t.i) AS INT) AS first_pos,
+               COUNT(*) AS occurrences
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len({_SQL_TOKENS}) + 1),
+                       i -> {{'i': i, 'x': {_SQL_TOKENS}[i]}})) AS t
+            FROM documents
+        )
+        GROUP BY doc_id, term
+        HAVING COUNT(*) >= 5
+        ORDER BY doc_id, term
+    """,
+    description="Positional explode (posexplode): token with its "
+    "1-based position, aggregated to first-occurrence offset and "
+    "count per (doc, term) for frequent terms — position features "
+    "feed lead-bias/dedup heuristics. Narrow explode + one composite-"
+    "key shuffle.",
+    tags=("text", "posexplode"),
+)
+def doc_term_first_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "term")
+    )
+    return (
+        pos.groupBy("doc_id", "term")
+        .agg(
+            (F.min("pos") + 1).cast("int").alias("first_pos"),
+            F.count("*").alias("occurrences"),
+        )
+        .filter(F.col("occurrences") >= 5)
+        .orderBy("doc_id", "term")
+    )
