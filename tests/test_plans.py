@@ -164,3 +164,12 @@ def test_salient_terms_single_corpus_shuffle_reused(spark, registry):
     assert "ShuffledHashJoin" in plan
     assert "ReusedExchange" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_plan_stats_helper(spark, registry):
+    from bigdata_flightanalysis_spark.plans import plan_stats
+
+    stats = plan_stats(registry["revenue_by_region"].fn(spark, SF))
+    assert stats["broadcast_joins"] == 3
+    assert stats["nested_loop_joins"] == 0
+    assert stats["python_row_udfs"] == 0
