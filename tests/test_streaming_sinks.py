@@ -113,3 +113,37 @@ def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
     sink(batch, 7)  # crash-replay of the same batch id
     second = sorted(tuple(r) for r in spark.read.parquet(state).collect())
     assert first == second
+
+
+def test_streaming_parquet_sink_partitioned_by_date(spark, tmp_path):
+    """Streaming file sink with partitionBy(event_date): the layout a
+    100 TB event table needs so downstream readers partition-prune.
+    AvailableNow drains the source; re-read must hit only the pruned
+    directories."""
+    out = str(tmp_path / "events_by_date")
+    ev = stream_events(spark, SF_DIR).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .partitionBy("event_date")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    import os as _os
+
+    dirs = [d for d in _os.listdir(out) if d.startswith("event_date=")]
+    assert len(dirs) > 1  # real partition layout on disk
+
+    back = spark.read.parquet(out)
+    assert back.count() == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    one_day = sorted(d.split("=")[1] for d in dirs)[0]
+    pruned = back.filter(F.col("event_date") == one_day)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_date" in plan
