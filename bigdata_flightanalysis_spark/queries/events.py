@@ -561,3 +561,44 @@ def status_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "events_key_skew_profile",
+    oracle="""
+        WITH per_key AS (
+            SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+        )
+        SELECT COUNT(*) AS n_keys,
+               CAST(MIN(n) AS BIGINT) AS min_n,
+               quantile_cont(n, 0.50) AS p50_n,
+               quantile_cont(n, 0.99) AS p99_n,
+               CAST(MAX(n) AS BIGINT) AS max_n,
+               CAST(MAX(n) AS DOUBLE) / quantile_cont(n, 0.50)
+                   AS skew_ratio
+        FROM per_key
+    """,
+    description="Join-key skew profiler: per-key frequency distribution "
+    "(min/median/p99/max and the max/median skew ratio) — the number "
+    "that decides between a plain shuffle join, AQE skew splitting, "
+    "and explicit salting (operators/skew.py). Two tiny aggregates "
+    "(per-key then distribution); counts are small integral values so "
+    "the interpolated quantiles are bit-exact cross-engine.",
+    tags=("events", "skew", "profiling"),
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_key = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.min("n").alias("min_n"),
+        F.percentile("n", F.lit(0.50)).alias("p50_n"),
+        F.percentile("n", F.lit(0.99)).alias("p99_n"),
+        F.max("n").alias("max_n"),
+        (
+            F.max("n").cast("double") / F.percentile("n", F.lit(0.50))
+        ).alias("skew_ratio"),
+    )
