@@ -602,3 +602,69 @@ def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("double") / F.percentile("n", F.lit(0.50))
         ).alias("skew_ratio"),
     )
+
+
+@register(
+    "events_monthly_active_users",
+    oracle="""
+        SELECT CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mth,
+               COUNT(DISTINCT user_id) AS mau,
+               COUNT(*) AS n_events,
+               CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id)
+                   AS events_per_user
+        FROM events
+        GROUP BY yr, mth
+        ORDER BY yr, mth
+    """,
+    description="Monthly active users: distinct-count per calendar "
+    "bucket (Catalyst expands the distinct into a two-phase "
+    "aggregate — partial per (bucket, user), then final per bucket; "
+    "at 100 TB the approx_count_distinct swap-in drops the expand).",
+    tags=("events", "distinct", "time-bucket"),
+)
+def events_monthly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.year("ts").alias("yr"), F.month("ts").alias("mth")
+        )
+        .agg(
+            F.countDistinct("user_id").alias("mau"),
+            F.count("*").alias("n_events"),
+            (F.count("*").cast("double") / F.countDistinct("user_id")).alias(
+                "events_per_user"
+            ),
+        )
+        .orderBy("yr", "mth")
+    )
+
+
+@register(
+    "events_load_heatmap",
+    oracle="""
+        SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(hour(ts) AS INT) AS hr,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY dow, hr
+        ORDER BY dow, hr
+    """,
+    description="Operational load heatmap (day-of-week × hour): the "
+    "capacity-planning sweep; Spark dayofweek is 1=Sunday, DuckDB's "
+    "0=Sunday, hence the +1 in the oracle (same convention as "
+    "orderdate_parts).",
+    tags=("events", "time-bucket"),
+)
+def events_load_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("dow", "hr")
+    )

@@ -1132,3 +1132,56 @@ def order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     ).orderBy("o_orderstatus", "metric")
+
+
+@register(
+    "customer_order_recency",
+    oracle="""
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(MIN(date_diff('day', last_order,
+                        TIMESTAMP '2001-09-01 00:00:00')) AS INT)
+                   AS min_recency_days,
+               CAST(MAX(date_diff('day', last_order,
+                        TIMESTAMP '2001-09-01 00:00:00')) AS INT)
+                   AS max_recency_days
+        FROM (
+            SELECT c_custkey, c_mktsegment, MAX(o_orderdate) AS last_order
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_mktsegment
+        )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    description="Order recency (RFM's R): days since each customer's "
+    "last order as of a fixed analysis date, rolled up per segment — "
+    "midnight-aligned timestamps make Spark datediff and DuckDB "
+    "date_diff('day') agree exactly.",
+    tags=("relational", "date", "rfm"),
+)
+def customer_order_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    asof = F.lit("2001-09-01 00:00:00").cast("timestamp")
+    last = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.max("o_orderdate").alias("last_order"))
+    )
+    return (
+        last.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min(F.datediff(asof, F.col("last_order")))
+            .cast("int")
+            .alias("min_recency_days"),
+            F.max(F.datediff(asof, F.col("last_order")))
+            .cast("int")
+            .alias("max_recency_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
