@@ -668,3 +668,50 @@ def events_load_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hr")
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(min(year(ts) * 12 + month(ts) - 1) AS INT)
+                       AS cohort_m
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(year(ts) * 12 + month(ts) - 1 AS INT) AS act_m
+            FROM events
+        )
+        SELECT cohort_m, CAST(act_m - cohort_m AS INT) AS months_since,
+               COUNT(*) AS active_users
+        FROM activity JOIN firsts USING (user_id)
+        GROUP BY cohort_m, months_since
+        ORDER BY cohort_m, months_since
+    """,
+    description="Cohort retention triangle: users keyed to their "
+    "first-activity month (linearized year·12+month so month "
+    "arithmetic is pure integers), distinct user-months joined back "
+    "to the cohort, counts per (cohort, months-since). Both "
+    "aggregates and the join share the user_id key — cohort frame is "
+    "small and broadcast.",
+    tags=("events", "cohort", "retention"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    month_lin = (F.year("ts") * 12 + F.month("ts") - 1).cast("int")
+    firsts = ev.groupBy("user_id").agg(F.min(month_lin).alias("cohort_m"))
+    activity = ev.select("user_id", month_lin.alias("act_m")).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .select(
+            "cohort_m",
+            (F.col("act_m") - F.col("cohort_m")).cast("int").alias(
+                "months_since"
+            ),
+        )
+        .groupBy("cohort_m", "months_since")
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort_m", "months_since")
+    )
