@@ -6,7 +6,6 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import functions as F
 
 from bigdata_flightanalysis_spark.queries.events import funnel_stages
 from bigdata_flightanalysis_spark.queries.sampling import (

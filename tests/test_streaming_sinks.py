@@ -7,7 +7,6 @@ import os
 import time
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from bigdata_flightanalysis_spark.sources.readers import read_table
 from bigdata_flightanalysis_spark.streaming.events import (

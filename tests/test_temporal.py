@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import functions as F
 
 from bigdata_flightanalysis_spark.operators.temporal import (
     asof_join,
