@@ -715,3 +715,62 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("active_users"))
         .orderBy("cohort_m", "months_since")
     )
+
+
+@register(
+    "events_hourly_anomalies",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY event_type, bucket
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS k,
+                   CAST(SUM(CAST(n AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(n AS DECIMAL(38,6))
+                            * CAST(n AS DECIMAL(38,6))) AS DOUBLE) AS s2
+            FROM hourly GROUP BY event_type
+        )
+        SELECT h.event_type, strftime(bucket, '%Y-%m-%d %H') AS hour,
+               n,
+               (n - s1 / k) / sqrt((s2 - s1 * s1 / k) / (k - 1)) AS z
+        FROM hourly h JOIN stats USING (event_type)
+        WHERE (n - s1 / k) / sqrt((s2 - s1 * s1 / k) / (k - 1)) > 2.5
+        ORDER BY event_type, hour
+    """,
+    description="Hourly volume anomaly detection: per-type hourly "
+    "counts z-scored against that type's own mean/stddev, flagging "
+    "z > 2.5. Moments are decimal-exact Σn/Σn² (counts are clean "
+    "ints — safe to square in decimal) with an IDENTICAL double "
+    "expression tree on both engines, the price_stddev_by_status "
+    "recipe; built-in stddev would be merge-order-nondeterministic.",
+    tags=("events", "anomaly", "stats"),
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    nd = F.col("n").cast("decimal(38,6)")
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum(nd).cast("double").alias("s1"),
+        F.sum(nd * nd).cast("double").alias("s2"),
+    )
+    k, s1, s2 = F.col("k"), F.col("s1"), F.col("s2")
+    z = (F.col("n") - s1 / k) / F.sqrt((s2 - s1 * s1 / k) / (k - 1))
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.col("z") > 2.5)
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH").alias("hour"),
+            "n",
+            "z",
+        )
+        .orderBy("event_type", "hour")
+    )
