@@ -50,8 +50,82 @@ def register(
     return deco
 
 
+# The external correctness harness verifies roughly the first 50 registry
+# entries per run, in iteration order.  Rounds rotate this list so every
+# query accumulates a verified run: names listed here are yielded first
+# (in list order), everything else follows in registration order.
+#
+# Round-2 rotation: the 63 queries with no round-1 verification row
+# (all tpch_shapes, text, text_ext, similarity, sampling) plus the two
+# round-1 non-green rows (multimodal_frame_sampling — array-output crash,
+# now stringified; approx_distinct_users_by_type — now oracle-checkable).
+# Deferred to the next rotation: the 15 relational_ext entries registered
+# after `salted_user_event_counts`.
+_VERIFY_FIRST: tuple[str, ...] = (
+    "multimodal_frame_sampling",
+    "approx_distinct_users_by_type",
+    # tpch_shapes (14)
+    "q2_min_cost_supplier",
+    "q5_local_supplier_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_heavy_flow_suppliers",
+    "q21_sole_late_supplier",
+    "q22_idle_rich_customers",
+    # text (15)
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_fingerprints",
+    "doc_exact_dedup",
+    "doc_bpe_token_stats",
+    "doc_langid",
+    "doc_minhash_signatures",
+    "doc_near_dup_candidates",
+    "doc_simhash",
+    "doc_simhash_near_dup",
+    "doc_jaccard_pairs_sample",
+    "doc_dup_clusters",
+    "doc_decontamination",
+    "doc_dup_canonical_pagerank",
+    "doc_near_dup_edit_distance",
+    # text_ext (7)
+    "doc_repetition_scores",
+    "doc_ngram_topk",
+    "doc_source_mixture_weights",
+    "doc_length_histogram",
+    "doc_salient_terms",
+    "doc_boilerplate_density",
+    "doc_term_first_positions",
+    # similarity (8)
+    "embed_cosine_topk",
+    "embed_lsh_topk",
+    "embed_near_dup_pairs",
+    "embed_label_centroids",
+    "embed_ivf_topk",
+    "kmeans_embedding_clusters",
+    "embed_quantize_int8",
+    "embed_quantized_topk",
+    # sampling (4)
+    "doc_train_test_split",
+    "doc_stratified_sample",
+    "doc_pack_sequences",
+    "doc_quality_weighted_sample",
+)
+
+
 def load_all() -> dict[str, EngineQuery]:
-    """Import every query module (side effect: registration)."""
+    """Import every query module (side effect: registration).
+
+    Returns the registry reordered so queries still needing an external
+    verification row are iterated first (see ``_VERIFY_FIRST``).
+    """
     import bigdata_flightanalysis_spark.queries.events  # noqa: F401
     import bigdata_flightanalysis_spark.queries.multimodal  # noqa: F401
     import bigdata_flightanalysis_spark.queries.relational  # noqa: F401
@@ -62,4 +136,6 @@ def load_all() -> dict[str, EngineQuery]:
     import bigdata_flightanalysis_spark.queries.text_ext  # noqa: F401
     import bigdata_flightanalysis_spark.queries.tpch_shapes  # noqa: F401
 
-    return REGISTRY
+    ordered = {n: REGISTRY[n] for n in _VERIFY_FIRST if n in REGISTRY}
+    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
+    return ordered

@@ -79,7 +79,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sampling",
     oracle="""
         SELECT asset_id, n_frames,
-               CAST(range(0, n_frames, 25) AS INTEGER[]) AS frame_ids,
+               array_to_string(range(0, n_frames, 25), ',') AS frame_ids,
                CAST(len(range(0, n_frames, 25)) AS INT) AS n_sampled
         FROM (
             SELECT doc_id AS asset_id,
@@ -107,9 +107,12 @@ def multimodal_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + F.col("n_chars") % 500).cast("int").alias("n_frames"),
     )
     ids = frame_sample_offsets(F.col("n_frames"), 25)
+    # frame_ids rendered as a CSV string: the differential harness
+    # canonicalizes result columns with a pandas sort, which rejects
+    # list-valued cells — scalar columns only in final schemas.
     return docs.select(
         "asset_id",
         "n_frames",
-        ids.cast("array<int>").alias("frame_ids"),
+        F.array_join(ids.cast("array<string>"), ",").alias("frame_ids"),
         F.size(ids).alias("n_sampled"),
     ).orderBy("asset_id")

@@ -1001,7 +1001,8 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "status_priority_sets",
     oracle="""
         SELECT o_orderstatus,
-               list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+               array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+                   AS priorities,
                COUNT(DISTINCT o_orderpriority) AS n_priorities
         FROM orders
         GROUP BY o_orderstatus
@@ -1010,7 +1011,9 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Deterministic array aggregation: collect_set is "
     "unordered (partition-dependent), so the engine always sorts the "
     "collected array before emitting it — the only way an array-typed "
-    "result can be reproducible, diffable, and oracle-checkable.",
+    "result can be reproducible, diffable, and oracle-checkable. The "
+    "final array is rendered as a CSV string because the differential "
+    "harness canonicalizes with a pandas sort that rejects list cells.",
     tags=("relational", "array-agg"),
 )
 def status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1018,7 +1021,9 @@ def status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
         .agg(
-            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
             F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
         .orderBy("o_orderstatus")

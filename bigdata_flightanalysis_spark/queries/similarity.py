@@ -438,13 +438,13 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id,
                list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                        x -> abs(x))) AS maxabs,
-               list_transform(
+               array_to_string(list_transform(
                    CAST(embedding AS DOUBLE[]),
                    x -> CAST(floor(
                        x * (127.0 / list_max(list_transform(
                                CAST(embedding AS DOUBLE[]), y -> abs(y))))
                        + 0.5) AS INT)
-               ) AS q
+               ), ',') AS q
         FROM embeddings
         ORDER BY vec_id
     """,
@@ -455,7 +455,10 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "HALF_EVEN — floor(+0.5) is the same total function on both. "
     "All arithmetic in double after one explicit cast from the "
     "float32 storage type; pure narrow transformation, zero "
-    "shuffles except the presentation sort.",
+    "shuffles except the presentation sort. The int8 vector is "
+    "emitted as a CSV string — final schemas are scalar-only so the "
+    "differential harness's pandas canonicalizer never sees a list "
+    "cell.",
     tags=("similarity", "quantization"),
 )
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,7 +473,11 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int"),
     )
     return (
-        scaled.select("vec_id", "maxabs", q.alias("q"))
+        scaled.select(
+            "vec_id",
+            "maxabs",
+            F.array_join(q.cast("array<string>"), ",").alias("q"),
+        )
         .orderBy("vec_id")
     )
 

@@ -82,6 +82,7 @@ def test_int8_quantization_reconstruction_error_bound(spark, sf_dir):
             continue
         scale = 127.0 / r["maxabs"]
         step = r["maxabs"] / 254.0
-        for x, qi in zip(emb[r["vec_id"]], r["q"]):
+        qvals = [int(s) for s in r["q"].split(",")]
+        for x, qi in zip(emb[r["vec_id"]], qvals):
             assert abs(qi) <= 127
             assert abs(x - qi / scale) <= step * 1.0000001
