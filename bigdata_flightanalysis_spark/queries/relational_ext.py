@@ -474,14 +474,26 @@ def large_orders_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users_by_type",
-    oracle=None,
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               TRUE AS approx_within_5pct
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
     description="approx_count_distinct (HyperLogLog++) per event type — "
     "the single-pass mergeable sketch that replaces exact "
     "count-distinct at 100 TB (exact needs a full shuffle of the "
     "distinct keys; the sketch is constant-size per group). Sketch "
-    "internals are engine-specific ⇒ rows-only driver check; the "
-    "≤5%-error bound vs exact is asserted in tests/test_approx.py.",
-    tags=("relational", "approx", "no-oracle"),
+    "values are engine-specific, so the checkable surface is the "
+    "sketch's CONTRACT: the query emits the exact count plus a "
+    "Spark-computed boolean asserting the sketch landed within ±5% of "
+    "it; the oracle expects exact counts and a literal TRUE, so the "
+    "hash matches iff the accuracy bound holds. The same bound is "
+    "asserted in tests/test_approx.py.",
+    tags=("relational", "approx"),
 )
 def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
@@ -489,7 +501,17 @@ def approx_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
         )
         .orderBy("event_type")
     )

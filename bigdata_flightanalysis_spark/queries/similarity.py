@@ -324,20 +324,12 @@ IVF_K = 16
 IVF_NPROBE = 4
 
 
-@register(
-    "embed_ivf_topk",
-    oracle=None,
-    description=f"IVF-style ANN: KMeans (k={IVF_K}, seed=42) partitions "
-    "the corpus into inverted lists; each query probes its "
-    f"{IVF_NPROBE} nearest centroids and scores exact cosine only "
-    "inside those lists — at 100 TB the corpus is hash-partitioned by "
-    "list id, the (tiny) probe plan broadcasts, and the scan touches "
-    f"~{IVF_NPROBE}/{IVF_K} of the data. Iterative centroid fit ⇒ no "
-    "SQL oracle (rows-only driver check); recall vs brute force and "
-    "subset invariants are asserted in tests/test_ivf.py.",
-    tags=("similarity", "ann", "ivf", "no-oracle"),
-)
-def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detailed IVF top-k result (query_id, neighbor_id, list_id,
+    cosine, rn) — the real ANN output. Exposed for tests; the
+    registered query wraps it in the recall-contract summary (the
+    neighbor set depends on the KMeans fit, which no SQL engine can
+    reproduce, so the checkable surface is the recall bound)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -404,6 +396,63 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "list_id", "cosine", "rn")
         .orderBy("query_id", "rn")
     )
+
+
+def _recall_vs_exact(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall of an ANN result against the exact top-k:
+    (query_id, n_neighbors, n_hits). Both inputs are N_QUERIES×TOP_K
+    rows, so the join is driver-trivial at any corpus scale."""
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count("*").alias("n_neighbors"))
+        .join(hits, "query_id", "left")
+        .na.fill({"n_hits": 0})
+    )
+
+
+@register(
+    "embed_ivf_topk",
+    oracle=f"""
+        SELECT vec_id AS query_id,
+               CAST({TOP_K} AS BIGINT) AS n_neighbors,
+               TRUE AS recall_ge_030
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+        ORDER BY query_id
+    """,
+    description=f"IVF-style ANN: KMeans (k={IVF_K}, seed=42) partitions "
+    "the corpus into inverted lists; each query probes its "
+    f"{IVF_NPROBE} nearest centroids and scores exact cosine only "
+    "inside those lists — at 100 TB the corpus is hash-partitioned by "
+    "list id, the (tiny) probe plan broadcasts, and the scan touches "
+    f"~{IVF_NPROBE}/{IVF_K} of the data. The neighbor set depends on "
+    "the iterative centroid fit (not SQL-reproducible), so the query "
+    "emits the ANN contract instead: exactly top-k rows per query and "
+    f"a Spark-computed recall-vs-exact ≥ 0.3 bound (what "
+    f"{IVF_NPROBE}/{IVF_K} probing honestly delivers on isotropic "
+    "synthetic vectors); the oracle expects literal TRUE, so the hash "
+    "matches iff the bound holds. Detailed neighbors: "
+    "ivf_topk_frame(), invariant-tested in tests/test_ivf.py.",
+    tags=("similarity", "ann", "ivf"),
+)
+def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _recall_vs_exact(
+        ivf_topk_frame(spark, sf_dir), embed_cosine_topk(spark, sf_dir)
+    )
+    return rec.select(
+        "query_id",
+        "n_neighbors",
+        (F.col("n_hits") / F.lit(float(TOP_K)) >= 0.3).alias("recall_ge_030"),
+    ).orderBy("query_id")
 
 
 @register(
@@ -482,20 +531,11 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embed_quantized_topk",
-    oracle=None,  # int8 rerank pipeline — recall-tested, not SQL-twinned
-    description="Asymmetric quantized ANN: corpus vectors stored int8 "
-    "(embed_quantize_int8's 4× compression), queries kept float. "
-    "Stage 1 scores int-dot-product against the quantized corpus and "
-    "keeps 3k candidates per query (integer math — SIMD-friendly and "
-    "cheap at corpus scale); stage 2 reranks only those candidates "
-    "with exact float cosine. Same broadcast-queries/corpus-never-"
-    "shuffles plan as the brute-force query; recall vs exact top-k "
-    "is asserted in tests/test_ivf.py.",
-    tags=("similarity", "ann", "quantization"),
-)
-def embed_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quantized_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detailed int8-rerank top-k (query_id, neighbor_id, label,
+    cosine, rn). Exposed for tests; the registered query wraps it in
+    the recall-contract summary (candidate order under quantization is
+    engine-arithmetic-specific, so the checkable surface is recall)."""
     emb = read_table(spark, sf_dir, "embeddings")
     # int8-quantized corpus: q = floor(x·(127/maxabs) + 0.5)
     e_dbl = F.col("embedding").cast("array<double>")
@@ -563,3 +603,38 @@ def embed_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "label", "cosine", "rn")
         .orderBy("query_id", "rn")
     )
+
+
+@register(
+    "embed_quantized_topk",
+    oracle=f"""
+        SELECT vec_id AS query_id,
+               CAST({TOP_K} AS BIGINT) AS n_neighbors,
+               TRUE AS recall_ge_090
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+        ORDER BY query_id
+    """,
+    description="Asymmetric quantized ANN: corpus vectors stored int8 "
+    "(embed_quantize_int8's 4× compression), queries kept float. "
+    "Stage 1 scores int-dot-product against the quantized corpus and "
+    "keeps 3k candidates per query (integer math — SIMD-friendly and "
+    "cheap at corpus scale); stage 2 reranks only those candidates "
+    "with exact float cosine. Same broadcast-queries/corpus-never-"
+    "shuffles plan as the brute-force query. The query emits the ANN "
+    "contract — exactly top-k rows per query plus a Spark-computed "
+    "recall-vs-exact ≥ 0.9 bound (the 3x candidate margin recovers "
+    "the exact set on 8-bit-quantized ~unit vectors); the oracle "
+    "expects literal TRUE, so the hash matches iff the bound holds. "
+    "Detailed neighbors: quantized_topk_frame(), recall-tested in "
+    "tests/test_ivf.py.",
+    tags=("similarity", "ann", "quantization"),
+)
+def embed_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _recall_vs_exact(
+        quantized_topk_frame(spark, sf_dir), embed_cosine_topk(spark, sf_dir)
+    )
+    return rec.select(
+        "query_id",
+        "n_neighbors",
+        (F.col("n_hits") / F.lit(float(TOP_K)) >= 0.9).alias("recall_ge_090"),
+    ).orderBy("query_id")

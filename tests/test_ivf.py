@@ -1,11 +1,20 @@
-"""IVF ANN invariants (no SQL oracle — iterative centroid fit):
-results must be a subset of the brute-force ranking universe, exactly
-k rows per query, deterministic under the fixed seed, and with decent
-recall against exact top-k."""
+"""IVF / quantized ANN invariants.
+
+The registered queries (`embed_ivf_topk`, `embed_quantized_topk`)
+emit the recall-contract summary (oracle-checkable booleans); the
+detailed neighbor frames come from the `*_frame` helpers. These tests
+pin the detail invariants — subset of the ranking universe, exactly k
+rows per query, seed determinism, recall floors — plus that the
+registered contract rows are all-true.
+"""
 
 from __future__ import annotations
 
 from bigdata_flightanalysis_spark.queries.catalog import load_all
+from bigdata_flightanalysis_spark.queries.similarity import (
+    ivf_topk_frame,
+    quantized_topk_frame,
+)
 
 SF = "/root/testdata/sf0.01"
 
@@ -16,7 +25,7 @@ def _pairs(df):
 
 def test_ivf_invariants_and_recall(spark):
     r = load_all()
-    ivf = r["embed_ivf_topk"].fn(spark, SF)
+    ivf = ivf_topk_frame(spark, SF)
     rows = ivf.collect()
     by_q = {}
     for row in rows:
@@ -36,9 +45,8 @@ def test_ivf_invariants_and_recall(spark):
 
 
 def test_ivf_deterministic(spark):
-    r = load_all()
-    a = sorted(map(tuple, r["embed_ivf_topk"].fn(spark, SF).collect()))
-    b = sorted(map(tuple, r["embed_ivf_topk"].fn(spark, SF).collect()))
+    a = sorted(map(tuple, ivf_topk_frame(spark, SF).collect()))
+    b = sorted(map(tuple, ivf_topk_frame(spark, SF).collect()))
     assert a == b
 
 
@@ -48,7 +56,7 @@ def test_quantized_topk_recall_vs_exact(spark):
     less ranking signal than the 3x candidate margin covers)."""
     reg = load_all()
     exact = reg["embed_cosine_topk"].fn(spark, SF).collect()
-    quant = reg["embed_quantized_topk"].fn(spark, SF).collect()
+    quant = quantized_topk_frame(spark, SF).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -61,3 +69,18 @@ def test_quantized_topk_recall_vs_exact(spark):
     )
     total = sum(len(v) for v in exact_sets.values())
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_registered_ann_contract_rows_all_true(spark):
+    """The driver-facing queries must emit an all-true contract at
+    every test SF (the oracle side is literal TRUE)."""
+    reg = load_all()
+    for sf in ("/root/testdata/sf0.001", SF):
+        for name, flag in (
+            ("embed_ivf_topk", "recall_ge_030"),
+            ("embed_quantized_topk", "recall_ge_090"),
+        ):
+            rows = reg[name].fn(spark, sf).collect()
+            assert [r["query_id"] for r in rows] == [0, 1, 2, 3, 4]
+            assert all(r["n_neighbors"] == 10 for r in rows), (name, sf)
+            assert all(r[flag] for r in rows), (name, sf, rows)
