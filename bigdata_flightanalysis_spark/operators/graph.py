@@ -95,12 +95,24 @@ def connected_components(
             [], f"node {schema_src.simpleString()}, component {schema_src.simpleString()}"
         )
     prev = _checksum(o)
+    converged = False
     for _ in range(max_iter):
         o = _small_star(_large_star(o)).localCheckpoint()
         cur = _checksum(o)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # The star-forest extraction below is only valid on a
+        # converged edge set; silently returning would hand members
+        # non-root component labels with no signal.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations (checksum still changing); raise max_iter — "
+            "alternating large-star/small-star needs O(log^2 n) rounds "
+            "in the worst case"
+        )
     # Converged edge set is a star forest: every edge is (member, root).
     members = o.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = o.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()

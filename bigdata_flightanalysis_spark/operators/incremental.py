@@ -48,6 +48,14 @@ def incremental_exact_dedup(
     3. append the survivors' fingerprints (append mode — the store
        only grows, and replaying a FAILED batch before its append
        committed is safe: survivors are recomputed identically).
+
+    The survivor set is MATERIALIZED (eager ``localCheckpoint``)
+    before the append: the anti-join plan reads ``state_path``, so a
+    lazy return value re-evaluated after the append (file-listing
+    refresh, cache eviction, checkpoint loss) would anti-join the
+    batch against its own just-appended fingerprints and come back
+    empty. After materialization the returned frame is pinned to the
+    pre-append snapshot regardless of when the caller collects it.
     """
     fps = fingerprint_docs(new_docs, id_col, text_col)
     w = Window.partitionBy("fp").orderBy("id")
@@ -61,6 +69,7 @@ def incremental_exact_dedup(
         fresh = batch_unique.join(seen, "fp", "left_anti")
     else:
         fresh = batch_unique
+    fresh = fresh.localCheckpoint(eager=True)
     fresh.select("fp").write.mode("append").parquet(state_path)
     return new_docs.join(
         fresh.select(F.col("id").alias(id_col)), id_col, "left_semi"

@@ -52,7 +52,22 @@ def salted_join(
     can't help (e.g. the skew is in a hash-aggregate feeding the join).
     Replication multiplies ``other``'s shuffle volume by ``n_salts`` —
     pick the smaller side as ``other`` and keep ``n_salts`` modest.
+
+    Only join modes that never emit an unmatched ``other`` row are
+    accepted: because ``other`` is replicated ``n_salts`` ways, a
+    right/full outer join would emit each unmatched ``other`` row once
+    per salt — silently wrong. Flip the sides (the unmatched-preserved
+    side must be the salted one) or use a plain join for those modes.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "side would duplicate unmatched rows n_salts times "
+            "(supported: inner/left/left_semi/left_anti/cross)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salted = skewed.withColumn("__salt", _salt_col(skewed, n_salts, keys))
     replicated = other.withColumn(

@@ -58,6 +58,16 @@ def test_empty_edges(spark):
     assert connected_components(df).count() == 0
 
 
+def test_raises_when_not_converged(spark):
+    """A long chain cannot stabilize in one round; the star-forest
+    extraction is invalid on an unconverged edge set, so the operator
+    must raise rather than return mislabeled components."""
+    chain = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(chain, "src bigint, dst bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_random_graphs_match_union_find(spark, seed):
     rng = random.Random(seed)

@@ -42,6 +42,24 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert kept3.count() == 0
 
 
+def test_incremental_dedup_result_pinned_after_append(spark, tmp_path):
+    """The returned survivor frame must be materialized BEFORE the
+    store append: a lazy plan re-reading state_path after the append
+    (or after a file-listing refresh) would anti-join the batch
+    against its own fingerprints and collapse to empty."""
+    state = str(tmp_path / "fp_store3")
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    batch1 = docs.filter(F.col("doc_id") < 50)
+    kept1 = incremental_exact_dedup(spark, batch1, state)
+    n_first = kept1.count()
+    assert n_first > 0
+    # grow the store (second batch) and invalidate cached file listings
+    batch2 = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+    incremental_exact_dedup(spark, batch2, state)
+    spark.catalog.refreshByPath(state)
+    assert kept1.count() == n_first
+
+
 def test_incremental_dedup_first_batch_equals_exact_dedup(spark, tmp_path):
     state = str(tmp_path / "fp_store2")
     docs = read_table(spark, SF, "documents").select("doc_id", "text")

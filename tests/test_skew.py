@@ -44,6 +44,18 @@ def test_salted_join_left(spark):
     )
 
 
+def test_salted_join_rejects_other_preserving_modes(spark):
+    """right/full outer would emit each unmatched replicated `other`
+    row n_salts times — the operator must refuse, not silently
+    corrupt."""
+    import pytest
+
+    skewed, dim = _skewed_df(spark), _dim_df(spark)
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(skewed, dim, "k", n_salts=4, how=how)
+
+
 def test_salted_aggregate_equals_plain(spark):
     df = _skewed_df(spark)
     plain = df.groupBy("k").agg(
