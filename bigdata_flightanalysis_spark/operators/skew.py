@@ -76,6 +76,72 @@ def salted_join(
     return salted.join(replicated, [*keys, "__salt"], how).drop("__salt")
 
 
+def blocked_self_pairs(
+    df: DataFrame,
+    bucket_cols: str | Sequence[str],
+    id_col: str,
+    *,
+    n_blocks: int = 1,
+) -> DataFrame:
+    """All unordered same-bucket pairs (``a.<id> < b.<id>``) as two
+    struct columns ``a``/``b`` carrying every input column.
+
+    With ``n_blocks=1`` this is the plain bucket self-join: one hot
+    bucket of n rows puts its whole n²/2 pair block in ONE reducer —
+    the straggler that kills a near-dup-dense corpus at scale. With
+    ``n_blocks=S``, rows are deterministically split into S blocks by
+    ``pmod(hash(id), S)`` and the pair space is decomposed into the
+    S(S+1)/2 unordered block pairs (triangular blocking): each row is
+    replicated S ways, the join key becomes (bucket..., i, j), and a
+    hot bucket's pair block spreads over S(S+1)/2 reducers with
+    ~(n/S)² work each. Replication multiplies shuffle volume by S —
+    keep S modest (8-16) and switch it on by corpus size.
+
+    Pair set is IDENTICAL for every S (asserted in tests): each
+    unordered block pair lands in exactly one reducer, and the
+    (a.s==i ∧ b.s==j) ∨ (a.s==j ∧ b.s==i) guard stops same-block
+    pairs from re-forming in mixed reducers.
+    """
+    buckets = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    row = F.struct(*[F.col(c) for c in df.columns])
+    if n_blocks <= 1:
+        a = df.select(*buckets, row.alias("a"))
+        b = df.select(*buckets, row.alias("b"))
+        return a.join(b, buckets).where(
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        ).select("a", "b")
+    blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    tagged = df.select(*buckets, row.alias("r"), blk.alias("__s"))
+    replicated = tagged.select(
+        *buckets,
+        "r",
+        "__s",
+        F.explode(F.array(*[F.lit(t) for t in range(n_blocks)])).alias("__t"),
+    ).select(
+        *buckets,
+        "r",
+        "__s",
+        F.least("__s", "__t").alias("__i"),
+        F.greatest("__s", "__t").alias("__j"),
+    )  # each t yields a distinct (i,j) key — no dedup shuffle needed
+    a = replicated.select(
+        *buckets, "__i", "__j",
+        F.col("r").alias("a"), F.col("__s").alias("__sa"),
+    )
+    b = replicated.select(
+        *buckets, "__i", "__j",
+        F.col("r").alias("b"), F.col("__s").alias("__sb"),
+    )
+    paired = a.join(b, [*buckets, "__i", "__j"]).where(
+        (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        & (
+            ((F.col("__sa") == F.col("__i")) & (F.col("__sb") == F.col("__j")))
+            | ((F.col("__sa") == F.col("__j")) & (F.col("__sb") == F.col("__i")))
+        )
+    )
+    return paired.select("a", "b")
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: str | Sequence[str],

@@ -231,6 +231,11 @@ def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEAR_DUP_PLANES = 4
 NEAR_DUP_TAU = 0.35
+# Above this embeddings-table size the pair self-join switches to
+# triangular blocking (8 blocks): with only 2^NEAR_DUP_PLANES buckets a
+# dense corpus makes every bucket hot, and an unblocked join puts each
+# bucket's quadratic pair block in a single reducer.
+PAIR_BLOCKING_BYTES = 1 << 30
 
 
 @register(
@@ -249,12 +254,23 @@ NEAR_DUP_TAU = 0.35
     """,
     description="Embedding-cosine near-duplicate pairs: "
     f"{NEAR_DUP_PLANES}-plane sign-LSH bucket equi-join prunes the "
-    f"quadratic pair space, exact cosine ≥ {NEAR_DUP_TAU} confirms. At "
-    "100 TB the bucket count scales with more planes/band-OR so each "
-    "bucket's pair block stays bounded; the shuffle is on the bucket key.",
+    f"quadratic pair space, exact cosine ≥ {NEAR_DUP_TAU} confirms. On "
+    "a near-dup-dense corpus a hot bucket's pair block is quadratic in "
+    "ONE reducer, so above PAIR_BLOCKING_BYTES the self-join runs "
+    "through operators.skew.blocked_self_pairs (triangular blocking: "
+    "the hot bucket's pairs spread over S(S+1)/2 reducers) — identical "
+    "pair set, asserted in tests/test_skew.py.",
     tags=("similarity", "dedup", "lsh"),
 )
-def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, *, n_blocks: int | None = None
+) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.skew import blocked_self_pairs
+
+    if n_blocks is None:
+        from bigdata_flightanalysis_spark.sources.readers import table_bytes
+
+        n_blocks = 8 if table_bytes(sf_dir, "embeddings") >= PAIR_BLOCKING_BYTES else 1
     emb = read_table(spark, sf_dir, "embeddings")
     pre = emb.select(
         "vec_id",
@@ -262,14 +278,9 @@ def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm(F.col("embedding")).alias("nrm"),
         _spark_bucket(F.col("embedding"), NEAR_DUP_PLANES).alias("bucket"),
     )
-    a, b = pre.alias("a"), pre.alias("b")
+    pairs = blocked_self_pairs(pre, "bucket", "vec_id", n_blocks=n_blocks)
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
+        pairs.select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             _pair_cosine("a", "b").alias("cosine"),

@@ -317,6 +317,13 @@ _SQL_SIG_CTE = f"""
     tags=("text", "dedup", "minhash"),
 )
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures(spark, sf_dir).orderBy("doc_id")
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted signature table — what downstream consumers (the banded
+    self-join) use; only the registry query pays a presentation sort.
+    """
     # Shape matters at scale: explode shingles to rows so each shingle
     # string is built and md5'd ONCE, then permuted N_PERM ways with
     # two multiplies each. The previous form (16 salted md5s per
@@ -329,17 +336,13 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(word_shingles(tokenize("text"), 3)).alias("sh")
     )
     based = exploded.select("doc_id", md5_long(F.col("sh")).alias("base"))
-    return (
-        based.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(minhash_perm(F.col("base"), _PERM_CONSTS[i])).alias(
-                    f"sig_{i}"
-                )
-                for i in range(N_PERM)
-            ]
-        )
-        .orderBy("doc_id")
+    return based.groupBy("doc_id").agg(
+        *[
+            F.min(minhash_perm(F.col("base"), _PERM_CONSTS[i])).alias(
+                f"sig_{i}"
+            )
+            for i in range(N_PERM)
+        ]
     )
 
 
@@ -378,22 +381,41 @@ def doc_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _candidate_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
-def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Above this corpus size the signature table is materialized before the
+# banded self-join so the raw corpus is scanned ONCE; below it the
+# recompute-both-sides form wins (measured 3x at sf0.1 — cache
+# materialization costs more than a second cheap md5 pass over a corpus
+# this small).
+MATERIALIZE_SIGNATURES_BYTES = 1 << 30  # 1 GiB of documents parquet
+
+
+def _candidate_pairs(
+    spark: SparkSession, sf_dir: str, *, materialize: bool | None = None
+) -> DataFrame:
     """Unordered distinct LSH candidate pairs — the form downstream
     operators (connected components) consume; only the registry query
     pays for a presentation sort."""
-    # Banded self-join. Three shapes were measured at sf0.1: (a) this
+    # Banded self-join. Three shapes were measured at sf0.1: (a) the
     # plain self-join (signature pipeline computed once per side —
     # ReusedExchange does not fire across self-join scans), (b)
-    # persist() the signatures then self-join, (c) per-bucket
-    # collect_list + array pair combinatorics. (a) wins: the signature
-    # recompute is one cheap md5 pass, while (b) pays cache
-    # materialization (3× slower) and (c) materializes quadratic pair
-    # arrays in single tasks on hot buckets (this corpus is
-    # near-dup-dense). At cluster scale, (b) becomes the right choice
-    # with a checkpointed signature table — the crossover is when the
-    # corpus scan costs more than the shuffle-through-cache.
-    sig = doc_minhash_signatures(spark, sf_dir)
+    # materialize the signatures then self-join, (c) per-bucket
+    # collect_list + array pair combinatorics. (a) wins at test SFs:
+    # the signature recompute is one cheap md5 pass, while (b) pays
+    # cache materialization (3× slower at sf0.1) and (c) materializes
+    # quadratic pair arrays in single tasks on hot buckets (this corpus
+    # is near-dup-dense). At cluster scale the corpus scan DOMINATES
+    # and recompute-both-sides doubles the dominant cost, so above
+    # MATERIALIZE_SIGNATURES_BYTES the signature table (one narrow row
+    # per doc — ~10^-4 of corpus bytes) is eagerly checkpointed and
+    # both join sides read the checkpoint: exactly one corpus scan,
+    # plan-asserted in tests/test_plans.py.
+    if materialize is None:
+        from bigdata_flightanalysis_spark.sources.readers import table_bytes
+
+        materialize = table_bytes(sf_dir, "documents") >= MATERIALIZE_SIGNATURES_BYTES
+    sig = _signatures(spark, sf_dir)
+    if materialize:
+        sig = sig.localCheckpoint(eager=True)
     band_structs = F.array(
         *[
             F.struct(

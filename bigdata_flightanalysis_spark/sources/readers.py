@@ -50,6 +50,22 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet footprint of one testdata table — the input to
+    the size switches that pick a plan shape (signature
+    materialization, pair-join blocking). Cheap local metadata; on a
+    real deployment this is the catalog/table statistic."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All ten testdata tables as a dict (lazy scans — nothing runs)."""
     return {name: read_table(spark, sf_dir, name) for name in TABLE_NAMES}

@@ -72,6 +72,25 @@ def test_near_dup_is_bucket_equijoin(spark, registry):
     assert "CartesianProduct" not in plan
 
 
+def test_near_dup_materialized_mode_scans_corpus_once(spark):
+    """Large-corpus mode: the signature table is eagerly checkpointed,
+    so the banded self-join reads the checkpoint on BOTH sides and the
+    raw corpus parquet is scanned exactly once (during checkpoint
+    materialization, not in the join plan). Results must be identical
+    to the recompute-both-sides form."""
+    from bigdata_flightanalysis_spark.queries.text import _candidate_pairs
+
+    recompute = _candidate_pairs(spark, SF, materialize=False)
+    # the plain self-join really does scan the corpus once PER SIDE
+    assert _plan(recompute).count("Scan parquet") == 2
+
+    mat = _candidate_pairs(spark, SF, materialize=True)
+    assert _plan(mat).count("Scan parquet") == 0  # checkpoint-fed join
+    assert sorted(map(tuple, mat.collect())) == sorted(
+        map(tuple, recompute.collect())
+    )
+
+
 def test_no_python_row_udfs_in_oracle_queries(spark, registry):
     """BatchEvalPython (row-at-a-time Python UDF) must never appear;
     ArrowEvalPython/mapInPandas only in the multimodal path."""

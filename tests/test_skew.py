@@ -90,6 +90,64 @@ def test_salt_spreads_hot_key(spark):
     assert n == 4  # the hot key really lands on all salt partitions
 
 
+def test_blocked_self_pairs_identical_to_plain(spark):
+    """Triangular blocking must produce EXACTLY the plain bucket
+    self-join's pair set, for any block count — including on a
+    synthetic hot bucket (500 rows in one bucket ⇒ ~125k pairs)."""
+    from bigdata_flightanalysis_spark.operators.skew import blocked_self_pairs
+
+    rows = [(i, "hot" if i < 500 else f"cold{i % 7}", float(i)) for i in range(600)]
+    df = spark.createDataFrame(rows, "id bigint, bucket string, v double")
+
+    def pairs(n_blocks):
+        out = blocked_self_pairs(df, "bucket", "id", n_blocks=n_blocks)
+        return sorted(
+            (r["a"]["id"], r["b"]["id"]) for r in out.collect()
+        )
+
+    plain = pairs(1)
+    assert len(plain) == 500 * 499 // 2 + sum(
+        n * (n - 1) // 2
+        for n in [len([i for i in range(500, 600) if i % 7 == k]) for k in range(7)]
+    )
+    assert pairs(4) == plain
+    assert pairs(8) == plain
+
+
+def test_blocked_self_pairs_spreads_hot_bucket(spark):
+    """The point of blocking: the hot bucket's pair work lands on
+    S(S+1)/2 distinct (i,j) reducer keys, not one."""
+    from bigdata_flightanalysis_spark.operators.skew import blocked_self_pairs
+    from pyspark.sql import functions as F2
+
+    rows = [(i, "hot", float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, bucket string, v double")
+    out = blocked_self_pairs(df, "bucket", "id", n_blocks=4)
+    keys = (
+        out.select(
+            F2.pmod(F2.hash("a.id"), F2.lit(4)).alias("sa"),
+            F2.pmod(F2.hash("b.id"), F2.lit(4)).alias("sb"),
+        )
+        .select(F2.least("sa", "sb").alias("i"), F2.greatest("sa", "sb").alias("j"))
+        .distinct()
+        .count()
+    )
+    assert keys == 4 * 5 // 2  # all 10 unordered block pairs carry work
+
+
+def test_embed_near_dup_pairs_blocked_matches_default(spark):
+    """The registry query's output must not depend on the blocking
+    switch (the 100 TB path is result-identical to the test-SF path)."""
+    from bigdata_flightanalysis_spark.queries.similarity import (
+        embed_near_dup_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = embed_near_dup_pairs(spark, sf).collect()
+    blocked = embed_near_dup_pairs(spark, sf, n_blocks=8).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, blocked))
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """AQE's skew-join handling — the runtime complement to the manual
     salting operators: a hot key's shuffle partition is split into
