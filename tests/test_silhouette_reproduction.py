@@ -1,0 +1,89 @@
+"""Silhouette reproduction (VERDICT r1 §missing-2).
+
+The reference's only published metrics are silhouette ≈ 0.74 (2019) /
+0.72 (2023) on its LFS-hosted CSVs (`/root/reference/Images/
+Silhoutte-Scores.png`; `Code/flight_analysis.py:135-146`), which are
+not fetchable here (`Data/2019.csv` is an LFS pointer). What CAN be
+validated is the metric machinery itself: on a fixture engineered to a
+KNOWN silhouette — computed independently in numpy with the classic
+formula under squared Euclidean distance (what Spark's
+ClusteringEvaluator uses) — the pipeline's KMeans(k=5, seed=42) +
+silhouette stage must reproduce the analytic value within ±0.02.
+
+The fixture mimics the flight feature space (DayofWeek, DepHour,
+Month, Distance): 5 planted clusters with separation/spread tuned so
+the true silhouette lands near the reference's published ~0.7 range —
+i.e. the test exercises the metric in the regime the reference
+reports, not a degenerate all-ones case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bigdata_flightanalysis_spark.pipeline.flights import (
+    assemble_features,
+    fit_kmeans,
+    silhouette,
+)
+
+FEATURES = ("DayofWeek", "DepHour", "Month", "Distance")
+
+
+def _fixture():
+    """5 planted 4-D clusters, 24 points each, deterministic."""
+    rng = np.random.default_rng(7)
+    centers = np.array(
+        [
+            [1.0, 6.0, 2.0, 3.0],
+            [4.0, 14.0, 6.0, 9.0],
+            [7.0, 22.0, 10.0, 15.0],
+            [2.0, 30.0, 14.0, 21.0],
+            [6.0, 38.0, 18.0, 27.0],
+        ]
+    )
+    pts, labels = [], []
+    for k, c in enumerate(centers):
+        pts.append(c + rng.normal(0.0, 1.4, size=(24, 4)))
+        labels += [k] * 24
+    return np.vstack(pts), np.array(labels)
+
+
+def _classic_silhouette_sqeuclid(x: np.ndarray, labels: np.ndarray) -> float:
+    """Classic silhouette, distance = SQUARED Euclidean (Spark's
+    default metric), a(i) excluding self."""
+    d = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+    scores = []
+    for i in range(len(x)):
+        same = labels == labels[i]
+        a = d[i, same].sum() / (same.sum() - 1)
+        b = min(
+            d[i, labels == k].mean() for k in set(labels) if k != labels[i]
+        )
+        scores.append((b - a) / max(a, b))
+    return float(np.mean(scores))
+
+
+def test_pipeline_silhouette_matches_analytic_value(spark):
+    x, planted = _fixture()
+    expected = _classic_silhouette_sqeuclid(x, planted)
+    # the fixture must sit in the reference's reported regime (~0.7)
+    assert 0.55 <= expected <= 0.9, expected
+
+    rows = [tuple(float(v) for v in row) for row in x]
+    df = spark.createDataFrame(rows, list(FEATURES))
+    feats = assemble_features(df, FEATURES)
+    model = fit_kmeans(feats, k=5, seed=42)
+    pred = model.transform(feats)
+
+    # KMeans(seed=42) must recover the planted partition (bijective
+    # label mapping) — otherwise the analytic value doesn't apply.
+    got = np.array([r["prediction"] for r in pred.collect()])
+    mapping = {}
+    for p, g in zip(planted, got):
+        mapping.setdefault(p, set()).add(g)
+    assert all(len(v) == 1 for v in mapping.values()), mapping
+    assert len({next(iter(v)) for v in mapping.values()}) == 5
+
+    score = silhouette(pred)
+    assert abs(score - expected) <= 0.02, (score, expected)
