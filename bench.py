@@ -38,9 +38,11 @@ HEADLINE = [
     "events_sessionization_gaps",
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
     "q5_local_supplier_revenue",
     "q9_product_profit",
     "q13_customer_distribution",
+    "q20_heavy_flow_suppliers",
     "q21_sole_late_supplier",
     "doc_exact_dedup",
     "doc_minhash_signatures",
