@@ -88,6 +88,16 @@ def main(argv: list[str] | None = None) -> None:
         write_parquet(sink_ready, f"{args.out}/predictions_{year}_parquet")
     print(f"\nWrote predictions under {args.out}")
 
+    # The reference's chart output (Code/flight_analysis.py:150-185),
+    # as dependency-free SVG+JSON artifacts.
+    from bigdata_flightanalysis_spark.pipeline.reports import (
+        write_flight_report,
+    )
+
+    report_dir = f"{args.out}/report"
+    write_flight_report(result, report_dir)
+    print(f"Wrote report (SVG+JSON charts) under {report_dir}")
+
 
 if __name__ == "__main__":
     main()

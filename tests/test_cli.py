@@ -21,6 +21,11 @@ def test_cli_demo_end_to_end(spark, tmp_path, mode, capsys):
     # CSV sink must be readable back (features stringified, reference S3)
     csv = spark.read.option("header", "true").csv(f"{out}/predictions_2023_csv")
     assert csv.count() == preds.count()
+    # report artifacts land next to the sinks
+    import os
+
+    assert os.path.exists(f"{out}/report/index.html")
+    assert os.path.exists(f"{out}/report/silhouette_scores.svg")
 
 
 def test_engine_cli_list_and_run(capsys):
