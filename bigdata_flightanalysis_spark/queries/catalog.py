@@ -55,68 +55,78 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-2 rotation: the 63 queries with no round-1 verification row
-# (all tpch_shapes, text, text_ext, similarity, sampling) plus the two
-# round-1 non-green rows (multimodal_frame_sampling — array-output crash,
-# now stringified; approx_distinct_users_by_type — now oracle-checkable).
-# Deferred to the next rotation: the 15 relational_ext entries registered
-# after `salted_user_event_counts`.
+# Round-3 rotation: the 15 relational_ext queries that have never had a
+# driver verification row (rounds 1+2 covered the other 98 registry
+# entries), followed by the round-1 greens as backfill re-confirmation —
+# the window is ~50, so roughly the first 35 backfill names get a fresh
+# row.  Backfill order = round-1 iteration order (events family first,
+# per the round-2 verdict).
 _VERIFY_FIRST: tuple[str, ...] = (
-    "multimodal_frame_sampling",
-    "approx_distinct_users_by_type",
-    # tpch_shapes (14)
-    "q2_min_cost_supplier",
-    "q5_local_supplier_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q20_heavy_flow_suppliers",
-    "q21_sole_late_supplier",
-    "q22_idle_rich_customers",
-    # text (15)
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_fingerprints",
-    "doc_exact_dedup",
-    "doc_bpe_token_stats",
-    "doc_langid",
-    "doc_minhash_signatures",
-    "doc_near_dup_candidates",
-    "doc_simhash",
-    "doc_simhash_near_dup",
-    "doc_jaccard_pairs_sample",
-    "doc_dup_clusters",
-    "doc_decontamination",
-    "doc_dup_canonical_pagerank",
-    "doc_near_dup_edit_distance",
-    # text_ext (7)
-    "doc_repetition_scores",
-    "doc_ngram_topk",
-    "doc_source_mixture_weights",
-    "doc_length_histogram",
-    "doc_salient_terms",
-    "doc_boilerplate_density",
-    "doc_term_first_positions",
-    # similarity (8)
-    "embed_cosine_topk",
-    "embed_lsh_topk",
-    "embed_near_dup_pairs",
-    "embed_label_centroids",
-    "embed_ivf_topk",
-    "kmeans_embedding_clusters",
-    "embed_quantize_int8",
-    "embed_quantized_topk",
-    # sampling (4)
-    "doc_train_test_split",
-    "doc_stratified_sample",
-    "doc_pack_sequences",
-    "doc_quality_weighted_sample",
+    # relational_ext: never driver-checked (15)
+    "order_value_quartiles",
+    "q12_priority_by_flag",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "max_order_per_status_argmax",
+    "order_price_percentile_rank",
+    "brand_number_histogram",
+    "lineitem_safe_math",
+    "supplier_trailing_week_quantity",
+    "orders_quality_report",
+    "status_priority_sets",
+    "customer_scd2_merge",
+    "order_metrics_unpivot",
+    "customer_order_recency",
+    # backfill: round-1 greens, re-confirmation (48; ~35 fit the window)
+    "events_json_extract",
+    "events_tumbling_hourly",
+    "events_sliding_hourly",
+    "events_session_windows",
+    "events_dedup_first_per_user_type",
+    "events_user_activity_ranked",
+    "events_asof_purchase_click",
+    "events_range_join_error_context",
+    "events_funnel",
+    "events_heavy_hitters_topk",
+    "events_sessionization_gaps",
+    "status_first_last_orders",
+    "events_key_skew_profile",
+    "events_monthly_active_users",
+    "events_load_heatmap",
+    "events_cohort_retention",
+    "events_hourly_anomalies",
+    "multimodal_payload_stats",
+    "multimodal_feature_extract",
+    "flagship_top_segments",
+    "q1_pricing_summary",
+    "revenue_by_region",
+    "q3_shipping_priority",
+    "segments_of_open_order_customers",
+    "parts_never_ordered",
+    "top_customers_per_segment",
+    "supplier_running_revenue",
+    "order_priority_tiers",
+    "orderdate_parts",
+    "delayed_order_label",
+    "returnflag_in_list",
+    "distinct_flag_status",
+    "count_distinct_parts",
+    "union_priority_extremes",
+    "cube_flag_status",
+    "latest_order_per_customer_status",
+    "rollup_revenue_region_nation",
+    "grouping_sets_order_stats",
+    "quantity_percentiles_by_flag",
+    "price_stddev_by_status",
+    "orders_above_customer_avg",
+    "nation_counts_full_outer",
+    "monthly_revenue_delta",
+    "status_intersect_except",
+    "events_type_pivot",
+    "order_priority_count_exists",
+    "large_orders_q18",
+    "salted_user_event_counts",
 )
 
 
