@@ -61,12 +61,13 @@ def salted_join(
     """
     allowed = {"inner", "left", "left_outer", "leftouter",
                "left_semi", "leftsemi", "semi",
-               "left_anti", "leftanti", "anti", "cross"}
+               "left_anti", "leftanti", "anti"}
     if how.lower() not in allowed:
         raise ValueError(
             f"salted_join does not support how={how!r}: the replicated "
-            "side would duplicate unmatched rows n_salts times "
-            "(supported: inner/left/left_semi/left_anti/cross)"
+            "side would duplicate unmatched rows n_salts times, and a "
+            "keyed salted join can never be a true cross join "
+            "(supported: inner/left/left_semi/left_anti)"
         )
     keys = [on] if isinstance(on, str) else list(on)
     salted = skewed.withColumn("__salt", _salt_col(skewed, n_salts, keys))

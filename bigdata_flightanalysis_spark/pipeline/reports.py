@@ -51,6 +51,13 @@ def _svg_header(title: str) -> list[str]:
     ]
 
 
+def _axis_sort_key(v: object) -> tuple:
+    """Type-aware axis ordering: numbers numerically (cluster id 10
+    after 2, not after 1), then strings lexically, Nones last."""
+    is_num = isinstance(v, (int, float)) and not isinstance(v, bool)
+    return (v is None, not is_num, v if is_num else str(v))
+
+
 def bar_chart_svg(
     categories: Sequence[object],
     values: Sequence[float],
@@ -59,18 +66,26 @@ def bar_chart_svg(
     y_max: float | None = None,
 ) -> str:
     """Plain bar chart (the silhouette-scores chart,
-    ``Code/flight_analysis.py:157-165``)."""
+    ``Code/flight_analysis.py:157-165``).
+
+    Negative values (silhouette scores range [-1, 1]) draw below a zero
+    baseline, matching the reference's matplotlib behavior, rather than
+    clamping to an invisible zero-height bar.
+    """
     if len(categories) != len(values):
         raise ValueError("categories/values length mismatch")
     y_top = y_max if y_max is not None else max([*values, 0.0]) * 1.1 or 1.0
+    y_bot = min([*values, 0.0]) * 1.1
+    span = (y_top - y_bot) or 1.0
     plot_w, plot_h = _W - _ML - _MR, _H - _MT - _MB
+    zero_y = _MT + (y_top / span) * plot_h
     n = max(len(values), 1)
     band = plot_w / n
     out = _svg_header(title)
     for i, (cat, val) in enumerate(zip(categories, values)):
-        h = max(0.0, val / y_top) * plot_h
+        h = abs(val) / span * plot_h
         x = _ML + i * band + band * 0.15
-        y = _MT + plot_h - h
+        y = zero_y - h if val >= 0 else zero_y
         color = PALETTE[i % len(PALETTE)]
         out.append(
             f'<rect x="{x:.1f}" y="{y:.1f}" width="{band * 0.7:.1f}" '
@@ -80,13 +95,14 @@ def bar_chart_svg(
             f'<text x="{x + band * 0.35:.1f}" y="{_MT + plot_h + 16}" '
             f'text-anchor="middle" font-size="12">{_esc(cat)}</text>'
         )
+        label_y = y - 4 if val >= 0 else y + h + 12
         out.append(
-            f'<text x="{x + band * 0.35:.1f}" y="{y - 4:.1f}" '
+            f'<text x="{x + band * 0.35:.1f}" y="{label_y:.1f}" '
             f'text-anchor="middle" font-size="11">{val:.3g}</text>'
         )
     out.append(
-        f'<line x1="{_ML}" y1="{_MT + plot_h}" x2="{_W - _MR}" '
-        f'y2="{_MT + plot_h}" stroke="black"/>'
+        f'<line x1="{_ML}" y1="{zero_y:.1f}" x2="{_W - _MR}" '
+        f'y2="{zero_y:.1f}" stroke="black"/>'
     )
     out.append("</svg>")
     return "\n".join(out)
@@ -102,8 +118,8 @@ def grouped_bar_chart_svg(
 ) -> str:
     """Grouped bar chart (the seaborn ``barplot(x=prediction, y=count,
     hue=reason)`` shape, ``Code/flight_analysis.py:168-185``)."""
-    x_vals = sorted({r[x] for r in rows}, key=lambda v: (v is None, str(v)))
-    hues = sorted({r[hue] for r in rows}, key=lambda v: (v is None, str(v)))
+    x_vals = sorted({r[x] for r in rows}, key=_axis_sort_key)
+    hues = sorted({r[hue] for r in rows}, key=_axis_sort_key)
     y_top = max([float(r[y]) for r in rows] + [0.0]) * 1.1 or 1.0
     plot_w, plot_h = _W - _ML - _MR, _H - _MT - _MB
     band = plot_w / max(len(x_vals), 1)

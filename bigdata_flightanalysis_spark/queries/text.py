@@ -415,6 +415,16 @@ def _candidate_pairs(
         materialize = table_bytes(sf_dir, "documents") >= MATERIALIZE_SIGNATURES_BYTES
     sig = _signatures(spark, sf_dir)
     if materialize:
+        # localCheckpoint stores blocks on EXECUTOR-LOCAL storage: on a
+        # real multi-executor cluster an executor loss makes the
+        # truncated lineage unrecoverable and fails the job, and
+        # eager=True runs a Spark job at DataFrame-construction time.
+        # On a long-lived 100 TB deployment prefer a reliable
+        # checkpoint dir (spark.sparkContext.setCheckpointDir +
+        # .checkpoint()) or writing the signature table to an
+        # intermediate parquet; localCheckpoint is the right trade here
+        # (single-JVM local mode, signatures ~10^-4 of corpus bytes,
+        # re-run on failure is cheap relative to reliable-store I/O).
         sig = sig.localCheckpoint(eager=True)
     band_structs = F.array(
         *[

@@ -26,6 +26,37 @@ def test_bar_chart_svg_shapes():
     assert svg.startswith("<svg") and svg.endswith("</svg>")
 
 
+def test_bar_chart_svg_negative_values_draw_below_baseline():
+    # silhouette scores range [-1, 1]: a negative score must render as a
+    # visible bar below the zero baseline, not clamp to zero height
+    svg = bar_chart_svg(["a", "b"], [0.5, -0.4], title="t")
+    import re
+
+    rects = re.findall(r'<rect x="([\d.]+)" y="([\d.]+)" width="[\d.]+" '
+                       r'height="([\d.]+)"', svg)
+    assert len(rects) == 2
+    heights = [float(h) for _, _, h in rects]
+    assert all(h > 10 for h in heights)  # both bars visibly drawn
+    # the negative bar starts AT the baseline (its y == zero line y)
+    zero_line = re.search(r'<line x1="\d+" y1="([\d.]+)"', svg)
+    assert zero_line is not None
+    neg_y = float(rects[1][1])
+    assert neg_y == pytest.approx(float(zero_line.group(1)), abs=0.1)
+    assert "-0.4" in svg  # numeric label still visible
+
+
+def test_grouped_bar_chart_numeric_x_sorts_numerically():
+    # cluster ids >= 10 must not sort lexically (0,1,10,2)
+    rows = [
+        {"k": i, "n": 1, "h": "x"} for i in (10, 2, 0, 1)
+    ]
+    svg = grouped_bar_chart_svg(rows, x="k", y="n", hue="h", title="t")
+    import re
+
+    labels = [m for m in re.findall(r">(\d+)</text>", svg)]
+    assert labels == ["0", "1", "2", "10"]
+
+
 def test_grouped_bar_chart_svg_groups_and_legend():
     rows = [
         {"prediction": 0, "count": 10, "reason": "Weather"},
