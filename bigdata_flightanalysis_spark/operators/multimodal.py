@@ -8,12 +8,14 @@ Design (the 100 TB posture):
   ``meta`` struct — never a parsed object in the row. Decoding happens
   inside ``mapInPandas`` workers on Arrow record batches, so bytes move
   executor-side in columnar batches and never visit the driver.
-- The actual codecs (PIL/libav/ffmpeg) are NOT in this container, so
-  ``decode_*`` raise ``NotImplementedError`` unless ``fake=True``
-  selects the deterministic fake decoder. Everything around the codec
-  call — schema contract, batch iteration, partition behavior, output
-  types — is real and tested; swapping the fake for a real codec is a
-  one-line change inside the batch loop.
+- ``decode_*`` / ``resize_images`` have a REAL codec path for the
+  formats ``operators/codecs.py`` covers without external libs (PNG /
+  PPM / PGM images, PCM WAV audio — the reference repo's own assets
+  are exactly such PNGs, ``/root/reference/Images/*.png``), with PIL
+  as an optional fallback for JPEG/WebP/… when importable. Formats
+  outside that set raise ``NotImplementedError`` (the documented gap);
+  ``fake=True`` still selects the deterministic fake kernel for
+  payload-agnostic tests.
 - Feature extraction is pure-bytes (length, md5-based fingerprint),
   so it runs for real AND is oracle-checkable in SQL.
 """
@@ -77,23 +79,62 @@ def _fake_decode(payload: bytes, mime: str) -> dict:
 
 
 def decode_image(payload: bytes, mime: str, *, fake: bool = False) -> dict:
-    """STUB — image decode (PIL/turbojpeg not in this container)."""
+    """Image decode → pixel statistics.
+
+    Real path (default): ``codecs.decode_image_array`` — actual pixels
+    for PNG/PPM/PGM (pure stdlib+numpy), PIL fallback when importable.
+    Returns mime, width/height/channels from the DECODED array (not
+    trusted metadata), mean pixel value, and an md5-derived checksum of
+    the raw pixel buffer. ``fake=True`` keeps the payload-agnostic
+    deterministic decoder for tests.
+    """
     if fake:
         return _fake_decode(payload, mime)
-    raise NotImplementedError(
-        "image codecs are not installed in this environment; "
-        "pass fake=True for the deterministic test decoder"
-    )
+    from bigdata_flightanalysis_spark.operators.codecs import decode_image_array
+
+    _fmt, arr = decode_image_array(payload)
+    h = hashlib.md5(arr.tobytes()).digest()
+    return {
+        "mime": mime,
+        "width": int(arr.shape[1]),
+        "height": int(arr.shape[0]),
+        "channels": int(arr.shape[2]) if arr.ndim == 3 else 1,
+        "mean_value": float(arr.mean()),
+        "checksum": int.from_bytes(h[:8], "big", signed=True),
+    }
 
 
 def decode_audio(payload: bytes, mime: str, *, fake: bool = False) -> dict:
-    """STUB — audio decode (libsndfile/ffmpeg not in this container)."""
+    """Audio decode → sample statistics.
+
+    Real path (default): ``codecs.decode_wav`` — actual PCM samples for
+    RIFF/WAVE via stdlib ``wave``. Other containers (mp3/ogg/flac)
+    raise ``NotImplementedError`` (no libav in this environment).
+    ``fake=True`` keeps the deterministic test decoder.
+    """
     if fake:
         return _fake_decode(payload, mime)
-    raise NotImplementedError(
-        "audio codecs are not installed in this environment; "
-        "pass fake=True for the deterministic test decoder"
+    from bigdata_flightanalysis_spark.operators.codecs import (
+        decode_wav,
+        sniff_format,
     )
+
+    if sniff_format(payload) != "wav":
+        raise NotImplementedError(
+            "audio container not supported by the built-in decoder "
+            "(PCM WAV only; libav/ffmpeg not installed); pass "
+            "fake=True for the deterministic test decoder"
+        )
+    sr, samples = decode_wav(payload)
+    h = hashlib.md5(samples.tobytes()).digest()
+    return {
+        "mime": mime,
+        "sample_rate": sr,
+        "n_frames": int(samples.shape[0]),
+        "n_channels": int(samples.shape[1]),
+        "mean_value": float(samples.mean()),
+        "checksum": int.from_bytes(h[:8], "big", signed=True),
+    }
 
 
 def frame_sample_offsets(n_frames: Column, every: int) -> Column:
@@ -157,25 +198,35 @@ def resize_images(
     per batch, payload AND typed meta rewritten together so they can
     never drift apart).
 
-    The resample kernel is a STUB (no image libs in this container);
-    ``fake=True`` swaps in a deterministic byte-decimation stand-in
-    that preserves every Spark-side property a real kernel needs:
-    batch iteration, binary-in/binary-out, meta rewrite, and an
-    output-size contract (ceil(len·scale²)) the tests assert. Input
+    Real path (default): decode (``codecs.decode_image_array``:
+    PNG/PPM/PGM built-in, PIL fallback) → nearest-neighbor resample →
+    re-encode in the SAME format; unsupported formats raise
+    ``NotImplementedError`` executor-side. ``fake=True`` swaps in a
+    deterministic byte-decimation stand-in with an output-size
+    contract (ceil(len·scale²)) for payload-agnostic tests. Input
     needs (asset_id, payload, meta.mime, meta.width, meta.height).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from bigdata_flightanalysis_spark.operators.codecs import (
+                decode_image_array,
+                encode_image,
+                resize_nearest,
+            )
         for pdf in it:
             out_payload, out_meta = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 w, h = meta.get("width"), meta.get("height")
                 if not fake:
-                    raise NotImplementedError(
-                        "image codecs are not installed in this "
-                        "environment; pass fake=True for the "
-                        "deterministic test resampler"
+                    fmt, arr = decode_image_array(bytes(payload))
+                    resized = resize_nearest(arr, target_w, target_h)
+                    out_payload.append(encode_image(fmt, resized))
+                    out_meta.append(
+                        {"mime": meta.get("mime"), "width": target_w,
+                         "height": target_h}
                     )
+                    continue
                 scale_num = target_w * target_h
                 scale_den = max((w or target_w) * (h or target_h), 1)
                 n = len(payload)

@@ -130,5 +130,7 @@ def test_resize_images_real_codec_path_raises(spark):
             F.lit(8).cast("int").alias("height"),
         ).alias("meta"),
     )
-    with _pytest.raises(Exception, match="(?i)codecs are not installed"):
+    # a text payload labelled image/png is not decodable by any codec:
+    # the real path must surface the documented gap, not mis-decode
+    with _pytest.raises(Exception, match="(?i)needs PIL"):
         resize_images(assets, 4, 4).collect()
