@@ -61,6 +61,31 @@ HEADLINE = [
 ]
 
 
+def _doc_near_dup_candidates_largemode(spark, sf_dir):
+    from bigdata_flightanalysis_spark.queries.text import _candidate_pairs
+
+    return _candidate_pairs(spark, sf_dir, materialize=True).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _embed_near_dup_pairs_largemode(spark, sf_dir):
+    from bigdata_flightanalysis_spark.queries.similarity import embed_near_dup_pairs
+
+    return embed_near_dup_pairs(spark, sf_dir, n_blocks=8)
+
+
+# The two LSH paths switch plan shape above a corpus-size threshold
+# (signature materialization / triangular pair blocking). The bench SFs
+# sit below the switches, so force large mode here: its overhead at
+# small SF is a tracked number, not a comment. Acceptable ratio vs the
+# small-mode twin: <= 2x.
+LARGE_MODE = {
+    "doc_near_dup_candidates_largemode": _doc_near_dup_candidates_largemode,
+    "embed_near_dup_pairs_largemode": _embed_near_dup_pairs_largemode,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
@@ -79,6 +104,10 @@ def main() -> None:
     for name in HEADLINE:
         t0 = time.perf_counter()
         registry[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    for name, fn in LARGE_MODE.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -78,6 +78,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "customer_scd2_merge",
     "order_metrics_unpivot",
     "customer_order_recency",
+    # new this round (streaming batch-twin, never driver-checked)
+    "events_sliding_distinct_users",
     # backfill: round-1 greens, re-confirmation (48; ~35 fit the window)
     "events_json_extract",
     "events_tumbling_hourly",

@@ -202,6 +202,53 @@ def events_dedup_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @register(
+    "events_sliding_distinct_users",
+    oracle=f"""
+        WITH firsts AS (
+            SELECT user_id, ts FROM (
+                SELECT user_id, ts,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events)
+            WHERE rn = 1
+        )
+        SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                            - offs.o * INTERVAL '30 minutes',
+                        '{_TS_FMT_DUCK}') AS window_start,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM firsts
+        CROSS JOIN (SELECT 0 AS o UNION ALL SELECT 1) offs
+        GROUP BY window_start
+        ORDER BY window_start
+    """,
+    description="Distinct users per sliding window (1-hour size, 30-min "
+    "slide) counted over the first-per-(user,type) deduped events — the "
+    "oracle-checkable batch twin of the chained stateful streaming "
+    "pipeline (dropDuplicatesWithinWatermark → windowed distinct), "
+    "asserted stream==batch in tests/test_streaming.py.",
+    tags=("events", "window", "dedup", "streaming-twin"),
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.relational import deduplicate_exact
+
+    ev = read_table(spark, sf_dir, "events")
+    deduped = deduplicate_exact(
+        ev,
+        ["user_id", "event_type"],
+        keep_order=[F.col("ts").asc(), F.col("event_id").asc()],
+    )
+    return (
+        deduped.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "n_users",
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
     "events_user_activity_ranked",
     oracle="""
         SELECT user_id, n_events, rnk

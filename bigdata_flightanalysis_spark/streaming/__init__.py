@@ -12,6 +12,7 @@ from bigdata_flightanalysis_spark.streaming.events import (  # noqa: F401
     stream_events,
     streaming_purchase_click_join,
     streaming_session_windows,
+    streaming_sliding_distinct_users,
     streaming_sliding_hourly,
     streaming_tumbling_hourly,
     streaming_unique_first_events,

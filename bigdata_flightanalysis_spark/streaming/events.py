@@ -130,6 +130,41 @@ def streaming_unique_first_events(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sliding_distinct_users(events: DataFrame) -> DataFrame:
+    """Distinct users per sliding window (1 h size, 30 min slide) over
+    first-per-(user,type) deduped events — streaming twin of
+    ``events_sliding_distinct_users``, built as a CHAIN of stateful
+    operators (supported in append mode since Spark 3.4):
+
+      dropDuplicatesWithinWatermark(user,type)
+        → sliding-window (window, user) aggregate  (per-window user dedup)
+        → aggregate grouped ON the window column    (count users per window)
+
+    Distinct aggregation isn't allowed on streams, so exact
+    distinct-users is the two-level form: first collapse to one row per
+    (window, user), then count rows per window — the second level
+    groups directly on the time-window column emitted by the first
+    (the chained-aggregation form; a mid-chain ``withWatermark`` on a
+    derived column is disallowed with multiple stateful operators, the
+    watermark propagates through instead). State at every level is
+    watermark-bounded.
+    """
+    deduped = events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    per_user = deduped.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_rows"))
+    return (
+        per_user.groupBy("w")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "n_users",
+        )
+    )
+
+
 _USER_STATS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

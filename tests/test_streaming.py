@@ -84,6 +84,68 @@ def test_streaming_dedup_equals_batch(spark, registry):
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
+def test_streaming_sliding_distinct_users_equals_batch(spark, registry, tmp_path):
+    """Chained stateful operators (dedup → windowed agg → agg grouped on
+    the window column) replayed in APPEND mode must equal the
+    oracle-checked batch twin `events_sliding_distinct_users`.
+
+    Append-mode aggregations only emit windows the watermark has
+    passed, so the replay stages a far-future sentinel event as a
+    SECOND micro-batch (maxFilesPerTrigger=1, mtime-ordered): the
+    sentinel advances the watermark beyond every real window and
+    flushes them; the sentinel's own windows stay in state and never
+    reach the sink.
+    """
+    import shutil
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_flightanalysis_spark.streaming import (
+        streaming_sliding_distinct_users,
+    )
+    from bigdata_flightanalysis_spark.streaming.events import EVENTS_RAW_SCHEMA
+
+    stage = tmp_path / "stream"
+    stage.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", stage / "a_events.parquet")
+    time.sleep(1.1)  # file source orders micro-batches by mtime
+    max_ns = int(
+        pq.read_table(f"{SF_DIR}/events.parquet", columns=["ts"])["ts"]
+        .to_pandas()
+        .max()
+        .value
+    )
+    sentinel_ns = max_ns + 365 * 24 * 3600 * 1_000_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1], pa.int64()),
+                "ts": pa.array([sentinel_ns], pa.int64()),
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["__sentinel__"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        ),
+        stage / "b_sentinel.parquet",
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = run_to_memory(
+        streaming_sliding_distinct_users(events), spark, output_mode="append"
+    )
+    batch = registry["events_sliding_distinct_users"].fn(spark, SF_DIR)
+    cols = batch.columns
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
 def test_streaming_stream_stream_join_equals_batch(spark):
     """Stream-stream time-range join == batch range join on the same
     bounded replay."""
