@@ -55,66 +55,18 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-3 rotation: the 15 relational_ext queries that have never had a
-# driver verification row (rounds 1+2 covered the other 98 registry
-# entries), followed by the round-1 greens as backfill re-confirmation —
-# the window is ~50, so roughly the first 35 backfill names get a fresh
-# row.  Backfill order = round-1 iteration order (events family first,
-# per the round-2 verdict).
+# Round-4 rotation: every one of the 114 registry queries now has at
+# least one green driver row (r1: 64, r2: 50-window on TPC-H/doc/embed,
+# r3: the 15 relational_ext + events backfill).  Freshness-first order:
+# queries NEW this round lead, then the 14 queries whose only row is
+# from round 1 (stalest), then round-2-checked families as backfill.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # relational_ext: never driver-checked (15)
-    "order_value_quartiles",
-    "q12_priority_by_flag",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "max_order_per_status_argmax",
-    "order_price_percentile_rank",
-    "brand_number_histogram",
-    "lineitem_safe_math",
-    "supplier_trailing_week_quantity",
-    "orders_quality_report",
-    "status_priority_sets",
-    "customer_scd2_merge",
-    "order_metrics_unpivot",
-    "customer_order_recency",
-    # new this round (streaming batch-twin, never driver-checked)
-    "events_sliding_distinct_users",
-    # backfill: round-1 greens, re-confirmation (48; ~35 fit the window)
-    "events_json_extract",
-    "events_tumbling_hourly",
-    "events_sliding_hourly",
-    "events_session_windows",
-    "events_dedup_first_per_user_type",
-    "events_user_activity_ranked",
-    "events_asof_purchase_click",
-    "events_range_join_error_context",
-    "events_funnel",
-    "events_heavy_hitters_topk",
-    "events_sessionization_gaps",
-    "status_first_last_orders",
-    "events_key_skew_profile",
-    "events_monthly_active_users",
-    "events_load_heatmap",
-    "events_cohort_retention",
-    "events_hourly_anomalies",
-    "multimodal_payload_stats",
-    "multimodal_feature_extract",
-    "flagship_top_segments",
-    "q1_pricing_summary",
-    "revenue_by_region",
-    "q3_shipping_priority",
-    "segments_of_open_order_customers",
-    "parts_never_ordered",
-    "top_customers_per_segment",
-    "supplier_running_revenue",
-    "order_priority_tiers",
-    "orderdate_parts",
-    "delayed_order_label",
-    "returnflag_in_list",
-    "distinct_flag_status",
-    "count_distinct_parts",
-    "union_priority_extremes",
+    # new this round — never driver-checked
+    "doc_pii_redaction",
+    "doc_url_domains",
+    "bloom_filtered_lineitem_revenue",
+    "orders_anti_bloom_check",
+    # stalest: last (and only) driver row is round 1 (14)
     "cube_flag_status",
     "latest_order_per_customer_status",
     "rollup_revenue_region_nation",
@@ -129,6 +81,46 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "order_priority_count_exists",
     "large_orders_q18",
     "salted_user_event_counts",
+    # backfill: round-2 greens, re-confirmation (window is ~50 so the
+    # first ~32 of these get a fresh row) — TPC-H shapes then the
+    # doc_*/embed_* LLM-pipeline family, round-2 iteration order.
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority_exists",
+    "q5_local_supplier_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_national_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_parts_supplier_counts",
+    "q18_large_volume_customers",
+    "q20_heavy_flow_suppliers",
+    "q21_sole_late_supplier",
+    "q22_global_sales_opportunity",
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_fingerprints",
+    "doc_exact_dedup",
+    "doc_bpe_token_stats",
+    "doc_langid",
+    "doc_minhash_signatures",
+    "doc_near_dup_candidates",
+    "doc_simhash",
+    "doc_simhash_near_dup",
+    "doc_jaccard_pairs_sample",
+    "doc_dup_clusters",
+    "doc_decontamination",
+    "doc_near_dup_edit_distance",
+    "embed_cosine_topk",
+    "embed_lsh_topk",
+    "embed_near_dup_pairs",
+    "embed_ivf_topk",
+    "embed_quantize_int8",
 )
 
 
