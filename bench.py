@@ -54,6 +54,10 @@ HEADLINE = [
     "doc_repetition_scores",
     "doc_salient_terms",
     "doc_pack_sequences",
+    "doc_pii_redaction",
+    "doc_url_domains",
+    "bloom_filtered_lineitem_revenue",
+    "orders_anti_bloom_check",
     "embed_cosine_topk",
     "embed_lsh_topk",
     "embed_near_dup_pairs",
@@ -100,33 +104,43 @@ def main() -> None:
         read_table(spark, sf_dir, t).count()
     registry["flagship_top_segments"].fn(spark, sf_dir).count()
 
+    # One query failing must never cost the whole run its numbers
+    # (round 4 lost all perf signal to a single AnalysisException):
+    # record the error, keep timing the rest, exit non-zero at the end.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — bench must survive any query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        registry[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timed(name, registry[name].fn)
     for name, fn in LARGE_MODE.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        timed(name, fn)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload: dict = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,112 @@
+"""Bloom-filter pre-join pruning, expressed as pure DataFrame ops.
+
+The 100 TB idiom: before shuffling a huge fact table into a join,
+probe a compact Bloom filter built from the (filtered) key side and
+drop rows that definitely cannot match. Spark applies this internally
+(runtime row-level bloom pruning), but the expression aggregate
+(``bloom_filter_agg`` / ``might_contain``) is not SQL-registered in
+the installed PySpark 4.1, so the engine builds the same structure
+declaratively:
+
+- the filter is a BITMAP relation of at most ``m_bits / 64`` rows
+  ``(word_idx: long, word: long)`` — built with one hash + one
+  ``bit_or`` aggregation over the build side. Its size is CONSTANT in
+  the data volume (fixed ``m_bits``), so at any scale it broadcasts.
+- membership is ``k`` broadcast hash joins of the probe side against
+  that bitmap (one per hash function), each checking the probed bit.
+  No explode of the probe side, no Python, no collect — every step is
+  codegen'd JVM expressions, and Catalyst keeps filter/pushdown
+  around it.
+
+False positives pass the filter (by design — the caller re-verifies
+with the exact join); false negatives cannot happen, which is what
+makes definite-miss routing (`anti` mode) exact.
+
+Reference: the classic Bloom (1970) two-sided trade; sizing follows
+k*n/m << 1 for a low false-positive rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default bitmap width: 2^17 bits = 16 KiB = at most 2048 bitmap rows.
+DEFAULT_M_BITS = 1 << 17
+
+
+def _positions(key: Column, k: int, m_bits: int) -> list[Column]:
+    """k bit positions for a key — xxhash64 with per-hash salt, folded
+    into [0, m_bits). ``pmod`` keeps positions non-negative."""
+    return [F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_build(
+    build: DataFrame, key: str, *, k: int = 2, m_bits: int = DEFAULT_M_BITS
+) -> DataFrame:
+    """Aggregate the build side's keys into a bitmap relation
+    ``(word_idx, word)``. One shuffle of at most ``m_bits/64`` groups —
+    the partial (map-side) ``bit_or`` does nearly all the work, so the
+    shuffle payload is bounded by the bitmap size regardless of build
+    cardinality."""
+    pos = F.explode(F.array(*_positions(F.col(key), k, m_bits))).alias("pos")
+    return (
+        build.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            # shiftleft's numBits must be a column here, so the SQL form
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_prune(
+    probe: DataFrame,
+    key: str,
+    bitmap: DataFrame,
+    *,
+    k: int = 2,
+    m_bits: int = DEFAULT_M_BITS,
+    mode: str = "maybe",
+) -> DataFrame:
+    """Route probe rows through the Bloom filter.
+
+    ``mode='maybe'``  → rows that MIGHT match (all k bits set): the
+    pruned input to an exact join; false positives are culled there.
+    ``mode='miss'``   → rows that DEFINITELY don't match (some bit
+    unset): exact by the no-false-negative property — the fast path of
+    an anti join.
+
+    Implemented as ``k`` broadcast LEFT joins against the bitmap (the
+    bitmap is ≤ 16 KiB — always broadcastable) plus a bit test; probe
+    columns pass through untouched.
+    """
+    if mode not in ("maybe", "miss"):
+        raise ValueError(f"mode must be 'maybe' or 'miss', got {mode!r}")
+    out = probe
+    hit = F.lit(True)
+    for i, pos in enumerate(_positions(F.col(key), k, m_bits)):
+        w = f"__bloom_w{i}"
+        b = bitmap.select(
+            F.col("word_idx").alias(f"{w}_idx"), F.col("word").alias(w)
+        )
+        out = (
+            out.withColumn(f"{w}_pos", pos)
+            .withColumn(f"{w}_probe_idx", (F.col(f"{w}_pos") / 64).cast("long"))
+            .join(
+                F.broadcast(b),
+                F.col(f"{w}_probe_idx") == F.col(f"{w}_idx"),
+                "left",
+            )
+        )
+        bit = F.expr(f"shiftleft(cast(1 as bigint), cast({w}_pos % 64 as int))")
+        hit = hit & F.coalesce(
+            F.col(w).bitwiseAND(bit) != F.lit(0), F.lit(False)
+        )
+    out = out.filter(hit if mode == "maybe" else ~hit)
+    drop = [c for c in out.columns if c.startswith("__bloom_w")]
+    return out.drop(*drop)

@@ -55,72 +55,71 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-4 rotation: every one of the 114 registry queries now has at
-# least one green driver row (r1: 64, r2: 50-window on TPC-H/doc/embed,
-# r3: the 15 relational_ext + events backfill).  Freshness-first order:
-# queries NEW this round lead, then the 14 queries whose only row is
-# from round 1 (stalest), then round-2-checked families as backfill.
+# Round-5 rotation. Priority: (1) the four queries that are genuinely
+# new this round (PII redaction, URL domains, bloom pre-join pruning);
+# (2) the three events queries repaired from the PySpark 4.1
+# TIMESTAMP_NTZ regression plus the batch twin of the chained
+# streaming query — the driver, not just pytest, must prove the fix;
+# (3) the four queries that silently fell out of round 4's window
+# because the rotation listed them under wrong names (last row: r2);
+# (4) staleness backfill: the r1-checked relational family, then
+# r2-checked sampling/embedding/text-ext/multimodal families.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # new this round — never driver-checked
+    # (1) new this round — never driver-checked
     "doc_pii_redaction",
     "doc_url_domains",
     "bloom_filtered_lineitem_revenue",
     "orders_anti_bloom_check",
-    # stalest: last (and only) driver row is round 1 (14)
-    "cube_flag_status",
-    "latest_order_per_customer_status",
-    "rollup_revenue_region_nation",
-    "grouping_sets_order_stats",
-    "quantity_percentiles_by_flag",
-    "price_stddev_by_status",
-    "orders_above_customer_avg",
-    "nation_counts_full_outer",
-    "monthly_revenue_delta",
-    "status_intersect_except",
-    "events_type_pivot",
-    "order_priority_count_exists",
-    "large_orders_q18",
-    "salted_user_event_counts",
-    # backfill: round-2 greens, re-confirmation (window is ~50 so the
-    # first ~32 of these get a fresh row) — TPC-H shapes then the
-    # doc_*/embed_* LLM-pipeline family, round-2 iteration order.
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_local_supplier_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_national_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_parts_supplier_counts",
-    "q18_large_volume_customers",
-    "q20_heavy_flow_suppliers",
-    "q21_sole_late_supplier",
-    "q22_global_sales_opportunity",
-    "doc_token_stats",
-    "doc_quality_scores",
-    "doc_fingerprints",
-    "doc_exact_dedup",
-    "doc_bpe_token_stats",
-    "doc_langid",
-    "doc_minhash_signatures",
-    "doc_near_dup_candidates",
-    "doc_simhash",
-    "doc_simhash_near_dup",
-    "doc_jaccard_pairs_sample",
-    "doc_dup_clusters",
-    "doc_decontamination",
-    "doc_near_dup_edit_distance",
-    "embed_cosine_topk",
-    "embed_lsh_topk",
-    "embed_near_dup_pairs",
-    "embed_ivf_topk",
-    "embed_quantize_int8",
+    # (2) repaired from the NTZ regression + chained-streaming twin
+    "events_asof_purchase_click",
+    "events_range_join_error_context",
+    "events_sessionization_gaps",
+    "events_sliding_distinct_users",
+    # (3) dropped from r4's window by bad rotation names
+    "q8_market_share",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q22_idle_rich_customers",
+    # (4a) stalest backfill — r1-checked relational family
+    "revenue_by_region",
+    "segments_of_open_order_customers",
+    "parts_never_ordered",
+    "top_customers_per_segment",
+    "supplier_running_revenue",
+    "order_priority_tiers",
+    "orderdate_parts",
+    "delayed_order_label",
+    "returnflag_in_list",
+    "distinct_flag_status",
+    "count_distinct_parts",
+    "union_priority_extremes",
+    "approx_distinct_users_by_type",
+    "order_value_quartiles",
+    "q12_priority_by_flag",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    # (4b) r2-checked sampling / embedding extras
+    "doc_train_test_split",
+    "doc_stratified_sample",
+    "doc_pack_sequences",
+    "doc_quality_weighted_sample",
+    "embed_label_centroids",
+    "kmeans_embedding_clusters",
+    "embed_quantized_topk",
+    # (4c) r2-checked text-ext family
+    "doc_repetition_scores",
+    "doc_ngram_topk",
+    "doc_source_mixture_weights",
+    "doc_length_histogram",
+    "doc_salient_terms",
+    "doc_boilerplate_density",
+    "doc_term_first_positions",
+    "doc_dup_canonical_pagerank",
+    # (4d) r2/r4-checked multimodal family
+    "multimodal_payload_stats",
+    "multimodal_feature_extract",
+    "multimodal_frame_sampling",
 )
 
 
@@ -130,7 +129,9 @@ def load_all() -> dict[str, EngineQuery]:
     Returns the registry reordered so queries still needing an external
     verification row are iterated first (see ``_VERIFY_FIRST``).
     """
+    import bigdata_flightanalysis_spark.queries.bloom  # noqa: F401
     import bigdata_flightanalysis_spark.queries.events  # noqa: F401
+    import bigdata_flightanalysis_spark.queries.governance  # noqa: F401
     import bigdata_flightanalysis_spark.queries.multimodal  # noqa: F401
     import bigdata_flightanalysis_spark.queries.relational  # noqa: F401
     import bigdata_flightanalysis_spark.queries.relational_ext  # noqa: F401
@@ -140,6 +141,12 @@ def load_all() -> dict[str, EngineQuery]:
     import bigdata_flightanalysis_spark.queries.text_ext  # noqa: F401
     import bigdata_flightanalysis_spark.queries.tpch_shapes  # noqa: F401
 
-    ordered = {n: REGISTRY[n] for n in _VERIFY_FIRST if n in REGISTRY}
+    # Fail fast on rotation typos: a _VERIFY_FIRST name missing from the
+    # registry would otherwise silently drop out of the verification
+    # window (exactly how four promised queries and four misspelled
+    # backfill names went unchecked in round 4).
+    missing = set(_VERIFY_FIRST) - REGISTRY.keys()
+    assert not missing, f"_VERIFY_FIRST names not in registry: {sorted(missing)}"
+    ordered = {n: REGISTRY[n] for n in _VERIFY_FIRST}
     ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
     return ordered

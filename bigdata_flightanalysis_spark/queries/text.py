@@ -390,7 +390,11 @@ MATERIALIZE_SIGNATURES_BYTES = 1 << 30  # 1 GiB of documents parquet
 
 
 def _candidate_pairs(
-    spark: SparkSession, sf_dir: str, *, materialize: bool | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    materialize: bool | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Unordered distinct LSH candidate pairs — the form downstream
     operators (connected components) consume; only the registry query
@@ -415,17 +419,30 @@ def _candidate_pairs(
         materialize = table_bytes(sf_dir, "documents") >= MATERIALIZE_SIGNATURES_BYTES
     sig = _signatures(spark, sf_dir)
     if materialize:
-        # localCheckpoint stores blocks on EXECUTOR-LOCAL storage: on a
-        # real multi-executor cluster an executor loss makes the
-        # truncated lineage unrecoverable and fails the job, and
-        # eager=True runs a Spark job at DataFrame-construction time.
-        # On a long-lived 100 TB deployment prefer a reliable
-        # checkpoint dir (spark.sparkContext.setCheckpointDir +
-        # .checkpoint()) or writing the signature table to an
-        # intermediate parquet; localCheckpoint is the right trade here
-        # (single-JVM local mode, signatures ~10^-4 of corpus bytes,
-        # re-run on failure is cheap relative to reliable-store I/O).
-        sig = sig.localCheckpoint(eager=True)
+        # Two materialization postures, selectable per deployment
+        # (checkpoint_dir argument, or the SPARK_GRAFT_CHECKPOINT_DIR
+        # env contract):
+        # - reliable checkpoint (dir set): signature blocks land on
+        #   shared storage (HDFS/object store) — survives executor
+        #   loss, the right 100 TB posture for a multi-executor
+        #   cluster where a lost localCheckpoint block fails the job.
+        # - localCheckpoint (default): EXECUTOR-LOCAL storage; right
+        #   for single-JVM local mode (signatures ~10^-4 of corpus
+        #   bytes, re-run on failure cheap vs reliable-store I/O).
+        # Both are eager (a Spark job runs at construction time) and
+        # truncate lineage so both join sides read the materialized
+        # signatures: exactly one corpus scan, plan-asserted in
+        # tests/test_plans.py.
+        import os
+
+        checkpoint_dir = checkpoint_dir or os.environ.get(
+            "SPARK_GRAFT_CHECKPOINT_DIR"
+        )
+        if checkpoint_dir:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+            sig = sig.checkpoint(eager=True)
+        else:
+            sig = sig.localCheckpoint(eager=True)
     band_structs = F.array(
         *[
             F.struct(

@@ -66,4 +66,14 @@ def get_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Env contract: record the runtime version at session build so env
+    # drift (e.g. a Spark major bump changing parquet timestamp
+    # surfacing) is visible in every log, not discovered post-hoc.
+    import logging
+
+    import pyspark
+
+    logging.getLogger(__name__).info(
+        "engine session %r on pyspark %s", app_name, pyspark.__version__
+    )
     return spark

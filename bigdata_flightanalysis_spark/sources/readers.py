@@ -30,24 +30,43 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events scan with nanosecond-timestamp handling.
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Dtype-guarded normalization of ``events.ts`` to a session-tz
+    TIMESTAMP — the single conversion shared by the batch reader, the
+    streaming source and the test fixtures, so every path sees
+    identical timestamps no matter how the installed Spark surfaces
+    the parquet column:
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) (TESTDATA), which Spark's
-    vectorized reader rejects. We read it as raw int64 nanoseconds
-    (``nanosAsLong``) and truncate to microseconds JVM-side —
-    ``ts div 1000`` in integer space, never through double (an epoch-ns
-    value exceeds 2^53, so a double round-trip would corrupt it). This
-    matches DuckDB's ns→µs truncation, keeping the oracle exact.
+    - ``bigint``: raw int64 nanoseconds (older Sparks reading
+      TIMESTAMP(NANOS) under ``nanosAsLong``) — truncate to µs in
+      INTEGER space, never through double (epoch-ns exceeds 2^53, a
+      double round-trip would corrupt it). Matches DuckDB's ns→µs
+      truncation, keeping the oracle exact.
+    - ``timestamp_ntz``: Spark 4.x reads ``isAdjustedToUTC=false``
+      parquet timestamps as TIMESTAMP_NTZ; cast to TIMESTAMP — the
+      session tz is pinned UTC (``session.py``) so the instant is
+      unchanged and oracle semantics are identical (DuckDB reads the
+      same column as a naive-UTC TIMESTAMP).
+    - ``timestamp``: already the contract type — no-op.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = dict(raw.dtypes)["ts"]
+    ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events scan with timestamp-precision handling (see
+    ``normalize_event_ts``). ``nanosAsLong`` is set pre-scan so a
+    TIMESTAMP(NANOS) file (older testdata generations) still reads;
+    current testdata is TIMESTAMP(MICROS, isAdjustedToUTC=false) which
+    lands as TIMESTAMP_NTZ under Spark 4.x."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def table_bytes(sf_dir: str, name: str) -> int:

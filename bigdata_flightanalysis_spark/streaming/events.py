@@ -27,9 +27,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 
-#: events schema as the FILE SOURCE must declare it (streaming reads
-#: cannot infer): ts is parquet TIMESTAMP(NANOS), surfaced as int64
-#: under ``nanosAsLong`` and converted to a real timestamp below.
+#: Events schema with ``ts`` as raw int64 epoch-nanoseconds — the
+#: shape synthetic replay fixtures write (pyarrow int64 columns) and
+#: older Sparks surface for TIMESTAMP(NANOS) under ``nanosAsLong``.
+#: Real files should use ``events_stream_schema`` (probed) instead;
+#: either way ``sources.readers.normalize_event_ts`` converts to the
+#: contract TIMESTAMP type.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -42,21 +45,35 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Schema the FILE SOURCE must declare (streaming reads cannot
+    infer). Probed from a batch scan of the same file rather than
+    hard-coded, so the declared type of ``ts`` always matches what the
+    installed Spark surfaces for the parquet column (int64 under
+    ``nanosAsLong`` on older Sparks, TIMESTAMP_NTZ on 4.x) — a
+    hard-coded LongType against an NTZ file silently reads garbage.
+    The probe is footer-only metadata, no data scan."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (one file = one replay).
 
-    Same ns→µs integer-space truncation as the batch reader
-    (``sources.readers._read_events``) so stream and batch see
-    identical timestamps.
+    ``ts`` goes through the same dtype-guarded normalization as the
+    batch reader (``sources.readers.normalize_event_ts``) so stream
+    and batch see identical timestamps.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from bigdata_flightanalysis_spark.sources.readers import normalize_event_ts
+
+    schema = events_stream_schema(spark, sf_dir)
     # The file source requires a DIRECTORY (it tails new files in it);
     # the testdata dir mixes all ten tables, so stage a dir containing
     # just the events file (symlink — no data copy).
     stage = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(schema).parquet(stage)
+    return normalize_event_ts(raw)
 
 
 def streaming_tumbling_hourly(events: DataFrame) -> DataFrame:

@@ -1,0 +1,78 @@
+"""Bloom pre-join pruning operator (operators/bloom.py).
+
+Property checks: the maybe/miss routing is an exact partition of the
+probe side, false negatives are impossible (every true match routes to
+'maybe'), and the membership joins stay broadcast + codegen'd (no
+Python in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_flightanalysis_spark.operators.bloom import bloom_build, bloom_prune
+from bigdata_flightanalysis_spark.sources.readers import read_table
+from tests.conftest import SF_DIR
+
+
+def _sides(spark):
+    orders = read_table(spark, SF_DIR, "orders")
+    returned = (
+        read_table(spark, SF_DIR, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return orders, returned
+
+
+def test_maybe_miss_partition_the_probe(spark):
+    orders, returned = _sides(spark)
+    bitmap = bloom_build(returned, "l_orderkey")
+    n_all = orders.count()
+    maybe = bloom_prune(orders, "o_orderkey", bitmap, mode="maybe")
+    miss = bloom_prune(orders, "o_orderkey", bitmap, mode="miss")
+    n_maybe, n_miss = maybe.count(), miss.count()
+    assert n_maybe + n_miss == n_all
+    assert maybe.columns == orders.columns
+    assert miss.columns == orders.columns
+    # The filter must actually prune at this selectivity (returned
+    # keys cover ~half the orders; FP rate at k=2, m=2^17 is <1%).
+    assert n_miss > 0
+
+
+def test_no_false_negatives(spark):
+    """Every order that truly has a returned lineitem must survive the
+    'maybe' route — a bloom can false-positive, never false-negative."""
+    orders, returned = _sides(spark)
+    bitmap = bloom_build(returned, "l_orderkey")
+    true_match = orders.join(
+        returned, orders["o_orderkey"] == returned["l_orderkey"], "left_semi"
+    )
+    maybe = bloom_prune(orders, "o_orderkey", bitmap, mode="maybe")
+    escaped = true_match.join(
+        maybe.select("o_orderkey").withColumnRenamed("o_orderkey", "mk"),
+        F.col("o_orderkey") == F.col("mk"),
+        "left_anti",
+    )
+    assert escaped.count() == 0
+
+
+def test_miss_rows_truly_have_no_match(spark):
+    orders, returned = _sides(spark)
+    bitmap = bloom_build(returned, "l_orderkey")
+    miss = bloom_prune(orders, "o_orderkey", bitmap, mode="miss")
+    wrong = miss.join(
+        returned, miss["o_orderkey"] == returned["l_orderkey"], "left_semi"
+    )
+    assert wrong.count() == 0
+
+
+def test_bitmap_is_bounded_and_plan_is_jvm_only(spark):
+    orders, returned = _sides(spark)
+    bitmap = bloom_build(returned, "l_orderkey", m_bits=1 << 17)
+    assert bitmap.count() <= (1 << 17) // 64
+    plan = bloom_prune(
+        orders, "o_orderkey", bitmap
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan

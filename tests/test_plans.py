@@ -91,6 +91,26 @@ def test_near_dup_materialized_mode_scans_corpus_once(spark):
     )
 
 
+def test_near_dup_reliable_checkpoint_mode(spark, tmp_path):
+    """The 100 TB posture: materialization via a RELIABLE checkpoint
+    dir (survives executor loss, unlike localCheckpoint). Same single
+    corpus scan, same results, and the checkpoint actually lands in
+    the configured directory."""
+    import os
+
+    from bigdata_flightanalysis_spark.queries.text import _candidate_pairs
+
+    ckpt = str(tmp_path / "ckpt")
+    mat = _candidate_pairs(spark, SF, materialize=True, checkpoint_dir=ckpt)
+    assert _plan(mat).count("Scan parquet") == 0
+    written = [f for _root, _d, files in os.walk(ckpt) for f in files]
+    assert written, "reliable checkpoint dir is empty"
+    recompute = _candidate_pairs(spark, SF, materialize=False)
+    assert sorted(map(tuple, mat.collect())) == sorted(
+        map(tuple, recompute.collect())
+    )
+
+
 def test_no_python_row_udfs_in_oracle_queries(spark, registry):
     """BatchEvalPython (row-at-a-time Python UDF) must never appear;
     ArrowEvalPython/mapInPandas only in the multimodal path."""

@@ -102,10 +102,11 @@ def test_streaming_sliding_distinct_users_equals_batch(spark, registry, tmp_path
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from bigdata_flightanalysis_spark.sources.readers import normalize_event_ts
     from bigdata_flightanalysis_spark.streaming import (
         streaming_sliding_distinct_users,
     )
-    from bigdata_flightanalysis_spark.streaming.events import EVENTS_RAW_SCHEMA
+    from bigdata_flightanalysis_spark.streaming.events import events_stream_schema
 
     stage = tmp_path / "stream"
     stage.mkdir()
@@ -118,11 +119,21 @@ def test_streaming_sliding_distinct_users_equals_batch(spark, registry, tmp_path
         .value
     )
     sentinel_ns = max_ns + 365 * 24 * 3600 * 1_000_000_000
+    # The sentinel file must carry the SAME arrow ts type as the real
+    # events file (int64-ns or timestamp us/ns depending on testdata
+    # generation) — a declared-schema file source reads every file with
+    # one schema, so a type mismatch here corrupts the second batch.
+    ts_type = pq.read_schema(f"{SF_DIR}/events.parquet").field("ts").type
+    if pa.types.is_timestamp(ts_type):
+        divisor = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[ts_type.unit]
+        sentinel_ts = pa.array([sentinel_ns // divisor], ts_type)
+    else:
+        sentinel_ts = pa.array([sentinel_ns], ts_type)
     pq.write_table(
         pa.table(
             {
                 "event_id": pa.array([-1], pa.int64()),
-                "ts": pa.array([sentinel_ns], pa.int64()),
+                "ts": sentinel_ts,
                 "user_id": pa.array([-1], pa.int64()),
                 "event_type": pa.array(["__sentinel__"], pa.string()),
                 "value": pa.array([0.0], pa.float64()),
@@ -131,13 +142,12 @@ def test_streaming_sliding_distinct_users_equals_batch(spark, registry, tmp_path
         ),
         stage / "b_sentinel.parquet",
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_stream_schema(spark, SF_DIR))
         .option("maxFilesPerTrigger", 1)
         .parquet(str(stage))
     )
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_event_ts(raw)
     stream = run_to_memory(
         streaming_sliding_distinct_users(events), spark, output_mode="append"
     )
