@@ -56,6 +56,7 @@ HEADLINE = [
     "doc_pack_sequences",
     "doc_pii_redaction",
     "doc_url_domains",
+    "doc_chunk_windows",
     "bloom_filtered_lineitem_revenue",
     "orders_anti_bloom_check",
     "embed_cosine_topk",

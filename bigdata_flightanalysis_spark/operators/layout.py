@@ -1,0 +1,108 @@
+"""Multi-dimensional data layout: Z-order clustering.
+
+A 100 TB table is usually filtered on more than one column
+(ship-date AND part, user AND time). A 1-D sort makes min/max file
+statistics razor-sharp for ONE column and useless for the rest;
+Z-ordering interleaves the bits of several columns' bucket ranks into
+a single clustering key so that EVERY participating column gets
+moderately-narrow per-file ranges — the property parquet row-group /
+file skipping needs to prune scans on any of them.
+
+Everything is pure column expressions:
+- per-column buckets come from ``width_bucket`` over the column's
+  global min/max (one tiny aggregate, joined back via a broadcast of
+  the 1-row stats frame — no driver collect);
+- the z-value interleaves the bucket bits with shift/or expressions
+  (codegen'd, no Python);
+- the layout step is ``repartitionByRange(z)`` +
+  ``sortWithinPartitions(z)`` — exactly what a writer needs for
+  min/max-tight files at any scale (range exchange is one shuffle,
+  AQE-coalesced).
+
+Used by tests to demonstrate the skipping effect; at deployment the
+result is written with ``write.parquet`` and the narrow per-file
+ranges do the pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per dimension (8 → 256 buckets per column; z fits in a long
+#: for up to 8 dimensions).
+ZORDER_BITS = 8
+
+
+def _interleave(bucket_cols: list[Column], bits: int) -> Column:
+    """Bit-interleave d bucket values (each < 2^bits) into one long:
+    bit i of column j lands at position i*d + j."""
+    d = len(bucket_cols)
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(bucket_cols):
+        for i in range(bits):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit.cast("long"), i * d + j).cast("long")
+            )
+    return z
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], *, bits: int = ZORDER_BITS
+) -> DataFrame:
+    """Append a ``__z`` column: the Z-order key over ``cols``.
+
+    Buckets are equi-width over each column's global [min, max]
+    (numeric/date/timestamp columns; cast to double for bucketing
+    only). The stats frame is ONE row — broadcast-joined, so the
+    lineage contains a tiny extra aggregate instead of a driver
+    round-trip.
+    """
+    if not cols:
+        raise ValueError("zorder needs at least one column")
+    if len(cols) * bits > 63:
+        raise ValueError("z-value exceeds a signed long; lower bits or cols")
+    stats = df.agg(
+        *[
+            m
+            for c in cols
+            for m in (
+                F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+            )
+        ]
+    )
+    with_stats = df.join(F.broadcast(stats))
+    n_buckets = 1 << bits
+    buckets = []
+    for c in cols:
+        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+        # width_bucket returns 1..n+1 on [lo, hi]; clamp the hi edge and
+        # degenerate (constant-column) case into the valid 0..n-1 range.
+        b = F.width_bucket(F.col(c).cast("double"), lo, hi, F.lit(n_buckets))
+        buckets.append(
+            F.least(F.greatest(b - 1, F.lit(0)), F.lit(n_buckets - 1))
+        )
+    return with_stats.withColumn("__z", _interleave(buckets, bits)).drop(
+        *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
+    )
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    n_partitions: int | None = None,
+    bits: int = ZORDER_BITS,
+) -> DataFrame:
+    """Cluster ``df`` for multi-column data skipping: range-partition +
+    locally sort by the Z-order key, drop the key. Writing the result
+    yields files whose min/max stats are narrow on EVERY ``cols``
+    member."""
+    z = zorder_value(df, cols, bits=bits)
+    if n_partitions:
+        z = z.repartitionByRange(n_partitions, "__z")
+    else:
+        z = z.repartitionByRange("__z")
+    return z.sortWithinPartitions("__z").drop("__z")

@@ -70,6 +70,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_url_domains",
     "bloom_filtered_lineitem_revenue",
     "orders_anti_bloom_check",
+    "doc_chunk_windows",
     # (2) repaired from the NTZ regression + chained-streaming twin
     "events_asof_purchase_click",
     "events_range_join_error_context",

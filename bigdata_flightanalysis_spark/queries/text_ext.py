@@ -355,3 +355,74 @@ def doc_term_first_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("occurrences") >= 5)
         .orderBy("doc_id", "term")
     )
+
+
+# Chunking contract: fixed window, fixed stride (overlap = size-stride).
+CHUNK_SIZE = 256
+CHUNK_STRIDE = 192
+_CHUNK_OVERLAP = CHUNK_SIZE - CHUNK_STRIDE
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+        WITH chunks AS (
+            SELECT doc_id,
+                   CAST(s AS BIGINT) AS chunk_start,
+                   substr(text, CAST(s AS INTEGER) + 1, {CHUNK_SIZE})
+                       AS chunk_text
+            FROM documents,
+                 unnest(range(0,
+                              GREATEST(CAST(n_chars AS BIGINT)
+                                           - {_CHUNK_OVERLAP}, 1),
+                              {CHUNK_STRIDE})) AS t(s)
+        )
+        SELECT doc_id,
+               CAST(chunk_start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+               chunk_start,
+               CAST(length(chunk_text) AS BIGINT) AS chunk_len,
+               md5(chunk_text) AS chunk_md5
+        FROM chunks
+        ORDER BY doc_id, chunk_id
+    """,
+    description=f"Overlapping fixed-window chunking ({CHUNK_SIZE}-char "
+    f"windows, {CHUNK_STRIDE}-char stride → {_CHUNK_OVERLAP}-char "
+    "overlap) — the sequence-prep stage feeding embedding/RAG "
+    "pipelines and fixed-context pretraining. sequence+explode keeps "
+    "it a narrow per-row transformation (rows multiply by "
+    "chunks-per-doc, no shuffle except the presentation sort); chunk "
+    "content is verified compactly via md5. The trailing window is "
+    "kept short rather than padded; a final partial window shorter "
+    "than the overlap is absorbed into the previous chunk (start "
+    "grid stops at n_chars - overlap).",
+    tags=("text", "chunking", "rag"),
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    # DuckDB's range(0, N, step) is stop-EXCLUSIVE; Spark's sequence is
+    # stop-INCLUSIVE, so the Spark stop is N-1 for the identical grid.
+    stop = F.greatest(
+        F.col("n_chars").cast("long") - _CHUNK_OVERLAP, F.lit(1).cast("long")
+    )
+    starts = F.sequence(
+        F.lit(0).cast("long"), stop - 1, F.lit(CHUNK_STRIDE).cast("long")
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.explode(starts).alias("chunk_start"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        (F.col("chunk_start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        "chunk_start",
+        F.expr(
+            f"substring(text, cast(chunk_start as int) + 1, {CHUNK_SIZE})"
+        ).alias("chunk_text"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")

@@ -94,3 +94,70 @@ def test_dynamic_partition_pruning(spark, tbl, tmp_path):
     # Semantics: only rows of the two selected months survive.
     got_months = {r["order_month"] for r in joined.select("order_month").distinct().collect()}
     assert got_months == set(months)
+
+
+def _partition_range_widths(df, col):
+    """Per-output-partition (min, max) width of one column, normalized
+    by the global width — the proxy for parquet file min/max stats."""
+    stats = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        )
+        .collect()
+    )
+    glo = min(r["lo"] for r in stats)
+    ghi = max(r["hi"] for r in stats)
+    width = (ghi - glo) or 1.0
+    return [(r["hi"] - r["lo"]) / width for r in stats]
+
+
+def test_zorder_layout_narrows_all_dimensions(spark):
+    """Z-ordering lineitem by (shipdate, partkey) must leave BOTH
+    columns with narrow per-partition ranges (multi-column skipping),
+    where a 1-D sort by shipdate leaves partkey ranges at ~full width.
+    Also: the layout is a row-permutation (no rows lost/duplicated)."""
+    from bigdata_flightanalysis_spark.operators.layout import zorder_layout
+
+    li = read_table(spark, SF, "lineitem").select(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("ship_ts"),
+        "l_partkey",
+    )
+    n_parts = 16
+
+    zordered = zorder_layout(li, ["ship_ts", "l_partkey"], n_partitions=n_parts)
+    sorted_1d = li.repartitionByRange(n_parts, "ship_ts").sortWithinPartitions(
+        "ship_ts"
+    )
+
+    assert zordered.count() == li.count()
+
+    z_ship = _partition_range_widths(zordered, "ship_ts")
+    z_part = _partition_range_widths(zordered, "l_partkey")
+    s_part = _partition_range_widths(sorted_1d, "l_partkey")
+
+    avg = lambda xs: sum(xs) / len(xs)  # noqa: E731
+    # 1-D sort: partkey ranges are essentially full-width everywhere.
+    assert avg(s_part) > 0.9
+    # Z-order: both dimensions substantially narrower than full width.
+    assert avg(z_ship) < 0.6
+    assert avg(z_part) < 0.6
+
+
+def test_zorder_value_is_deterministic_and_bounded(spark):
+    from bigdata_flightanalysis_spark.operators.layout import (
+        ZORDER_BITS,
+        zorder_value,
+    )
+
+    li = read_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    z1 = zorder_value(li, ["l_orderkey", "l_partkey"])
+    hi = z1.agg(F.max("__z")).first()[0]
+    lo = z1.agg(F.min("__z")).first()[0]
+    assert 0 <= lo <= hi < 1 << (2 * ZORDER_BITS)
+    z2 = zorder_value(li.repartition(7), ["l_orderkey", "l_partkey"])
+    a = sorted(tuple(r) for r in z1.collect())
+    b = sorted(tuple(r) for r in z2.collect())
+    assert a == b  # partitioning-invariant
