@@ -71,6 +71,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "bloom_filtered_lineitem_revenue",
     "orders_anti_bloom_check",
     "doc_chunk_windows",
+    "doc_dedup_keep_best",
     # (2) repaired from the NTZ regression + chained-streaming twin
     "events_asof_purchase_click",
     "events_range_join_error_context",

@@ -706,6 +706,84 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "doc_dedup_keep_best",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SIG_CTE}, {_SQL_BANDS_CTE}, pairs AS (
+            {_SQL_PAIRS_SELECT}
+        ), edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ), cc(node, lbl) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT e.d, cc.lbl FROM cc JOIN edges e ON e.s = cc.node
+            WHERE cc.lbl < e.d
+        ), labels AS (
+            SELECT node, MIN(lbl) AS component FROM cc GROUP BY node
+        ), labeled AS (
+            SELECT d.doc_id, d.n_chars,
+                   COALESCE(m.component, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN labels m ON d.doc_id = m.node
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM labeled
+        )
+        SELECT cluster_id,
+               MAX(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM ranked
+        GROUP BY cluster_id
+        ORDER BY cluster_id
+    """,
+    description="Dedup survivor selection — the final stage of the "
+    "near-dup pipeline: within each transitive dup cluster keep the "
+    "best document (longest, tie-broken by smallest doc_id) and report "
+    "cluster size. Engine side: one struct-max aggregate per cluster "
+    "(no window shuffle) over the connected-components labels; oracle "
+    "re-derives clusters with the independent recursive-CTE closure "
+    "and picks survivors with a window rank.",
+    tags=("text", "dedup", "graph"),
+)
+def doc_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.graph import (
+        assign_components,
+        connected_components,
+    )
+
+    pairs = _candidate_pairs(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = assign_components(docs, "doc_id", cc, alias="cluster_id")
+    # argmax as struct-max: (n_chars DESC, doc_id ASC) — negate doc_id
+    # so the lexicographic MAX lands on the smallest id at equal length.
+    best = F.max(
+        F.struct(
+            F.col("n_chars").cast("long").alias("q"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    ).alias("best")
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            best,
+            F.count("*").alias("n_members"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("kept_doc_id"),
+            "n_members",
+            "total_chars",
+        )
+        .orderBy("cluster_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Benchmark decontamination — n-gram collision between the training
 # corpus and a held-out benchmark set. The training-pipeline op that
