@@ -74,3 +74,46 @@ def write_text(df: DataFrame, path: str, *, mode: str = "overwrite",
     if compression:
         writer = writer.option("compression", compression)
     writer.text(path)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    mode: str = "overwrite",
+) -> int:
+    """Small-files compaction — the table-maintenance pass every
+    long-lived 100 TB dataset needs. Streaming sinks, frequent small
+    batches and over-parallel writers each leave thousands of tiny
+    part files; every subsequent scan then pays per-file open/footer
+    costs and the NameNode/object-store pays the metadata. Compaction
+    rewrites the data into files near ``target_file_bytes``.
+
+    File count comes from the source's TOTAL ON-DISK BYTES (metadata
+    listing only — no data pass), not a row count. The rewrite is one
+    ``coalesce`` when shrinking (narrow — no shuffle: tasks just read
+    multiple input files each) and a round-robin ``repartition`` only
+    when the source has too FEW partitions for the target (growing
+    file count requires redistribution anyway). Returns the file count
+    written.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if df.rdd.getNumPartitions() >= n_files:
+        out = df.coalesce(n_files)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(dst_path)
+    return n_files

@@ -164,3 +164,32 @@ def test_observation_metrics_ride_the_query(spark):
     assert m["null_custkeys"] == 0
     assert m["total_price"] > 0
     assert out > 0
+
+
+def test_compact_parquet_hits_target_file_count(spark, tmp_path):
+    """Compaction sizes output files from on-disk bytes (no data pass)
+    and preserves every row. Shrinking uses coalesce (narrow, no
+    shuffle); the rewrite must land near the requested file size."""
+    import os
+
+    from bigdata_flightanalysis_spark.sources.writers import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    li = read_table(spark, SF, "lineitem")
+    li.repartition(64).write.parquet(src)  # thousands-of-tiny-files shape
+    n_src_files = sum(
+        1 for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    assert n_src_files >= 32
+
+    total = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if not f.startswith(("_", "."))
+    )
+    dst = str(tmp_path / "compacted")
+    target = max(total // 4, 1)
+    n = compact_parquet(spark, src, dst, target_file_bytes=target)
+    n_dst_files = sum(1 for f in os.listdir(dst) if f.endswith(".parquet"))
+    assert n == n_dst_files <= 5  # ~4 files for bytes/target=4
+    assert spark.read.parquet(dst).count() == li.count()
