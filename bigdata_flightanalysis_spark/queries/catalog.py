@@ -72,6 +72,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "orders_anti_bloom_check",
     "doc_chunk_windows",
     "doc_dedup_keep_best",
+    "part_affinity_topk",
     # (2) repaired from the NTZ regression + chained-streaming twin
     "events_asof_purchase_click",
     "events_range_join_error_context",

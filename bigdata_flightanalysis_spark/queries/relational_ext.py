@@ -1212,3 +1212,88 @@ def customer_order_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "part_affinity_topk",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n_total AS (
+            SELECT COUNT(DISTINCT l_orderkey) AS n FROM op
+        ), per_part AS (
+            SELECT l_partkey, COUNT(*) AS n_orders FROM op GROUP BY l_partkey
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n_together
+            FROM op a JOIN op b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY part_a, part_b
+        )
+        SELECT p.part_a, p.part_b,
+               CAST(p.n_together AS BIGINT) AS n_together,
+               CAST(p.n_together AS DOUBLE) * (SELECT n FROM n_total)
+                   / pa.n_orders / pb.n_orders AS lift
+        FROM pairs p
+        JOIN per_part pa ON p.part_a = pa.l_partkey
+        JOIN per_part pb ON p.part_b = pb.l_partkey
+        WHERE p.n_together >= 2
+        ORDER BY n_together DESC, part_a, part_b
+        LIMIT 20
+    """,
+    description="Market-basket part affinity: top co-ordered part "
+    "pairs with lift (P(ab)·N / (P(a)·P(b))). The self-join runs on "
+    "the DEDUPED (order, part) set and is keyed on l_orderkey, so the "
+    "pair blow-up is bounded by items-per-order choose 2 (~21 at "
+    "TPC-H's ~7 lines/order), never corpus-quadratic; one shuffle for "
+    "the self-join, one for the pair count. Lift derives from counts "
+    "with an identical expression tree on both engines.",
+    tags=("relational", "affinity", "self-join"),
+)
+def part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_total = op.select(F.countDistinct("l_orderkey").alias("n"))
+    per_part = op.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_together"))
+        .filter(F.col("n_together") >= 2)
+    )
+    pa = per_part.select(
+        F.col("l_partkey").alias("pa_key"), F.col("n_orders").alias("pa_n")
+    )
+    pb = per_part.select(
+        F.col("l_partkey").alias("pb_key"), F.col("n_orders").alias("pb_n")
+    )
+    return (
+        pairs.join(pa, F.col("part_a") == F.col("pa_key"))
+        .join(pb, F.col("part_b") == F.col("pb_key"))
+        .join(F.broadcast(n_total))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_together").cast("long").alias("n_together"),
+            (
+                F.col("n_together").cast("double")
+                * F.col("n")
+                / F.col("pa_n")
+                / F.col("pb_n")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_together").desc(), "part_a", "part_b")
+        .limit(20)
+    )
