@@ -73,6 +73,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_chunk_windows",
     "doc_dedup_keep_best",
     "part_affinity_topk",
+    "events_minutely_gapfill",
+    "doc_minhash_estimate_vs_exact",
     # (2) repaired from the NTZ regression + chained-streaming twin
     "events_asof_purchase_click",
     "events_range_join_error_context",

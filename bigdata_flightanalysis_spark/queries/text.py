@@ -956,3 +956,67 @@ def doc_near_dup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "doc_minhash_estimate_vs_exact",
+    oracle=f"""
+        WITH {_SQL_SIG_CTE}, sample_sh AS (
+            SELECT doc_id, list_distinct({_sql_shingles(3)}) AS shingles
+            FROM documents WHERE doc_id < 40
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ({" + ".join(
+                   f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END"
+                   for i in range(N_PERM)
+               )}) / CAST({N_PERM} AS DOUBLE) AS est_jaccard,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / len(list_distinct(a.shingles || b.shingles))
+                   AS exact_jaccard
+        FROM sample_sh a
+        JOIN sample_sh b ON a.doc_id < b.doc_id
+        JOIN sig sa ON sa.doc_id = a.doc_id
+        JOIN sig sb ON sb.doc_id = b.doc_id
+        ORDER BY doc_a, doc_b
+    """,
+    description="MinHash sketch calibration: per pair (bounded sample, "
+    "same 40-doc slice as doc_jaccard_pairs_sample), the signature-"
+    "agreement estimate (matching components / 16) next to the exact "
+    "3-shingle Jaccard — the measurement that justifies the LSH "
+    "banding thresholds at scale, where only the estimate is "
+    "affordable. Estimate and truth derive from the same md5 hash "
+    "family on both engines, so the comparison is bit-exact.",
+    tags=("text", "dedup", "minhash", "calibration"),
+)
+def doc_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _signatures(spark, sf_dir).filter(F.col("doc_id") < 40)
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokenize("text"), 3)).alias("shingles"),
+        )
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.sig_{i}") == F.col(f"sb.sig_{i}"), 1).otherwise(0)
+        for i in range(N_PERM)
+    )
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(sa, F.col("sa.doc_id") == F.col("a.doc_id"))
+        .join(sb, F.col("sb.doc_id") == F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (matches / F.lit(float(N_PERM))).alias("est_jaccard"),
+            (inter.cast("double") / union).alias("exact_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
