@@ -44,6 +44,8 @@ HEADLINE = [
     "q13_customer_distribution",
     "q20_heavy_flow_suppliers",
     "q21_sole_late_supplier",
+    "part_affinity_topk",
+    "events_minutely_gapfill",
     "doc_exact_dedup",
     "doc_minhash_signatures",
     "doc_near_dup_candidates",
