@@ -75,6 +75,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "part_affinity_topk",
     "events_minutely_gapfill",
     "doc_minhash_estimate_vs_exact",
+    "customer_value_deciles",
     # (2) repaired from the NTZ regression + chained-streaming twin
     "events_asof_purchase_click",
     "events_range_join_error_context",

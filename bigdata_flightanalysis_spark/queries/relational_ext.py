@@ -1301,3 +1301,58 @@ def part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_together").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    "customer_value_deciles",
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                       AS spend
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT *, NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+            FROM per_cust
+        )
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+               {dsum_sql("spend", "total_spend")},
+               MIN(spend) AS min_spend,
+               MAX(spend) AS max_spend
+        FROM ranked
+        GROUP BY decile
+        ORDER BY decile
+    """,
+    description="Customer-value decile segmentation: per-customer spend "
+    "rolls up first (the shuffle is on o_custkey and the window then "
+    "runs over the ALREADY-AGGREGATED frame — one row per customer, "
+    "not per order), deciles via ntile with a total-order tie-break, "
+    "per-decile stats after. The global ntile is a single-partition "
+    "sort over customers only; at true scale swap it for "
+    "approx-percentile boundary buckets, same output contract.",
+    tags=("relational", "window", "segmentation"),
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("spend"),
+    )
+    w = Window.orderBy(F.col("spend").desc(), "o_custkey")
+    ranked = per_cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("total_orders"),
+            dsum("spend", "total_spend"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+        )
+        .orderBy("decile")
+    )
