@@ -40,7 +40,7 @@ import numpy as np
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 #: formats the built-in (no-PIL) codecs handle
-BUILTIN_IMAGE_FORMATS = ("png", "ppm", "pgm")
+BUILTIN_IMAGE_FORMATS = ("png", "ppm", "pgm", "bmp")
 BUILTIN_AUDIO_FORMATS = ("wav",)
 
 
@@ -59,6 +59,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "ppm" if payload[:2] == b"P6" else "pgm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:2] == b"BM" and len(payload) >= 14:
+        return "bmp"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     return None
@@ -234,6 +236,61 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# BMP (24-bit uncompressed BI_RGB — the interchange baseline)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP → uint8 array (h, w, 3). Supports the 24-bit uncompressed
+    BI_RGB profile (BITMAPINFOHEADER); rows are stored bottom-up in
+    BGR with 4-byte row padding — both undone here. ValueError on
+    malformed input, NotImplementedError on other bit depths or
+    compression modes."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP (bad signature or truncated header)")
+    pixel_off = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError(f"BMP header size {hdr_size} unsupported")
+    w, h = struct.unpack("<ii", data[18:26])
+    planes, depth = struct.unpack("<HH", data[26:30])
+    compression = struct.unpack("<I", data[30:34])[0]
+    if depth != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP profile not supported by the built-in decoder "
+            f"(depth={depth}, compression={compression}; need 24-bit BI_RGB)"
+        )
+    if planes != 1 or w <= 0 or h == 0:
+        raise ValueError("bad BMP header")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    end = pixel_off + stride * h
+    if len(data) < end:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(data[pixel_off:end], np.uint8).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(arr, np.uint8)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError(f"cannot encode {c}-channel image as 24-bit BMP")
+    stride = (w * 3 + 3) & ~3
+    padded = np.zeros((h, stride), np.uint8)
+    padded[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    body = padded.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+# --------------------------------------------------------------------------
 # WAV (PCM via stdlib wave)
 
 
@@ -282,6 +339,8 @@ def decode_image_array(payload: bytes) -> tuple[str, np.ndarray]:
         return fmt, decode_png(payload)
     if fmt in ("ppm", "pgm"):
         return fmt, decode_ppm(payload)
+    if fmt == "bmp":
+        return fmt, decode_bmp(payload)
     if pil_available():
         from PIL import Image
 
@@ -297,6 +356,8 @@ def encode_image(fmt: str, arr: np.ndarray) -> bytes:
         return encode_png(arr)
     if fmt in ("ppm", "pgm"):
         return encode_ppm(arr)
+    if fmt == "bmp":
+        return encode_bmp(arr)
     if pil_available():
         import io as _io
 

@@ -194,3 +194,58 @@ def test_png_malformed_raises_value_error():
     truncated = encode_png(np.zeros((4, 4, 3), np.uint8))[:20]
     with pytest.raises(ValueError):
         decode_png(truncated)
+
+
+def test_bmp_roundtrip_and_padding():
+    from bigdata_flightanalysis_spark.operators.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    # width 3 → stride 9 rounds up to 12: exercises the row padding
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    data = encode_bmp(img)
+    assert sniff_format(data) == "bmp"
+    assert np.array_equal(decode_bmp(data), img)
+    # grayscale input is promoted to 3 identical channels
+    gray = rng.integers(0, 256, size=(4, 7), dtype=np.uint8)
+    back = decode_bmp(encode_bmp(gray))
+    assert np.array_equal(back[:, :, 0], gray)
+    assert np.array_equal(back[:, :, 0], back[:, :, 2])
+
+
+def test_bmp_unsupported_profiles_and_malformed():
+    from bigdata_flightanalysis_spark.operators.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    good = encode_bmp(np.zeros((2, 2, 3), np.uint8))
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 10)  # truncated header
+    with pytest.raises(ValueError):
+        decode_bmp(good[:-3])  # truncated pixel data
+    depth8 = bytearray(good)
+    depth8[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(depth8))  # 8-bit → documented gap
+    rle = bytearray(good)
+    rle[30:34] = (1).to_bytes(4, "little")
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))  # RLE compression → documented gap
+
+
+def test_bmp_flows_through_generic_dispatch():
+    from bigdata_flightanalysis_spark.operators.codecs import (
+        decode_image_array,
+        encode_bmp,
+        encode_image,
+    )
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    fmt, arr = decode_image_array(encode_bmp(img))
+    assert fmt == "bmp" and np.array_equal(arr, img)
+    assert np.array_equal(
+        decode_image_array(encode_image("bmp", img))[1], img
+    )
