@@ -76,6 +76,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_minutely_gapfill",
     "doc_minhash_estimate_vs_exact",
     "customer_value_deciles",
+    "nation_share_of_region_revenue",
     # (2) repaired from the NTZ regression + chained-streaming twin
     "events_asof_purchase_click",
     "events_range_join_error_context",

@@ -1356,3 +1356,59 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "nation_share_of_region_revenue",
+    oracle=f"""
+        WITH per_nation AS (
+            SELECT r_name, n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   {dsum_sql("o_totalprice", "revenue")}
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        )
+        SELECT r_name, n_name, n_orders, revenue,
+               revenue / CAST(SUM(CAST(revenue AS DECIMAL(38,6)))
+                                  OVER (PARTITION BY r_name) AS DOUBLE)
+                   AS region_share
+        FROM per_nation
+        ORDER BY r_name, n_name
+    """,
+    description="Ratio-to-parent reporting: each nation's share of its "
+    "region's revenue — aggregate once per (region, nation), then a "
+    "window SUM over the ALREADY-AGGREGATED frame (≤ nations rows "
+    "enters the window, never raw orders). The share divides the "
+    "decimal-exact dsum by its window total with the identical "
+    "expression tree on both engines. Dims broadcast; one fact "
+    "shuffle for the aggregate.",
+    tags=("relational", "window", "ratio-to-parent"),
+)
+def nation_share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    per_nation = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    # decimal-exact window total: a double SUM's merge order varies
+    # with partitioning, so the share's last ulp would be unstable.
+    total = F.sum(F.col("revenue").cast("decimal(38,6)")).over(w).cast("double")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "n_orders",
+        "revenue",
+        (F.col("revenue") / total).alias("region_share"),
+    ).orderBy("r_name", "n_name")
