@@ -37,8 +37,20 @@ DEFAULT_M_BITS = 1 << 17
 
 def _positions(key: Column, k: int, m_bits: int) -> list[Column]:
     """k bit positions for a key — xxhash64 with per-hash salt, folded
-    into [0, m_bits). ``pmod`` keeps positions non-negative."""
-    return [F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)]
+    into [0, m_bits). ``pmod`` keeps positions non-negative.
+
+    The key is canonicalized to STRING before hashing: xxhash64 is
+    dtype-sensitive (int 5 and bigint 5 hash differently), so if the
+    build and probe key columns ever carried different Spark types the
+    hashes would silently diverge — producing false NEGATIVES, which
+    breaks the exactness guarantee ``mode='miss'`` relies on. The
+    string cast is exact for integral/string keys and makes the filter
+    type-agnostic at the cost of a slightly slower (still codegen'd)
+    hash."""
+    return [
+        F.pmod(F.xxhash64(key.cast("string"), F.lit(i)), F.lit(m_bits))
+        for i in range(k)
+    ]
 
 
 def bloom_build(

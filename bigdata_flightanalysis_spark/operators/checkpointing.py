@@ -1,0 +1,71 @@
+"""Shared materialization posture for iterative / multi-consumer plans.
+
+Two postures, selectable per deployment via an explicit
+``checkpoint_dir`` argument or the ``SPARK_GRAFT_CHECKPOINT_DIR`` env
+contract:
+
+- **reliable checkpoint** (dir configured): blocks land on shared
+  storage (HDFS / object store) — survives executor loss, the right
+  100 TB posture for a multi-executor cluster where a lost
+  ``localCheckpoint`` block fails the job mid-iteration.
+- **localCheckpoint** (default): executor-local storage; right for
+  single-JVM local mode, where re-running a lost block is cheaper than
+  reliable-store I/O.
+
+Both are EAGER (a Spark job runs at the call) and truncate lineage —
+the property iterative algorithms need so the plan doesn't grow
+unboundedly round over round.
+
+``setCheckpointDir`` mutates GLOBAL SparkContext state (and nests a
+fresh UUID subdir per call), so the reliable path is scoped: the dir
+is set once per algorithm run and the previous value restored after —
+a caller-scoped temp dir (e.g. a pytest ``tmp_path``) must not leak
+into later, unrelated ``checkpoint()`` calls on the same shared
+session. Spark has no unset, so a previously-UNSET dir does stay set
+after the scope — the one documented residue.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterator
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _resolve_dir(checkpoint_dir: str | None) -> str | None:
+    return checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+
+
+@contextmanager
+def checkpoint_scope(
+    spark: SparkSession, checkpoint_dir: str | None = None
+) -> Iterator[Callable[[DataFrame], DataFrame]]:
+    """Yield an eager ``DataFrame -> DataFrame`` materializer.
+
+    With a configured dir the materializer is reliable
+    ``checkpoint()`` — the SparkContext checkpoint dir is set ONCE for
+    the scope and restored on exit; without one it is
+    ``localCheckpoint()`` and no global state is touched. Iterative
+    operators call this once around their loop so N rounds don't
+    re-set the dir N times.
+    """
+    resolved = _resolve_dir(checkpoint_dir)
+    if not resolved:
+        yield lambda df: df.localCheckpoint(eager=True)
+        return
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    sc.setCheckpointDir(resolved)
+    try:
+        yield lambda df: df.checkpoint(eager=True)
+    finally:
+        if prev is not None:
+            sc.setCheckpointDir(prev)
+
+
+def eager_checkpoint(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:
+    """One-shot form of :func:`checkpoint_scope` for a single frame."""
+    with checkpoint_scope(df.sparkSession, checkpoint_dir) as ck:
+        return ck(df)

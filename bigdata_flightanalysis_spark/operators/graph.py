@@ -16,10 +16,14 @@ Scale notes:
   ``collect_set`` of neighbor lists, so a celebrity node (a boilerplate
   doc near-duplicating millions of pages) never materializes its whole
   neighborhood in one task; the per-node min is a partial aggregate.
-- ``localCheckpoint`` every round truncates lineage — iterative Spark
-  without it re-executes the whole chain each action and the plan
-  grows unboundedly. On a cluster this would be ``checkpoint()`` to
-  HDFS for fault tolerance; local mode has no reliable storage.
+- Every round is eagerly checkpointed to truncate lineage — iterative
+  Spark without it re-executes the whole chain each action and the
+  plan grows unboundedly. The posture is selectable (see
+  ``operators/checkpointing.py``): with a ``checkpoint_dir`` argument
+  or ``SPARK_GRAFT_CHECKPOINT_DIR`` set, rounds land on reliable
+  shared storage (HDFS/object store) so a lost executor doesn't kill
+  the job mid-iteration — the right cluster posture; local mode
+  defaults to ``localCheckpoint``.
 - Convergence is detected by an edge-set checksum (count + xor-ish
   hash sum), one cheap aggregate per round instead of a full
   ``exceptAll`` anti-join.
@@ -29,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from bigdata_flightanalysis_spark.operators.checkpointing import checkpoint_scope
 
 
 def _oriented(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -82,27 +88,40 @@ def _checksum(o: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    *,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (node, component) for every node appearing in ``edges``,
     where component is the MINIMUM node id of its connected component
     (a deterministic canonical label). Undirected: (a,b) ≡ (b,a).
+
+    ``checkpoint_dir`` (or ``SPARK_GRAFT_CHECKPOINT_DIR``) switches
+    the per-round lineage truncation to reliable ``checkpoint()`` —
+    required on a multi-executor cluster, where a lost
+    ``localCheckpoint`` block fails the job mid-iteration.
     """
-    o = _oriented(edges, src, dst).localCheckpoint()
-    if o.isEmpty():
-        schema_src = edges.schema[src].dataType
-        return edges.sparkSession.createDataFrame(
-            [], f"node {schema_src.simpleString()}, component {schema_src.simpleString()}"
-        )
-    prev = _checksum(o)
-    converged = False
-    for _ in range(max_iter):
-        o = _small_star(_large_star(o)).localCheckpoint()
-        cur = _checksum(o)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+    with checkpoint_scope(edges.sparkSession, checkpoint_dir) as ck:
+        o = ck(_oriented(edges, src, dst))
+        if o.isEmpty():
+            schema_src = edges.schema[src].dataType
+            return edges.sparkSession.createDataFrame(
+                [],
+                f"node {schema_src.simpleString()},"
+                f" component {schema_src.simpleString()}",
+            )
+        prev = _checksum(o)
+        converged = False
+        for _ in range(max_iter):
+            o = ck(_small_star(_large_star(o)))
+            cur = _checksum(o)
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
     if not converged:
         # The star-forest extraction below is only valid on a
         # converged edge set; silently returning would hand members
@@ -139,6 +158,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 10,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Deterministic distributed PageRank (fixed iteration count).
 
@@ -148,8 +168,10 @@ def pagerank(
 
     - contributions are a partial aggregate — a hub's out-edges are
       summed map-side, never collected into one task;
-    - ``localCheckpoint`` per round truncates the growing lineage
-      (``checkpoint()`` on a cluster);
+    - each round's lineage is truncated eagerly; ``checkpoint_dir``
+      (or ``SPARK_GRAFT_CHECKPOINT_DIR``) selects reliable
+      ``checkpoint()`` for cluster fault tolerance, local mode
+      defaults to ``localCheckpoint``;
     - the degree frame is computed once and re-joined per round on the
       same key, so AQE reuses the exchange where possible;
     - rank sums accumulate in DECIMAL(38,18) and cast back to double
@@ -166,41 +188,40 @@ def pagerank(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    e_deg = e.join(out_deg, "src").localCheckpoint()  # (src, dst, deg)
+    with checkpoint_scope(edges.sparkSession, checkpoint_dir) as ck:
+        nodes = ck(
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        n = nodes.count()
+        out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        e_deg = ck(e.join(out_deg, "src"))  # (src, dst, deg)
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - damping) / n
-    for _ in range(iterations):
-        contribs = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("deg")).alias("c"),
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+        base = (1.0 - damping) / n
+        for _ in range(iterations):
+            contribs = (
+                e_deg.join(ranks, e_deg.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"),
+                )
+                .groupBy("node")
+                .agg(
+                    F.sum(F.col("c").cast("decimal(38,18)"))
+                    .cast("double")
+                    .alias("in_sum")
+                )
             )
-            .groupBy("node")
-            .agg(
-                F.sum(F.col("c").cast("decimal(38,18)"))
-                .cast("double")
-                .alias("in_sum")
+            ranks = ck(
+                nodes.join(contribs, "node", "left").select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                    ).alias("rank"),
+                )
             )
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
-        )
     return ranks

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
 #: bits per dimension (8 → 256 buckets per column; z fits in a long
 #: for up to 8 dimensions).
@@ -48,15 +49,29 @@ def _interleave(bucket_cols: list[Column], bits: int) -> Column:
     return z
 
 
+def _as_double(df: DataFrame, c: str) -> Column:
+    """Monotone double view of a column for bucketing. DATE is not
+    castable to DOUBLE in Spark, so it goes through ``unix_date``;
+    timestamps (tz and ntz) through ``unix_micros`` — only
+    monotonicity matters for equi-width buckets, not the unit."""
+    dt = df.schema[c].dataType
+    if isinstance(dt, DateType):
+        return F.unix_date(F.col(c)).cast("double")
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+    return F.col(c).cast("double")
+
+
 def zorder_value(
     df: DataFrame, cols: list[str], *, bits: int = ZORDER_BITS
 ) -> DataFrame:
     """Append a ``__z`` column: the Z-order key over ``cols``.
 
     Buckets are equi-width over each column's global [min, max]
-    (numeric/date/timestamp columns; cast to double for bucketing
-    only). The stats frame is ONE row — broadcast-joined, so the
-    lineage contains a tiny extra aggregate instead of a driver
+    (numeric/date/timestamp columns; converted to a monotone double
+    for bucketing only — dates via ``unix_date``, timestamps via
+    ``unix_micros``). The stats frame is ONE row — broadcast-joined,
+    so the lineage contains a tiny extra aggregate instead of a driver
     round-trip.
     """
     if not cols:
@@ -68,8 +83,8 @@ def zorder_value(
             m
             for c in cols
             for m in (
-                F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+                F.min(_as_double(df, c)).alias(f"__min_{c}"),
+                F.max(_as_double(df, c)).alias(f"__max_{c}"),
             )
         ]
     )
@@ -80,7 +95,7 @@ def zorder_value(
         lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
         # width_bucket returns 1..n+1 on [lo, hi]; clamp the hi edge and
         # degenerate (constant-column) case into the valid 0..n-1 range.
-        b = F.width_bucket(F.col(c).cast("double"), lo, hi, F.lit(n_buckets))
+        b = F.width_bucket(_as_double(df, c), lo, hi, F.lit(n_buckets))
         buckets.append(
             F.least(F.greatest(b - 1, F.lit(0)), F.lit(n_buckets - 1))
         )

@@ -153,7 +153,13 @@ def load_all() -> dict[str, EngineQuery]:
     # window (exactly how four promised queries and four misspelled
     # backfill names went unchecked in round 4).
     missing = set(_VERIFY_FIRST) - REGISTRY.keys()
-    assert not missing, f"_VERIFY_FIRST names not in registry: {sorted(missing)}"
+    if missing:
+        # An explicit raise, not assert: assert is stripped under
+        # ``python -O``, which would re-enable the silent-drop failure
+        # mode this check exists to prevent.
+        raise RuntimeError(
+            f"_VERIFY_FIRST names not in registry: {sorted(missing)}"
+        )
     ordered = {n: REGISTRY[n] for n in _VERIFY_FIRST}
     ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
     return ordered

@@ -419,30 +419,20 @@ def _candidate_pairs(
         materialize = table_bytes(sf_dir, "documents") >= MATERIALIZE_SIGNATURES_BYTES
     sig = _signatures(spark, sf_dir)
     if materialize:
-        # Two materialization postures, selectable per deployment
-        # (checkpoint_dir argument, or the SPARK_GRAFT_CHECKPOINT_DIR
-        # env contract):
-        # - reliable checkpoint (dir set): signature blocks land on
-        #   shared storage (HDFS/object store) — survives executor
-        #   loss, the right 100 TB posture for a multi-executor
-        #   cluster where a lost localCheckpoint block fails the job.
-        # - localCheckpoint (default): EXECUTOR-LOCAL storage; right
-        #   for single-JVM local mode (signatures ~10^-4 of corpus
-        #   bytes, re-run on failure cheap vs reliable-store I/O).
-        # Both are eager (a Spark job runs at construction time) and
-        # truncate lineage so both join sides read the materialized
-        # signatures: exactly one corpus scan, plan-asserted in
+        # Reliable checkpoint when a dir is configured (checkpoint_dir
+        # argument or the SPARK_GRAFT_CHECKPOINT_DIR env contract),
+        # localCheckpoint otherwise — see operators/checkpointing.py
+        # for the posture trade-off and the global-state hygiene
+        # (previous checkpoint dir restored after the eager job).
+        # Either way the signature table (one narrow row per doc —
+        # ~10^-4 of corpus bytes) is materialized so both join sides
+        # read it: exactly one corpus scan, plan-asserted in
         # tests/test_plans.py.
-        import os
-
-        checkpoint_dir = checkpoint_dir or os.environ.get(
-            "SPARK_GRAFT_CHECKPOINT_DIR"
+        from bigdata_flightanalysis_spark.operators.checkpointing import (
+            eager_checkpoint,
         )
-        if checkpoint_dir:
-            spark.sparkContext.setCheckpointDir(checkpoint_dir)
-            sig = sig.checkpoint(eager=True)
-        else:
-            sig = sig.localCheckpoint(eager=True)
+
+        sig = eager_checkpoint(sig, checkpoint_dir)
     band_structs = F.array(
         *[
             F.struct(

@@ -111,6 +111,68 @@ def test_near_dup_reliable_checkpoint_mode(spark, tmp_path):
     )
 
 
+def test_graph_ops_reliable_checkpoint_mode(spark, tmp_path):
+    """Iterative graph ops honor the same reliable-checkpoint contract
+    as the dedup pipeline: with a checkpoint dir, every round lands in
+    it (cluster fault tolerance) and results are identical to the
+    localCheckpoint default — bit-identical for pagerank, whose sums
+    accumulate in decimal."""
+    import os
+
+    from bigdata_flightanalysis_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
+    from bigdata_flightanalysis_spark.queries.text import _candidate_pairs
+
+    pairs = _candidate_pairs(spark, SF).localCheckpoint()
+    ckpt = str(tmp_path / "graph-ckpt")
+    cc_local = sorted(
+        map(tuple, connected_components(pairs, "doc_a", "doc_b").collect())
+    )
+    cc_rel = sorted(
+        map(
+            tuple,
+            connected_components(
+                pairs, "doc_a", "doc_b", checkpoint_dir=ckpt
+            ).collect(),
+        )
+    )
+    assert cc_rel == cc_local
+    written = [f for _r, _d, files in os.walk(ckpt) for f in files]
+    assert written, "reliable checkpoint dir is empty"
+
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    pr_local = {r["node"]: r["rank"] for r in pagerank(edges, iterations=3).collect()}
+    pr_rel = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=3, checkpoint_dir=ckpt).collect()
+    }
+    assert pr_rel == pr_local
+
+
+def test_dup_clusters_hash_stable_under_env_checkpoint_dir(
+    spark, registry, tmp_path, monkeypatch
+):
+    """The full registry query (doc_dup_clusters) run under the
+    SPARK_GRAFT_CHECKPOINT_DIR env contract must produce the same rows
+    as the default posture — the deployment switch cannot change
+    answers — and must leave the session's checkpoint dir as it found
+    it (no tmp-dir leakage into later checkpoint() calls)."""
+    fn = registry["doc_dup_clusters"].fn
+    baseline = [tuple(r) for r in fn(spark, SF).collect()]
+    prev_dir = spark.sparkContext.getCheckpointDir()
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    rel = [tuple(r) for r in fn(spark, SF).collect()]
+    assert rel == baseline
+    if prev_dir is not None:
+        # restore nests one UUID level under the previous root (Spark
+        # has no plain setter), so assert no tmp-dir leakage rather
+        # than exact equality
+        after = spark.sparkContext.getCheckpointDir() or ""
+        assert str(tmp_path) not in after
+
+
 def test_no_python_row_udfs_in_oracle_queries(spark, registry):
     """BatchEvalPython (row-at-a-time Python UDF) must never appear;
     ArrowEvalPython/mapInPandas only in the multimodal path."""

@@ -146,6 +146,39 @@ def test_zorder_layout_narrows_all_dimensions(spark):
     assert avg(z_part) < 0.6
 
 
+def test_zorder_value_accepts_date_and_timestamp_columns(spark):
+    """DATE is not castable to DOUBLE in Spark, so zorder_value must
+    convert temporal columns itself (unix_date / unix_micros) — the
+    docstring's claimed support, previously only reachable if callers
+    pre-converted. The z-keys must equal the pre-converted form's:
+    unix_date is an affine (monotone, equal-width-preserving) map."""
+    from bigdata_flightanalysis_spark.operators.layout import zorder_value
+
+    li = read_table(spark, SF, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        "l_partkey",
+    )
+    assert dict(li.dtypes)["l_shipdate"] == "date"
+    direct = zorder_value(li, ["l_shipdate", "l_partkey"])
+    pre = zorder_value(
+        li.withColumn("l_shipdate", F.unix_date("l_shipdate")),
+        ["l_shipdate", "l_partkey"],
+    )
+    key = ["l_orderkey", "l_linenumber", "l_partkey"]
+    a = sorted((tuple(r[k] for k in key), r["__z"]) for r in direct.collect())
+    b = sorted((tuple(r[k] for k in key), r["__z"]) for r in pre.collect())
+    assert a == b
+
+    ts = li.withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("timestamp")
+    )
+    via_ts = zorder_value(ts, ["l_shipdate", "l_partkey"])
+    c = sorted((tuple(r[k] for k in key), r["__z"]) for r in via_ts.collect())
+    assert a == c  # µs scaling is affine too — same buckets
+
+
 def test_zorder_value_is_deterministic_and_bounded(spark):
     from bigdata_flightanalysis_spark.operators.layout import (
         ZORDER_BITS,
