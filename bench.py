@@ -7,6 +7,11 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with a count() action (no driver materialization
 of payloads); a warmup pass primes the JVM/codegen so the numbers
 measure the plans, not classloading.
+
+Besides the headline set (precise, first-class numbers) the run ends
+with a SWEEP: every remaining registry query once (n=1, coarse) under
+the "sweep" key — a pathological plan in the unbenched tail can't
+hide.
 """
 
 from __future__ import annotations
@@ -68,29 +73,15 @@ HEADLINE = [
 ]
 
 
-def _doc_near_dup_candidates_largemode(spark, sf_dir):
-    from bigdata_flightanalysis_spark.queries.text import _candidate_pairs
-
-    return _candidate_pairs(spark, sf_dir, materialize=True).orderBy(
-        "doc_a", "doc_b"
-    )
-
-
-def _embed_near_dup_pairs_largemode(spark, sf_dir):
-    from bigdata_flightanalysis_spark.queries.similarity import embed_near_dup_pairs
-
-    return embed_near_dup_pairs(spark, sf_dir, n_blocks=8)
-
-
 # The two LSH paths switch plan shape above a corpus-size threshold
 # (signature materialization / triangular pair blocking). The bench SFs
-# sit below the switches, so force large mode here: its overhead at
-# small SF is a tracked number, not a comment. Acceptable ratio vs the
-# small-mode twin: <= 2x.
-LARGE_MODE = {
-    "doc_near_dup_candidates_largemode": _doc_near_dup_candidates_largemode,
-    "embed_near_dup_pairs_largemode": _embed_near_dup_pairs_largemode,
-}
+# sit below the switches, so the forced-large-mode registry twins are
+# benched too: their overhead at small SF is a tracked number, not a
+# comment. Acceptable ratio vs the small-mode twin: <= 2x.
+HEADLINE += [
+    "doc_near_dup_candidates_largemode",
+    "embed_near_dup_pairs_largemode",
+]
 
 
 def main() -> None:
@@ -123,8 +114,20 @@ def main() -> None:
 
     for name in HEADLINE:
         timed(name, registry[name].fn)
-    for name, fn in LARGE_MODE.items():
-        timed(name, fn)
+
+    # Sweep: every registry query not in the headline set, once each
+    # (n=1 — coarse, but a pathological plan in the long tail can't
+    # hide; headline queries carry the precise numbers).
+    sweep: dict[str, float] = {}
+    for name, q in registry.items():
+        if name in timings or name in errors:
+            continue
+        t0 = time.perf_counter()
+        try:
+            q.fn(spark, sf_dir).count()
+            sweep[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 — bench must survive any query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -136,6 +139,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "sweep": sweep,
+        "sweep_total": round(sum(sweep.values()), 4),
         "sf": sf_val,
     }
     if errors:

@@ -55,78 +55,67 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-5 rotation. Priority: (1) the four queries that are genuinely
-# new this round (PII redaction, URL domains, bloom pre-join pruning);
-# (2) the three events queries repaired from the PySpark 4.1
-# TIMESTAMP_NTZ regression plus the batch twin of the chained
-# streaming query — the driver, not just pytest, must prove the fix;
-# (3) the four queries that silently fell out of round 4's window
-# because the rotation listed them under wrong names (last row: r2);
-# (4) staleness backfill: the r1-checked relational family, then
-# r2-checked sampling/embedding/text-ext/multimodal families.
+# Round-6 rotation. Priority: (1) queries new or contract-changed this
+# round — the two forced-large-mode plan twins and the PageRank
+# canonical query, which just left the rows-only list (unrolled
+# fixed-iteration SQL oracle); (2) every query whose latest driver row
+# is r2/r3 (the r5 verdict's staleness list) so all 127 registry
+# queries end the round with a row dated r4 or later; (3) backfill
+# with the oldest of the r4-dated rows.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) new this round — never driver-checked
-    "doc_pii_redaction",
-    "doc_url_domains",
-    "bloom_filtered_lineitem_revenue",
-    "orders_anti_bloom_check",
-    "doc_chunk_windows",
-    "doc_dedup_keep_best",
-    "part_affinity_topk",
-    "events_minutely_gapfill",
-    "doc_minhash_estimate_vs_exact",
-    "customer_value_deciles",
-    "nation_share_of_region_revenue",
-    # (2) repaired from the NTZ regression + chained-streaming twin
-    "events_asof_purchase_click",
-    "events_range_join_error_context",
-    "events_sessionization_gaps",
-    "events_sliding_distinct_users",
-    # (3) dropped from r4's window by bad rotation names
-    "q8_market_share",
-    "q11_important_parts",
-    "q16_supplier_part_counts",
-    "q22_idle_rich_customers",
-    # (4a) stalest backfill — r1-checked relational family
-    "revenue_by_region",
-    "segments_of_open_order_customers",
-    "parts_never_ordered",
-    "top_customers_per_segment",
-    "supplier_running_revenue",
-    "order_priority_tiers",
-    "orderdate_parts",
-    "delayed_order_label",
-    "returnflag_in_list",
-    "distinct_flag_status",
-    "count_distinct_parts",
-    "union_priority_extremes",
-    "approx_distinct_users_by_type",
-    "order_value_quartiles",
-    "q12_priority_by_flag",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    # (4b) r2-checked sampling / embedding extras
-    "doc_train_test_split",
-    "doc_stratified_sample",
-    "doc_pack_sequences",
-    "doc_quality_weighted_sample",
-    "embed_label_centroids",
-    "kmeans_embedding_clusters",
-    "embed_quantized_topk",
-    # (4c) r2-checked text-ext family
-    "doc_repetition_scores",
-    "doc_ngram_topk",
-    "doc_source_mixture_weights",
-    "doc_length_histogram",
-    "doc_salient_terms",
-    "doc_boilerplate_density",
-    "doc_term_first_positions",
+    # (1) new / contract-changed this round
+    "doc_near_dup_candidates_largemode",
+    "embed_near_dup_pairs_largemode",
     "doc_dup_canonical_pagerank",
-    # (4d) r2/r4-checked multimodal family
+    # (2) last driver-checked in r2/r3
+    "flagship_top_segments",
     "multimodal_payload_stats",
     "multimodal_feature_extract",
     "multimodal_frame_sampling",
+    "doc_term_first_positions",
+    "events_funnel",
+    "events_user_activity_ranked",
+    "events_heavy_hitters_topk",
+    "events_key_skew_profile",
+    "events_monthly_active_users",
+    "events_load_heatmap",
+    "events_cohort_retention",
+    "events_hourly_anomalies",
+    "status_first_last_orders",
+    "max_order_per_status_argmax",
+    "order_price_percentile_rank",
+    "brand_number_histogram",
+    "lineitem_safe_math",
+    "supplier_trailing_week_quantity",
+    "orders_quality_report",
+    "status_priority_sets",
+    "customer_scd2_merge",
+    "order_metrics_unpivot",
+    "customer_order_recency",
+    # (3) oldest r4-dated rows as backfill for the rest of the window
+    "cube_flag_status",
+    "doc_bpe_token_stats",
+    "doc_decontamination",
+    "doc_dup_clusters",
+    "doc_exact_dedup",
+    "doc_fingerprints",
+    "doc_jaccard_pairs_sample",
+    "doc_langid",
+    "doc_minhash_signatures",
+    "doc_near_dup_candidates",
+    "doc_near_dup_edit_distance",
+    "doc_quality_scores",
+    "doc_simhash",
+    "doc_simhash_near_dup",
+    "doc_token_stats",
+    "embed_cosine_topk",
+    "embed_ivf_topk",
+    "embed_lsh_topk",
+    "embed_near_dup_pairs",
+    "embed_quantize_int8",
+    "events_dedup_first_per_user_type",
+    "events_json_extract",
+    "events_session_windows",
 )
 
 

@@ -238,9 +238,7 @@ NEAR_DUP_TAU = 0.35
 PAIR_BLOCKING_BYTES = 1 << 30
 
 
-@register(
-    "embed_near_dup_pairs",
-    oracle=f"""
+_SQL_EMBED_NEAR_DUP_ORACLE = f"""
         WITH b AS (
             SELECT vec_id, embedding,
                    {_sql_bucket("embedding", NEAR_DUP_PLANES)} AS bucket
@@ -251,7 +249,12 @@ PAIR_BLOCKING_BYTES = 1 << 30
         FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {NEAR_DUP_TAU}
         ORDER BY vec_a, vec_b
-    """,
+    """
+
+
+@register(
+    "embed_near_dup_pairs",
+    oracle=_SQL_EMBED_NEAR_DUP_ORACLE,
     description="Embedding-cosine near-duplicate pairs: "
     f"{NEAR_DUP_PLANES}-plane sign-LSH bucket equi-join prunes the "
     f"quadratic pair space, exact cosine ≥ {NEAR_DUP_TAU} confirms. On "
@@ -288,6 +291,24 @@ def embed_near_dup_pairs(
         .filter(F.col("cosine") >= NEAR_DUP_TAU)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "embed_near_dup_pairs_largemode",
+    oracle=_SQL_EMBED_NEAR_DUP_ORACLE,
+    description="The FORCED skew-blocked plan of embed_near_dup_pairs "
+    "(n_blocks=8): the LSH-bucket self-join runs through triangular "
+    "pair blocking so a hot bucket's quadratic pair block spreads over "
+    "S(S+1)/2 reducers — the shape the pipeline switches to above "
+    "PAIR_BLOCKING_BYTES. Same oracle, same rows; registered so the "
+    "correctness harness exercises the blocked physical plan the "
+    "100 TB path actually runs.",
+    tags=("similarity", "dedup", "lsh", "skew", "largemode"),
+)
+def embed_near_dup_pairs_largemode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return embed_near_dup_pairs(spark, sf_dir, n_blocks=8)
 
 
 @register(

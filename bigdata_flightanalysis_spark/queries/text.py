@@ -364,13 +364,16 @@ _SQL_PAIRS_SELECT = """
 """
 
 
-@register(
-    "doc_near_dup_candidates",
-    oracle=f"""
+_SQL_NEAR_DUP_ORACLE = f"""
         WITH {_SQL_SIG_CTE}, {_SQL_BANDS_CTE}
         {_SQL_PAIRS_SELECT}
         ORDER BY doc_a, doc_b
-    """,
+    """
+
+
+@register(
+    "doc_near_dup_candidates",
+    oracle=_SQL_NEAR_DUP_ORACLE,
     description="MinHash-LSH candidate pairs: band the signature "
     f"({N_PERM // BAND_SIZE} bands × {BAND_SIZE}), hash each band to a "
     "bucket, self-join on (band, bucket) — the join is on the bucket "
@@ -379,6 +382,27 @@ _SQL_PAIRS_SELECT = """
 )
 def doc_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _candidate_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "doc_near_dup_candidates_largemode",
+    oracle=_SQL_NEAR_DUP_ORACLE,
+    description="The FORCED large-corpus plan of doc_near_dup_candidates: "
+    "signatures eagerly checkpointed so the corpus parquet is scanned "
+    "exactly once and both self-join sides read the materialized "
+    "signature table — the shape the pipeline switches to above "
+    "MATERIALIZE_SIGNATURES_BYTES (1 GiB). Same oracle, same rows; "
+    "registered separately so the correctness harness exercises the "
+    "checkpointed physical plan the 100 TB path actually runs, not "
+    "just the small-corpus recompute plan.",
+    tags=("text", "dedup", "minhash", "lsh", "largemode"),
+)
+def doc_near_dup_candidates_largemode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _candidate_pairs(spark, sf_dir, materialize=True).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 # Above this corpus size the signature table is materialized before the
@@ -847,9 +871,84 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed iteration count shared by the Spark run and the unrolled SQL
+# oracle below.
+PAGERANK_ITERS = 5
+
+
+def _sql_pagerank_iterations(n_iters: int) -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs (r1..rN).
+
+    Iterative != non-SQL-expressible when the iteration count is
+    FIXED: each power-iteration round is one join + one aggregate, so
+    N rounds are N chained CTEs — no recursion needed. The arithmetic
+    mirrors operators/graph.py:pagerank op for op (same IEEE double
+    divisions/multiplies, contributions summed in DECIMAL(38,18) so
+    the sum is order-invariant in both engines): structurally-
+    symmetric nodes get bit-equal ranks within each engine, so rank
+    ties resolve by the same doc_id tie-break on both sides, and
+    non-tied ranks are separated by far more than any cross-engine
+    last-ulp drift. The query output carries no floats, making the
+    comparison exact.
+    """
+    its = []
+    for k in range(1, n_iters + 1):
+        its.append(f"""r{k} AS (
+            SELECT n2.node,
+                   ((1.0 - 0.85) / nn.n)
+                   + 0.85 * COALESCE(CAST(s.in_sum AS DOUBLE), 0.0) AS rank
+            FROM nodes n2 CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.d AS node,
+                       SUM(CAST(r.rank / e.deg AS DECIMAL(38,18))) AS in_sum
+                FROM r{k - 1} r JOIN ed e ON e.s = r.node
+                GROUP BY e.d
+            ) s ON s.node = n2.node
+        )""")
+    return ", ".join(its)
+
+
 @register(
     "doc_dup_canonical_pagerank",
-    oracle=None,  # iterative PageRank — not SQL-expressible (rows-only)
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SIG_CTE}, {_SQL_BANDS_CTE}, pairs AS (
+            {_SQL_PAIRS_SELECT}
+        ), edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ), nodes AS (
+            SELECT DISTINCT s AS node FROM edges
+        ), nn AS (
+            SELECT COUNT(*) AS n FROM nodes
+        ), deg AS (
+            SELECT s, COUNT(*) AS deg FROM edges GROUP BY s
+        ), ed AS (
+            SELECT e.s, e.d, g.deg FROM edges e JOIN deg g ON g.s = e.s
+        ), r0 AS (
+            SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+        ), {_sql_pagerank_iterations(PAGERANK_ITERS)},
+        cc(node, lbl) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT e.d, cc.lbl FROM cc JOIN edges e ON e.s = cc.node
+            WHERE cc.lbl < e.d
+        ), labels AS (
+            SELECT node, MIN(lbl) AS component FROM cc GROUP BY node
+        ), sel AS (
+            SELECT l.component AS cluster_id, r.node,
+                   row_number() OVER (
+                       PARTITION BY l.component
+                       ORDER BY r.rank DESC, r.node ASC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY l.component) AS n_members
+            FROM labels l JOIN r{PAGERANK_ITERS} r ON r.node = l.node
+        )
+        SELECT cluster_id, node AS canonical_doc_id,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM sel WHERE rn = 1
+        ORDER BY cluster_id
+    """,
     description="Canonical-doc selection by PageRank: rank the "
     "MinHash-LSH similarity graph (operators/graph.py:pagerank — "
     "decimal-accumulated, partition-order-invariant) and pick each "
@@ -858,7 +957,11 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "clusters mix originals with mutilated copies: the most-connected "
     "variant is the best keep. Iterative scatter/gather per round, "
     "lineage truncated; cluster assignment reuses the same "
-    "connected-components frame as doc_dup_clusters.",
+    "connected-components frame as doc_dup_clusters. ORACLE-EXACT "
+    f"despite being iterative: the fixed {PAGERANK_ITERS}-round power "
+    "iteration unrolls into chained SQL CTEs with op-identical "
+    "arithmetic, and the (cluster_id, canonical_doc_id, n_members) "
+    "contract contains no floats (see _sql_pagerank_iterations).",
     tags=("text", "dedup", "graph", "pagerank"),
 )
 def doc_dup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,23 +981,24 @@ def doc_dup_canonical_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    ranks = pagerank(edges, iterations=5)
+    ranks = pagerank(edges, iterations=PAGERANK_ITERS)
     cc = connected_components(pairs, "doc_a", "doc_b")  # (node, component)
     best = (
         cc.join(ranks, "node")
         .groupBy("component")
         .agg(
+            F.count("*").alias("n_members"),
             F.max(
                 F.struct(
                     F.col("rank").alias("r"),
                     (-F.col("node")).alias("neg_id"),
                 )
-            ).alias("m")
+            ).alias("m"),
         )
         .select(
             F.col("component").alias("cluster_id"),
             (-F.col("m.neg_id")).alias("canonical_doc_id"),
-            F.col("m.r").alias("canonical_rank"),
+            F.col("n_members"),
         )
     )
     return best.orderBy("cluster_id")
