@@ -159,6 +159,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Deterministic distributed PageRank (fixed iteration count).
 
@@ -168,10 +169,15 @@ def pagerank(
 
     - contributions are a partial aggregate — a hub's out-edges are
       summed map-side, never collected into one task;
-    - each round's lineage is truncated eagerly; ``checkpoint_dir``
-      (or ``SPARK_GRAFT_CHECKPOINT_DIR``) selects reliable
-      ``checkpoint()`` for cluster fault tolerance, local mode
-      defaults to ``localCheckpoint``;
+    - lineage is truncated eagerly every ``checkpoint_interval``
+      rounds (plus always after the last): one pagerank round is a
+      shallow join+agg, so per-round materialization buys nothing but
+      job-launch overhead until the chain deepens — unlike
+      connected_components, whose self-referencing rounds double the
+      plan each iteration and must truncate every time.
+      ``checkpoint_dir`` (or ``SPARK_GRAFT_CHECKPOINT_DIR``) selects
+      reliable ``checkpoint()`` for cluster fault tolerance, local
+      mode defaults to ``localCheckpoint``;
     - the degree frame is computed once and re-joined per round on the
       same key, so AQE reuses the exchange where possible;
     - rank sums accumulate in DECIMAL(38,18) and cast back to double
@@ -200,7 +206,7 @@ def pagerank(
 
         ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
         base = (1.0 - damping) / n
-        for _ in range(iterations):
+        for it in range(iterations):
             contribs = (
                 e_deg.join(ranks, e_deg.src == ranks.node)
                 .select(
@@ -214,14 +220,14 @@ def pagerank(
                     .alias("in_sum")
                 )
             )
-            ranks = ck(
-                nodes.join(contribs, "node", "left").select(
-                    "node",
-                    (
-                        F.lit(base)
-                        + F.lit(damping)
-                        * F.coalesce(F.col("in_sum"), F.lit(0.0))
-                    ).alias("rank"),
-                )
+            ranks = nodes.join(contribs, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
             )
+            if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
+                ranks = ck(ranks)
     return ranks
