@@ -81,6 +81,7 @@ HEADLINE = [
 HEADLINE += [
     "doc_near_dup_candidates_largemode",
     "embed_near_dup_pairs_largemode",
+    "doc_near_dup_incremental",
 ]
 
 

@@ -320,10 +320,10 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures(spark, sf_dir).orderBy("doc_id")
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unsorted signature table — what downstream consumers (the banded
-    self-join) use; only the registry query pays a presentation sort.
-    """
+def _signatures_of(docs: DataFrame) -> DataFrame:
+    """MinHash signatures for any (doc_id, text) frame — the reusable
+    core behind both the full-corpus pipeline and the incremental
+    batch path."""
     # Shape matters at scale: explode shingles to rows so each shingle
     # string is built and md5'd ONCE, then permuted N_PERM ways with
     # two multiplies each. The previous form (16 salted md5s per
@@ -331,7 +331,6 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-array alternative without explode re-inlines the
     # tokenize+shingle expressions into every permutation and measured
     # ~50× slower once the near-dup self-join consumed it twice.
-    docs = read_table(spark, sf_dir, "documents")
     exploded = docs.select(
         "doc_id", F.explode(word_shingles(tokenize("text"), 3)).alias("sh")
     )
@@ -344,6 +343,13 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_PERM)
         ]
     )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted signature table — what downstream consumers (the banded
+    self-join) use; only the registry query pays a presentation sort.
+    """
+    return _signatures_of(read_table(spark, sf_dir, "documents"))
 
 
 _SQL_BANDS_CTE = f"""
@@ -362,6 +368,32 @@ _SQL_PAIRS_SELECT = """
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
+
+
+def _band_frame(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows from a signature frame — the LSH
+    band store. One narrow row per doc×band; this is the ONLY artifact
+    of the corpus that banded joins (full or incremental) consume."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_long(
+                    F.concat_ws(
+                        "\x1f",
+                        *[
+                            F.col(f"sig_{b * BAND_SIZE + r}").cast("string")
+                            for r in range(BAND_SIZE)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(N_PERM // BAND_SIZE)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 _SQL_NEAR_DUP_ORACLE = f"""
@@ -403,6 +435,62 @@ def doc_near_dup_candidates_largemode(
     return _candidate_pairs(spark, sf_dir, materialize=True).orderBy(
         "doc_a", "doc_b"
     )
+
+
+#: Every 5th doc plays the "incoming batch"; the rest stand in for the
+#: already-ingested corpus whose band store is persisted.
+_INCR_MOD, _INCR_REM = 5, 4
+
+
+@register(
+    "doc_near_dup_incremental",
+    oracle=f"""
+        WITH {_SQL_SIG_CTE}, {_SQL_BANDS_CTE}
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE a.doc_id % {_INCR_MOD} = {_INCR_REM}
+           OR b.doc_id % {_INCR_MOD} = {_INCR_REM}
+        ORDER BY doc_a, doc_b
+    """,
+    description="INCREMENTAL near-dup: LSH candidate pairs for an "
+    "incoming batch (docs with doc_id % 5 == 4) probed against the "
+    "persisted band store of the already-ingested corpus — the "
+    "near-dup twin of operators/incremental.py's exact-dedup "
+    "fingerprint store. Only the batch's text is shingled and hashed; "
+    "the existing corpus contributes nothing but its (doc_id, band, "
+    "bucket) store (~10^-4 of corpus bytes, one narrow row per "
+    "doc×band), so per-batch cost is O(batch_text + store_join) and "
+    "the historical text is NEVER rescanned. Emits batch-vs-store and "
+    "batch-vs-batch pairs; equivalence with the full-corpus pair set "
+    "restricted to the batch is both the oracle check and "
+    "tests/test_text_ext.py's property.",
+    tags=("text", "dedup", "minhash", "lsh", "incremental"),
+)
+def doc_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % _INCR_MOD) == _INCR_REM
+    # In production the store is a maintained table (append the batch's
+    # bands after each ingest); here it is derived from the "old" slice
+    # once so the query is self-contained on driver testdata.
+    store = _band_frame(_signatures_of(docs.filter(~is_new)))
+    batch = _band_frame(_signatures_of(docs.filter(is_new)))
+    probe_side = store.unionByName(batch)  # batch-vs-store AND batch-vs-batch
+    a, b = batch.alias("a"), probe_side.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 # Above this corpus size the signature table is materialized before the
@@ -457,26 +545,7 @@ def _candidate_pairs(
         )
 
         sig = eager_checkpoint(sig, checkpoint_dir)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                md5_long(
-                    F.concat_ws(
-                        "\x1f",
-                        *[
-                            F.col(f"sig_{b * BAND_SIZE + r}").cast("string")
-                            for r in range(BAND_SIZE)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(N_PERM // BAND_SIZE)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    bands = _band_frame(sig)
     left = bands.alias("a")
     right = bands.alias("b")
     pairs = (

@@ -102,3 +102,23 @@ def test_pagerank_canonical_consistent_with_clusters(spark):
     for cid, doc in canon.items():
         assert doc in clusters[cid], (cid, doc)
         assert len(clusters[cid]) > 1  # only real dup clusters are ranked
+
+
+def test_incremental_near_dup_equals_full_restricted(spark):
+    """The incremental path (batch signatures vs persisted band store)
+    must emit EXACTLY the full-corpus candidate pairs that involve a
+    batch doc — no pair lost by skipping the historical rescan, none
+    invented. This is the replay-safety property that makes the store
+    design sound at 100 TB."""
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in _q("doc_near_dup_candidates")(spark, SF).collect()
+    }
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in _q("doc_near_dup_incremental")(spark, SF).collect()
+    }
+    is_new = lambda d: d % 5 == 4  # noqa: E731 — mirrors _INCR_MOD/_INCR_REM
+    expected = {p for p in full if is_new(p[0]) or is_new(p[1])}
+    assert inc == expected
+    assert inc, "fixture has no batch-involving near-dup pairs"
