@@ -82,6 +82,7 @@ HEADLINE += [
     "doc_near_dup_candidates_largemode",
     "embed_near_dup_pairs_largemode",
     "doc_near_dup_incremental",
+    "embed_pq_topk",
 ]
 
 

@@ -68,6 +68,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embed_near_dup_pairs_largemode",
     "doc_dup_canonical_pagerank",
     "doc_near_dup_incremental",
+    "embed_pq_topk",
     # (2) last driver-checked in r2/r3
     "flagship_top_segments",
     "multimodal_payload_stats",

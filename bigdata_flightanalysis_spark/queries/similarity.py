@@ -670,3 +670,233 @@ def embed_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neighbors",
         (F.col("n_hits") / F.lit(float(TOP_K)) >= 0.9).alias("recall_ge_090"),
     ).orderBy("query_id")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) — the codebook-compression end of the
+# ANN family: int8 keeps 1 byte per DIMENSION, PQ keeps 1 byte per
+# SUBSPACE (here 8 codes for 64 dims = 64× smaller than float64).
+# --------------------------------------------------------------------------
+
+PQ_M = 8            # subspaces
+PQ_SUB_DIM = 8      # 64 dims / 8
+PQ_CODEBOOK_K = 16  # centroids per subspace → 4-bit codes, 16^8 cells
+PQ_TRAIN_N = 2048   # bounded, DETERMINISTIC codebook training sample
+PQ_CAND_MULT = 5    # stage-1 ADC candidates per query = mult × top-k
+
+
+def _pq_codebooks(train: list[list[float]]) -> list[list[list[float]]]:
+    """Seeded numpy Lloyd per subspace on the bounded training sample.
+
+    Codebook training is the one deliberately driver-side step: PQ
+    codebooks never need the full corpus (the canonical recipe trains
+    on a small sample), so the engine collects a FIXED-SIZE,
+    deterministic sample (vec_id-ordered, ≤ PQ_TRAIN_N rows — bounded
+    at any corpus scale, like the compat top-K collect) and runs
+    15 exact Lloyd iterations in numpy. No MLlib fit: 8 subspace
+    KMeans fits cost ~10 s of job overhead at test SF for identical
+    codebook quality from a sample.
+    """
+    import numpy as np
+
+    x = np.asarray(train, dtype=np.float64)
+    books: list[list[list[float]]] = []
+    for m in range(PQ_M):
+        sub = x[:, m * PQ_SUB_DIM : (m + 1) * PQ_SUB_DIM]
+        rng = np.random.default_rng(42 + m)
+        centers = sub[rng.choice(len(sub), PQ_CODEBOOK_K, replace=False)]
+        for _ in range(15):
+            d = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(PQ_CODEBOOK_K):
+                mask = assign == c
+                if mask.any():
+                    centers[c] = sub[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in centers])
+    return books
+
+
+def pq_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detailed PQ-ADC top-k (query_id, neighbor_id, label, cosine,
+    rn). Exposed for tests; the registered query wraps it in the
+    recall-contract summary (codes depend on the seeded codebooks,
+    which no SQL engine reproduces).
+
+    Fully RELATIONAL PQ — codebooks and lookup tables are broadcast
+    relations, not giant literal expressions (a first cut inlined all
+    M×K centroids as literals: ~260 aggregate lambdas, megabyte task
+    binaries, ~10 s of Catalyst/codegen overhead before any data
+    moved; this shape plans in milliseconds):
+
+    - codebooks: a (m, c, center) frame from a bounded deterministic
+      sample (_pq_codebooks — the corpus-size-independent step);
+    - encoding: explode each vector into M subspace rows, broadcast-
+      join the codebook, per-(vec, m) argmin → ONE narrow (vec, m,
+      code) relation, the stored index (PQ_M nibbles/vector);
+    - query tables: same join on the Q×M subspace rows → (query, m,
+      c, dot) — M×K rows per query, broadcast;
+    - stage-1 ADC: equi-join codes with tables on (m, code) and
+      map-side-combined SUM per (query, vec) — approximate inner
+      products with no float vector math against the corpus and no
+      cross join anywhere;
+    - stage-2: exact cosine rerank of the PQ_CAND_MULT×k survivors,
+      as in the int8 path.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    train = [
+        r["e"]
+        for r in emb.orderBy("vec_id").limit(PQ_TRAIN_N).select("e").collect()
+    ]
+    codebooks = _pq_codebooks(train)
+    cb = spark.createDataFrame(
+        [
+            (m, c, codebooks[m][c])
+            for m in range(PQ_M)
+            for c in range(PQ_CODEBOOK_K)
+        ],
+        "m int, c int, center array<double>",
+    )
+
+    # (vec_id, m, sub): each vector split into its M subspace slices
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("e", m * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("sub"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    by_sub = emb.select(
+        "vec_id", F.explode(sub_structs).alias("s")
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+
+    l2 = F.aggregate(
+        F.zip_with("sub", "center", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # encode: argmin centroid per (vec, m) — min over a struct keeps it
+    # a partial-aggregable groupBy, no window
+    codes = (
+        by_sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", F.struct(l2.alias("d"), F.col("c")).alias("dc"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("mn"))
+        .select("vec_id", "m", F.col("mn.c").alias("code"))
+    )
+
+    dot_sub = F.aggregate(
+        F.zip_with("sub", "center", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qtables = (
+        by_sub.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("query_id"), "m", "c", dot_sub.alias("dot")
+        )
+    )
+    # stage 1: ADC scores — M lookup rows per (query, candidate),
+    # summed with map-side combine
+    adc = (
+        codes.join(
+            F.broadcast(qtables),
+            (codes["m"] == qtables["m"]) & (codes["code"] == qtables["c"]),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dot").alias("adc"))
+    )
+    cand_k = PQ_CAND_MULT * TOP_K
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        adc.withColumn("crn", F.row_number().over(w1))
+        .filter(F.col("crn") <= cand_k)
+        .select("query_id", "neighbor_id")
+    )
+    # stage 2: exact float cosine rerank of the survivors only
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("e").alias("ce"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    reranked = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            (dot / (norm(F.col("qe")) * norm(F.col("ce")))).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
+@register(
+    "embed_pq_topk",
+    oracle=f"""
+        SELECT vec_id AS query_id,
+               CAST({TOP_K} AS BIGINT) AS n_neighbors,
+               TRUE AS recall_ge_050
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+        ORDER BY query_id
+    """,
+    description=f"Product-quantization ANN (Jégou et al. 2011): "
+    f"{PQ_M} subspaces × {PQ_CODEBOOK_K} centroids, codebooks trained "
+    "on a bounded deterministic sample, corpus stored as "
+    f"{PQ_M} nibble codes/vector (64× smaller than float64 — the "
+    "memory-footprint end of the ANN family, after int8's 8×). "
+    "Stage-1 asymmetric-distance scoring is fully relational: "
+    "broadcast per-query lookup tables equi-joined to the code "
+    "relation on (subspace, code), summed with map-side combine — no "
+    "cross join, no float vector math against the corpus; stage 2 "
+    f"reranks the {PQ_CAND_MULT}×k ADC survivors with exact cosine. "
+    "The query emits the ANN contract — exactly top-k rows per query "
+    "plus a Spark-computed recall-vs-exact ≥ 0.5 bound (what "
+    f"{PQ_M}×{PQ_CODEBOOK_K} codebooks honestly deliver on isotropic "
+    "synthetic vectors; measured ≥ 0.6 at both test SFs) — the "
+    "oracle expects literal TRUE, so the hash matches iff the bound "
+    "holds. Detailed neighbors: pq_topk_frame(), recall-tested in "
+    "tests/test_ivf.py.",
+    tags=("similarity", "ann", "quantization", "pq"),
+)
+def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rec = _recall_vs_exact(
+        pq_topk_frame(spark, sf_dir), embed_cosine_topk(spark, sf_dir)
+    )
+    return rec.select(
+        "query_id",
+        "n_neighbors",
+        (F.col("n_hits") / F.lit(float(TOP_K)) >= 0.5).alias("recall_ge_050"),
+    ).orderBy("query_id")

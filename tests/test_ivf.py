@@ -13,6 +13,7 @@ from __future__ import annotations
 from bigdata_flightanalysis_spark.queries.catalog import load_all
 from bigdata_flightanalysis_spark.queries.similarity import (
     ivf_topk_frame,
+    pq_topk_frame,
     quantized_topk_frame,
 )
 
@@ -71,6 +72,26 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert hits / total >= 0.9, f"recall {hits}/{total}"
 
 
+def test_pq_topk_invariants_and_recall(spark):
+    """PQ-ADC candidates + float rerank: exactly k rows per query,
+    deterministic (seeded sample codebooks + tie-broken windows), and
+    recall above the registered contract floor with margin."""
+    reg = load_all()
+    pq = pq_topk_frame(spark, SF)
+    a = sorted(map(tuple, pq.collect()))
+    b = sorted(map(tuple, pq_topk_frame(spark, SF).collect()))
+    assert a == b  # deterministic end to end
+    by_q = {}
+    for row in pq.collect():
+        by_q.setdefault(row["query_id"], []).append(row)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 10 for v in by_q.values())
+    exact = _pairs(reg["embed_cosine_topk"].fn(spark, SF))
+    got = _pairs(pq)
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"PQ recall below contract floor: {recall}"
+
+
 def test_registered_ann_contract_rows_all_true(spark):
     """The driver-facing queries must emit an all-true contract at
     every test SF (the oracle side is literal TRUE)."""
@@ -79,6 +100,7 @@ def test_registered_ann_contract_rows_all_true(spark):
         for name, flag in (
             ("embed_ivf_topk", "recall_ge_030"),
             ("embed_quantized_topk", "recall_ge_090"),
+            ("embed_pq_topk", "recall_ge_050"),
         ):
             rows = reg[name].fn(spark, sf).collect()
             assert [r["query_id"] for r in rows] == [0, 1, 2, 3, 4]
