@@ -74,3 +74,68 @@ def incremental_exact_dedup(
     return new_docs.join(
         fresh.select(F.col("id").alias(id_col)), id_col, "left_semi"
     )
+
+
+def incremental_near_dup_pairs(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidates of a NEW ingest batch against the
+    accumulated LSH band store, extending the store with the batch.
+
+    The MinHash twin of :func:`incremental_exact_dedup`: history is
+    represented by its (doc_id, band, bucket) band store (~10⁻⁴ of
+    corpus bytes, the same relation `doc_near_dup_incremental` probes),
+    so each batch pays one signature pass over ITS OWN text plus a
+    (band, bucket) equi-join against the store — the historical corpus
+    text is never rescanned. Returns distinct (doc_a, doc_b) candidate
+    pairs involving at least one batch doc (batch-vs-history and
+    batch-vs-batch).
+
+    Replay safety: the batch's bands are materialized (eager
+    ``localCheckpoint``) BEFORE the append, pinning the returned pairs
+    to the pre-append store snapshot; the append itself anti-joins the
+    store first, so replaying a batch whose append committed neither
+    duplicates store rows nor changes the emitted pair set (pairs are
+    a pure function of batch bands × store bands, and self-pairs are
+    excluded by id).
+    """
+    from bigdata_flightanalysis_spark.queries.text import (
+        _band_frame,
+        _signatures_of,
+    )
+
+    docs = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    batch_bands = _band_frame(_signatures_of(docs)).localCheckpoint(eager=True)
+    if os.path.exists(store_path):
+        store = spark.read.parquet(store_path)
+        probe = store.unionByName(batch_bands)
+        to_append = batch_bands.join(
+            store, ["doc_id", "band"], "left_anti"
+        )
+    else:
+        probe = batch_bands
+        to_append = batch_bands
+    a, b = batch_bands.alias("a"), probe.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    to_append.write.mode("append").parquet(store_path)
+    return pairs

@@ -143,3 +143,70 @@ def test_streaming_ingest_with_incremental_dedup(spark, tmp_path):
         .count()
         == n_texts
     )
+
+
+def test_streaming_ingest_with_incremental_near_dup(spark, tmp_path):
+    """E2E near-dup ingest: a document stream lands in micro-batches
+    (with re-ingested overlap); each batch's MinHash bands probe the
+    accumulated band store inside foreachBatch, emitted pairs
+    accumulate, and the batch's bands extend the store. The union of
+    emitted pairs must equal the one-shot full-corpus LSH pair set —
+    no pair lost by never rescanning history, none invented by the
+    overlapping re-ingestion."""
+    import glob
+    import os as _os
+    import shutil
+    import time as _t
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_near_dup_pairs,
+    )
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+    from bigdata_flightanalysis_spark.streaming.events import run_foreach_batch
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    n = docs.count()
+    cut1, cut2 = n * 2 // 5, n * 3 // 5
+    src = str(tmp_path / "src")
+    _os.makedirs(src, exist_ok=True)
+    slices = [(0, cut2), (cut1, n)]  # middle slice re-ingested
+    for i, (lo, hi) in enumerate(slices):
+        tmp = f"{src}/.tmp{i}"
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/f{i}.parquet"
+        )
+        shutil.rmtree(tmp)
+        _t.sleep(1.1)
+
+    store = str(tmp_path / "band_store")
+    out = str(tmp_path / "pairs")
+
+    def ingest(batch_df, batch_id):
+        pairs = incremental_near_dup_pairs(spark, batch_df, store)
+        pairs.write.mode("append").parquet(out)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_foreach_batch(
+        stream, ingest, checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(out).distinct().collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in load_all()["doc_near_dup_candidates"].fn(spark, SF).collect()
+    }
+    assert got == full
+    # the store holds each (doc, band) exactly once despite re-ingestion
+    store_df = spark.read.parquet(store)
+    assert store_df.count() == store_df.select("doc_id", "band").distinct().count()
