@@ -111,6 +111,31 @@ def test_near_dup_reliable_checkpoint_mode(spark, tmp_path):
     )
 
 
+def test_incremental_near_dup_is_bucket_equijoin(spark, registry):
+    """The incremental probe must be a (band, bucket) equi-join like
+    the full-corpus form — never a quadratic join shape."""
+    plan = _plan(registry["doc_near_dup_incremental"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_topk_is_broadcast_relational(spark):
+    """PQ-ADC must stay relational: codebook and query-table joins
+    broadcast (the corpus code relation never shuffles for scoring),
+    no cross join anywhere in the PQ path, and the ADC sum partially
+    aggregated map-side. (The registered contract query additionally
+    embeds the brute-force exact baseline for recall, which IS a
+    deliberate broadcast cross join — so the assertion targets the PQ
+    frame itself.)"""
+    from bigdata_flightanalysis_spark.queries.similarity import pq_topk_frame
+
+    plan = _plan(pq_topk_frame(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan  # map-side-combined ADC
+
+
 def test_graph_ops_reliable_checkpoint_mode(spark, tmp_path):
     """Iterative graph ops honor the same reliable-checkpoint contract
     as the dedup pipeline: with a checkpoint dir, every round lands in
