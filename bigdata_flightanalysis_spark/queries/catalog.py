@@ -69,6 +69,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_dup_canonical_pagerank",
     "doc_near_dup_incremental",
     "embed_pq_topk",
+    "doc_temperature_mixture_sample",
     # (2) last driver-checked in r2/r3
     "flagship_top_segments",
     "multimodal_payload_stats",

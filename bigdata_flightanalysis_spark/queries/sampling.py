@@ -218,3 +218,90 @@ def doc_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# Temperature (alpha) mixing: target share of source s ∝ (n_s/N)^α,
+# α = 0.5 — the standard multilingual/multi-domain flattening exponent
+# family (e.g. XLM-R's alpha-sampling). α is realized as sqrt(), which
+# is CORRECTLY ROUNDED by IEEE in both engines (pow() is not), so the
+# per-source keep probabilities are cross-engine reproducible.
+MIX_ALPHA_AS_SQRT = True  # documents the α=0.5-via-sqrt choice
+
+
+@register(
+    "doc_temperature_mixture_sample",
+    oracle=f"""
+        WITH per_lang AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ), tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS total FROM per_lang
+        ), sq AS (
+            SELECT lang, n,
+                   sqrt(CAST(n AS DOUBLE) / total) AS sq_p
+            FROM per_lang, tot
+        ), den AS (
+            SELECT CAST(SUM(CAST(sq_p AS DECIMAL(38,18))) AS DOUBLE) AS z
+            FROM sq
+        ), kp AS (
+            SELECT lang,
+                   least(1.0, (sq_p / z) / (CAST(n AS DOUBLE) / total))
+                       AS keep_p
+            FROM sq, den, tot
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN kp ON d.lang = kp.lang
+        WHERE CAST({md5_long_sql("'tmix|' || CAST(doc_id AS VARCHAR)")}
+                   AS DOUBLE) / 1152921504606846976 < keep_p
+        ORDER BY doc_id
+    """,
+    description="Temperature-based language mixing (α = 0.5): target "
+    "share of each language ∝ (its corpus share)^α — XLM-R-style "
+    "alpha-sampling that keeps the dominant language from drowning "
+    "low-resource ones in a multilingual training mix (en is 44% of "
+    "this corpus; α = 0.5 flattens it to ~33%). Per-language keep "
+    "probability = min(1, target_share / actual_share), decided per "
+    "doc by the same partition-order-invariant md5 Bernoulli draw as "
+    "the other sampling queries (languages needing UPsampling cap at 1 "
+    "— repetition factors are an epoch-level concern). The per-source "
+    "scalars come from one tiny aggregate broadcast back; α is sqrt() "
+    "(correctly rounded in IEEE, unlike pow) and the normalizer "
+    "accumulates in DECIMAL(38,18), so keep_p is bit-reproducible "
+    "across engines and partitionings.",
+    tags=("sampling", "text", "mixing"),
+)
+def doc_temperature_mixture_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = per_lang.agg(F.sum("n").alias("total"))
+    sq = per_lang.join(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "total",
+        F.sqrt(F.col("n").cast("double") / F.col("total")).alias("sq_p"),
+    )
+    den = sq.agg(
+        F.sum(F.col("sq_p").cast("decimal(38,18)"))
+        .cast("double")
+        .alias("z")
+    )
+    kp = sq.join(F.broadcast(den)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.col("sq_p") / F.col("z"))
+            / (F.col("n").cast("double") / F.col("total")),
+        ).alias("keep_p"),
+    )
+    u = (
+        md5_long(F.concat(F.lit("tmix|"), F.col("doc_id").cast("string")))
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        docs.join(F.broadcast(kp), "lang")
+        .filter(u < F.col("keep_p"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

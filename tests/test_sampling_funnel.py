@@ -85,3 +85,29 @@ def test_split_is_repartition_invariant(spark):
     assert a == b
     frac = sum(1 for v in a.values() if v < TRAIN_HEX_LT) / len(a)
     assert 0.82 < frac < 0.97  # ≈0.898 target, 500-doc sample noise
+
+
+def test_temperature_mixture_flattens_lang_shares(spark):
+    """α=0.5 mixing must move every language's share TOWARD uniform:
+    the dominant language's share strictly drops, under-represented
+    languages are kept in full (keep_p capped at 1), and no language
+    disappears."""
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    before = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept = load_all()["doc_temperature_mixture_sample"].fn(spark, SF001).collect()
+    after: dict[str, int] = {}
+    for r in kept:
+        after[r["lang"]] = after.get(r["lang"], 0) + 1
+    nb, na = sum(before.values()), len(kept)
+    assert set(after) == set(before)  # nothing vanishes
+    dom = max(before, key=lambda k: before[k])
+    small = min(before, key=lambda k: before[k])
+    assert after[dom] / na < before[dom] / nb  # dominant flattened
+    assert after[small] == before[small]  # minority fully kept (cap=1)
