@@ -70,6 +70,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_near_dup_incremental",
     "embed_pq_topk",
     "doc_temperature_mixture_sample",
+    "doc_training_manifest",
     # (2) last driver-checked in r2/r3
     "flagship_top_segments",
     "multimodal_payload_stats",

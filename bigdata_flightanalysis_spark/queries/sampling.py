@@ -228,11 +228,11 @@ def doc_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_ALPHA_AS_SQRT = True  # documents the α=0.5-via-sqrt choice
 
 
-@register(
-    "doc_temperature_mixture_sample",
-    oracle=f"""
-        WITH per_lang AS (
-            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+def _mix_sql_ctes(rel: str) -> str:
+    """per_lang→kp CTE chain computing α=0.5 keep probabilities over
+    the language shares of relation ``rel`` (must expose ``lang``)."""
+    return f"""per_lang AS (
+            SELECT lang, COUNT(*) AS n FROM {rel} GROUP BY lang
         ), tot AS (
             SELECT CAST(SUM(n) AS BIGINT) AS total FROM per_lang
         ), sq AS (
@@ -247,7 +247,45 @@ MIX_ALPHA_AS_SQRT = True  # documents the α=0.5-via-sqrt choice
                    least(1.0, (sq_p / z) / (CAST(n AS DOUBLE) / total))
                        AS keep_p
             FROM sq, den, tot
-        )
+        )"""
+
+
+def alpha_keep_probs(docs: DataFrame) -> DataFrame:
+    """(lang, keep_p) for α=0.5 temperature mixing over ``docs``'
+    language shares — the Spark twin of :func:`_mix_sql_ctes`. One
+    tiny aggregate chain, broadcast back out by callers."""
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = per_lang.agg(F.sum("n").alias("total"))
+    sq = per_lang.join(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        "total",
+        F.sqrt(F.col("n").cast("double") / F.col("total")).alias("sq_p"),
+    )
+    den = sq.agg(
+        F.sum(F.col("sq_p").cast("decimal(38,18)")).cast("double").alias("z")
+    )
+    return sq.join(F.broadcast(den)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            (F.col("sq_p") / F.col("z"))
+            / (F.col("n").cast("double") / F.col("total")),
+        ).alias("keep_p"),
+    )
+
+
+def _mix_draw(salt: str) -> Column:
+    """The md5 uniform draw in [0, 1) for a doc, salted per query."""
+    return md5_long(
+        F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+    ).cast("double") / F.lit(float(1 << 60))
+
+
+@register(
+    "doc_temperature_mixture_sample",
+    oracle=f"""
+        WITH {_mix_sql_ctes("documents")}
         SELECT d.doc_id, d.lang, d.source
         FROM documents d JOIN kp ON d.lang = kp.lang
         WHERE CAST({md5_long_sql("'tmix|' || CAST(doc_id AS VARCHAR)")}
@@ -273,35 +311,104 @@ def doc_temperature_mixture_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n"))
-    tot = per_lang.agg(F.sum("n").alias("total"))
-    sq = per_lang.join(F.broadcast(tot)).select(
-        "lang",
-        "n",
-        "total",
-        F.sqrt(F.col("n").cast("double") / F.col("total")).alias("sq_p"),
-    )
-    den = sq.agg(
-        F.sum(F.col("sq_p").cast("decimal(38,18)"))
-        .cast("double")
-        .alias("z")
-    )
-    kp = sq.join(F.broadcast(den)).select(
-        "lang",
-        F.least(
-            F.lit(1.0),
-            (F.col("sq_p") / F.col("z"))
-            / (F.col("n").cast("double") / F.col("total")),
-        ).alias("keep_p"),
-    )
-    u = (
-        md5_long(F.concat(F.lit("tmix|"), F.col("doc_id").cast("string")))
-        .cast("double")
-        / F.lit(float(1 << 60))
-    )
+    kp = alpha_keep_probs(docs)
     return (
         docs.join(F.broadcast(kp), "lang")
-        .filter(u < F.col("keep_p"))
+        .filter(_mix_draw("tmix|") < F.col("keep_p"))
         .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _manifest_oracle() -> str:
+    # Composed from the proven pieces: the MinHash/banding CTEs and
+    # recursive closure of doc_dup_clusters, the survivor window of
+    # doc_dedup_keep_best, and the α-mix CTEs — over SURVIVORS.
+    from bigdata_flightanalysis_spark.queries.text import (
+        _SQL_BANDS_CTE,
+        _SQL_PAIRS_SELECT,
+        _SQL_SIG_CTE,
+    )
+
+    return f"""
+        WITH RECURSIVE {_SQL_SIG_CTE}, {_SQL_BANDS_CTE}, pairs AS (
+            {_SQL_PAIRS_SELECT}
+        ), edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION ALL
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ), cc(node, lbl) AS (
+            SELECT DISTINCT s, s FROM edges
+            UNION
+            SELECT e.d, cc.lbl FROM cc JOIN edges e ON e.s = cc.node
+            WHERE cc.lbl < e.d
+        ), labels AS (
+            SELECT node, MIN(lbl) AS component FROM cc GROUP BY node
+        ), ranked AS (
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY COALESCE(m.component, d.doc_id)
+                       ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+            FROM documents d LEFT JOIN labels m ON d.doc_id = m.node
+        ), surv AS (
+            SELECT doc_id, lang, n_chars FROM ranked WHERE rn = 1
+        ), {_mix_sql_ctes("surv")}
+        SELECT s.doc_id, s.lang, CAST(s.n_chars AS BIGINT) AS n_chars
+        FROM surv s JOIN kp ON s.lang = kp.lang
+        WHERE CAST({md5_long_sql("'manifest|' || CAST(doc_id AS VARCHAR)")}
+                   AS DOUBLE) / 1152921504606846976 < keep_p
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "doc_training_manifest",
+    oracle=_manifest_oracle(),
+    description="END-TO-END training-corpus manifest — the whole "
+    "curation pipeline as ONE declarative query: MinHash-LSH banding → "
+    "transitive dup clusters (O(log n) star rounds) → per-cluster "
+    "survivor (longest doc, tie by id; singletons pass through) → "
+    "α=0.5 temperature mix computed over the SURVIVOR population "
+    "(mix-after-dedup, the correct pipeline order) → deterministic "
+    "md5-Bernoulli keep. Emits the (doc_id, lang, n_chars) manifest a "
+    "trainer would feed to sequence packing. Every stage is the "
+    "already-verified operator; the oracle recomposes them with the "
+    "independent recursive-CTE closure, so the composition itself is "
+    "oracle-exact end to end.",
+    tags=("sampling", "text", "dedup", "mixing", "pipeline"),
+)
+def doc_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.graph import (
+        assign_components,
+        connected_components,
+    )
+    from bigdata_flightanalysis_spark.queries.text import _candidate_pairs
+
+    pairs = _candidate_pairs(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    labeled = assign_components(docs, "doc_id", cc, alias="cluster_id")
+    # survivor per cluster: struct-max (n_chars DESC, doc_id ASC) — a
+    # partial-aggregable groupBy, no window shuffle
+    kept = (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars").cast("long").alias("q"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("best")
+        )
+        .select((-F.col("best.neg_id")).alias("doc_id"))
+    )
+    surv = docs.join(kept, "doc_id", "left_semi")
+    kp = alpha_keep_probs(surv)
+    return (
+        surv.join(F.broadcast(kp), "lang")
+        .filter(_mix_draw("manifest|") < F.col("keep_p"))
+        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )
