@@ -71,6 +71,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embed_pq_topk",
     "doc_temperature_mixture_sample",
     "doc_training_manifest",
+    "doc_bigram_nll_quality",
     # (2) last driver-checked in r2/r3
     "flagship_top_segments",
     "multimodal_payload_stats",

@@ -426,3 +426,83 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("chunk_text").cast("long").alias("chunk_len"),
         F.md5("chunk_text").alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "doc_bigram_nll_quality",
+    oracle=f"""
+        WITH occ AS (
+            SELECT doc_id, unnest({_sql_shingles(2)}) AS bg FROM documents
+        ), cbg AS (
+            SELECT bg, COUNT(*) AS c_ab FROM occ GROUP BY bg
+        ), cctx AS (
+            SELECT split_part(bg, ' ', 1) AS ctx, COUNT(*) AS c_a
+            FROM occ GROUP BY ctx
+        ), scored AS (
+            SELECT o.doc_id,
+                   -ln(CAST(c.c_ab AS DOUBLE) / x.c_a) AS nll
+            FROM occ o
+            JOIN cbg c ON o.bg = c.bg
+            JOIN cctx x ON split_part(o.bg, ' ', 1) = x.ctx
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(floor(
+                   CAST(SUM(CAST(nll AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*) * 1000000.0 + 0.5
+               ) AS BIGINT) AS nll_micro
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    description="Perplexity-style quality score (the CCNet-family "
+    "filter): per-doc mean negative log-likelihood under the corpus's "
+    "own bigram MLE, P(w2|w1) = C(w1 w2)/C(w1 ·). Low nll ≈ fluent/"
+    "repetitive text, high nll ≈ unusual token transitions — the "
+    "cheap LM-based quality signal between heuristics and a real LM. "
+    "Scale shape: the bigram/context count relations are vocab-sized "
+    "equi-joins with partial aggregation (no broadcast assumption), "
+    "and the per-doc mean accumulates in DECIMAL(38,18). The score is "
+    "emitted MICRO-QUANTIZED (floor(mean·1e6 + 0.5) as BIGINT): ln() "
+    "is not correctly rounded by IEEE, so raw doubles can differ in "
+    "the last ulp across engines — at 1e-6 quanta a flip needs the "
+    "true value within ~1e-16 of a boundary, which the oracle compare "
+    "tolerates as never occurring (same doctrine as the module's "
+    "no-transcendentals ranking note; docs with <2 tokens have no "
+    "bigrams and drop out on both engines).",
+    tags=("text", "quality", "lm"),
+)
+def doc_bigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(word_shingles(tokenize("text"), 2)).alias("bg")
+    )
+    cbg = occ.groupBy("bg").agg(F.count("*").alias("c_ab"))
+    cctx = (
+        occ.select(F.substring_index("bg", " ", 1).alias("ctx"))
+        .groupBy("ctx")
+        .agg(F.count("*").alias("c_a"))
+    )
+    scored = (
+        occ.join(cbg, "bg")
+        .join(cctx, F.substring_index(occ["bg"], " ", 1) == cctx["ctx"])
+        .select(
+            "doc_id",
+            (-F.log(F.col("c_ab").cast("double") / F.col("c_a"))).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.floor(
+                F.sum(F.col("nll").cast("decimal(38,18)")).cast("double")
+                / F.count("*")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+        .orderBy("doc_id")
+    )
