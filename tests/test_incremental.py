@@ -210,3 +210,27 @@ def test_streaming_ingest_with_incremental_near_dup(spark, tmp_path):
     # the store holds each (doc, band) exactly once despite re-ingestion
     store_df = spark.read.parquet(store)
     assert store_df.count() == store_df.select("doc_id", "band").distinct().count()
+
+
+def test_incremental_near_dup_replay_is_idempotent(spark, tmp_path):
+    """Re-running a batch whose append already committed (the failure/
+    retry path of any ingest pipeline) must emit the identical pair
+    set and leave the band store byte-identical — the replay-safety
+    contract claimed in the operator docstring."""
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_near_dup_pairs,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    n = docs.count()
+    first = docs.filter(F.col("doc_id") < n // 2)
+    second = docs.filter(F.col("doc_id") >= n // 2)
+    store = str(tmp_path / "band_store")
+
+    incremental_near_dup_pairs(spark, first, store)
+    p1 = sorted(map(tuple, incremental_near_dup_pairs(spark, second, store).collect()))
+    rows_after = sorted(map(tuple, spark.read.parquet(store).collect()))
+    # replay the second batch: same pairs, store unchanged
+    p2 = sorted(map(tuple, incremental_near_dup_pairs(spark, second, store).collect()))
+    assert p2 == p1
+    assert sorted(map(tuple, spark.read.parquet(store).collect())) == rows_after
