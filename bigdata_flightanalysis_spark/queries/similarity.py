@@ -717,6 +717,77 @@ def _pq_codebooks(train: list[list[float]]) -> list[list[list[float]]]:
     return books
 
 
+def _pq_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+def pq_codebook_frame(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(m, c, center) codebook relation: seeded Lloyd on the bounded
+    deterministic sample (see _pq_codebooks)."""
+    train = [
+        r["e"]
+        for r in emb.orderBy("vec_id").limit(PQ_TRAIN_N).select("e").collect()
+    ]
+    codebooks = _pq_codebooks(train)
+    return spark.createDataFrame(
+        [
+            (m, c, codebooks[m][c])
+            for m in range(PQ_M)
+            for c in range(PQ_CODEBOOK_K)
+        ],
+        "m int, c int, center array<double>",
+    )
+
+
+def pq_subspace_rows(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): each vector split into its M subspace slices."""
+    sub_structs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("e", m * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("sub"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return emb.select("vec_id", F.explode(sub_structs).alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
+
+
+def pq_encode(by_sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(vec_id, m, code): argmin centroid per (vec, m) — min over a
+    struct keeps it a partial-aggregable groupBy, no window. This is
+    the stored index relation: PQ_M nibbles per vector."""
+    l2 = F.aggregate(
+        F.zip_with("sub", "center", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        by_sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", F.struct(l2.alias("d"), F.col("c")).alias("dc"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("dc").alias("mn"))
+        .select("vec_id", "m", F.col("mn.c").alias("code"))
+    )
+
+
+def pq_query_tables(q_by_sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(query_id, m, c, dot): per-query ADC lookup tables — M×K rows
+    per query, the only thing queries contribute to stage-1 scoring."""
+    dot_sub = F.aggregate(
+        F.zip_with("sub", "center", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return q_by_sub.join(F.broadcast(cb), "m").select(
+        F.col("vec_id").alias("query_id"), "m", "c", dot_sub.alias("dot")
+    )
+
+
 def pq_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detailed PQ-ADC top-k (query_id, neighbor_id, label, cosine,
     rn). Exposed for tests; the registered query wraps it in the
@@ -743,63 +814,12 @@ def pq_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     - stage-2: exact cosine rerank of the PQ_CAND_MULT×k survivors,
       as in the int8 path.
     """
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    )
-    train = [
-        r["e"]
-        for r in emb.orderBy("vec_id").limit(PQ_TRAIN_N).select("e").collect()
-    ]
-    codebooks = _pq_codebooks(train)
-    cb = spark.createDataFrame(
-        [
-            (m, c, codebooks[m][c])
-            for m in range(PQ_M)
-            for c in range(PQ_CODEBOOK_K)
-        ],
-        "m int, c int, center array<double>",
-    )
-
-    # (vec_id, m, sub): each vector split into its M subspace slices
-    sub_structs = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.slice("e", m * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("sub"),
-            )
-            for m in range(PQ_M)
-        ]
-    )
-    by_sub = emb.select(
-        "vec_id", F.explode(sub_structs).alias("s")
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
-
-    l2 = F.aggregate(
-        F.zip_with("sub", "center", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    # encode: argmin centroid per (vec, m) — min over a struct keeps it
-    # a partial-aggregable groupBy, no window
-    codes = (
-        by_sub.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", F.struct(l2.alias("d"), F.col("c")).alias("dc"))
-        .groupBy("vec_id", "m")
-        .agg(F.min("dc").alias("mn"))
-        .select("vec_id", "m", F.col("mn.c").alias("code"))
-    )
-
-    dot_sub = F.aggregate(
-        F.zip_with("sub", "center", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    qtables = (
-        by_sub.filter(F.col("vec_id") < N_QUERIES)
-        .join(F.broadcast(cb), "m")
-        .select(
-            F.col("vec_id").alias("query_id"), "m", "c", dot_sub.alias("dot")
-        )
+    emb = _pq_emb(spark, sf_dir)
+    cb = pq_codebook_frame(spark, emb)
+    by_sub = pq_subspace_rows(emb)
+    codes = pq_encode(by_sub, cb)
+    qtables = pq_query_tables(
+        by_sub.filter(F.col("vec_id") < N_QUERIES), cb
     )
     # stage 1: ADC scores — M lookup rows per (query, candidate),
     # summed with map-side combine
@@ -900,3 +920,86 @@ def embed_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neighbors",
         (F.col("n_hits") / F.lit(float(TOP_K)) >= 0.5).alias("recall_ge_050"),
     ).orderBy("query_id")
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Materialize the PQ index: ``<path>/codebooks`` (M×K rows) and
+    ``<path>/codes`` (PQ_M rows per vector, the 64×-compressed corpus
+    representation). The production split — the one corpus-wide encode
+    pass runs ONCE at build time; query serving never touches the
+    embedding column again until the exact-rerank stage."""
+    emb = _pq_emb(spark, sf_dir)
+    cb = pq_codebook_frame(spark, emb)
+    cb.write.mode("overwrite").parquet(f"{index_path}/codebooks")
+    pq_encode(pq_subspace_rows(emb), cb).write.mode("overwrite").parquet(
+        f"{index_path}/codes"
+    )
+
+
+def pq_index_topk(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """Serve PQ ANN from a prebuilt index: identical result contract to
+    :func:`pq_topk_frame` (asserted in tests), but stage 1 reads ONLY
+    the stored code/codebook relations — the corpus embedding column
+    is touched just for the query vectors and the k·mult rerank rows."""
+    cb = spark.read.parquet(f"{index_path}/codebooks")
+    codes = spark.read.parquet(f"{index_path}/codes")
+    emb = _pq_emb(spark, sf_dir)
+    qtables = pq_query_tables(
+        pq_subspace_rows(emb.filter(F.col("vec_id") < N_QUERIES)), cb
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qtables),
+            (codes["m"] == qtables["m"]) & (codes["code"] == qtables["c"]),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dot").alias("adc"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        adc.withColumn("crn", F.row_number().over(w1))
+        .filter(F.col("crn") <= PQ_CAND_MULT * TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("e").alias("ce")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    reranked = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            (dot / (norm(F.col("qe")) * norm(F.col("ce")))).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    )

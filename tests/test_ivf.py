@@ -106,3 +106,20 @@ def test_registered_ann_contract_rows_all_true(spark):
             assert [r["query_id"] for r in rows] == [0, 1, 2, 3, 4]
             assert all(r["n_neighbors"] == 10 for r in rows), (name, sf)
             assert all(r[flag] for r in rows), (name, sf, rows)
+
+
+def test_pq_index_roundtrip_matches_inline(spark, tmp_path):
+    """build_pq_index → pq_index_topk must return exactly what the
+    inline pq_topk_frame computes: the persisted (codebooks, codes)
+    relations carry ALL the stage-1 information, so serving from the
+    stored index loses nothing."""
+    from bigdata_flightanalysis_spark.queries.similarity import (
+        build_pq_index,
+        pq_index_topk,
+    )
+
+    idx = str(tmp_path / "pq_index")
+    build_pq_index(spark, SF, idx)
+    served = sorted(map(tuple, pq_index_topk(spark, SF, idx).collect()))
+    inline = sorted(map(tuple, pq_topk_frame(spark, SF).collect()))
+    assert served == inline
