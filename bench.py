@@ -83,6 +83,8 @@ HEADLINE += [
     "embed_near_dup_pairs_largemode",
     "doc_near_dup_incremental",
     "embed_pq_topk",
+    "doc_bm25_topk",
+    "doc_duplicate_spans",
 ]
 
 

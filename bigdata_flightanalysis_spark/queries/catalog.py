@@ -64,6 +64,10 @@ def register(
 # with the oldest of the r4-dated rows.
 _VERIFY_FIRST: tuple[str, ...] = (
     # (1) new / contract-changed this round
+    "doc_bm25_topk",
+    "doc_duplicate_spans",
+    "customer_snapshot_diff",
+    "doc_shuffle_shards",
     "doc_near_dup_candidates_largemode",
     "embed_near_dup_pairs_largemode",
     "doc_dup_canonical_pagerank",
@@ -136,6 +140,7 @@ def load_all() -> dict[str, EngineQuery]:
     import bigdata_flightanalysis_spark.queries.multimodal  # noqa: F401
     import bigdata_flightanalysis_spark.queries.relational  # noqa: F401
     import bigdata_flightanalysis_spark.queries.relational_ext  # noqa: F401
+    import bigdata_flightanalysis_spark.queries.retrieval  # noqa: F401
     import bigdata_flightanalysis_spark.queries.sampling  # noqa: F401
     import bigdata_flightanalysis_spark.queries.similarity  # noqa: F401
     import bigdata_flightanalysis_spark.queries.text  # noqa: F401

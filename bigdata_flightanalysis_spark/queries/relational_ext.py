@@ -1412,3 +1412,75 @@ def nation_share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         "revenue",
         (F.col("revenue") / total).alias("region_share"),
     ).orderBy("r_name", "n_name")
+
+
+@register(
+    "customer_snapshot_diff",
+    oracle="""
+        WITH old_snap AS (
+            SELECT c_custkey, c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % 10 <> 0
+        ),
+        new_snap AS (
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 5 = 0
+                        THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+            FROM customer WHERE c_custkey % 7 <> 0
+        )
+        SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'added'
+                    WHEN n.c_custkey IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change_type,
+               o.c_acctbal AS old_acctbal,
+               n.c_acctbal AS new_acctbal
+        FROM old_snap o FULL OUTER JOIN new_snap n USING (c_custkey)
+        WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+           OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+           OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+        ORDER BY c_custkey
+    """,
+    description="Snapshot diff (CDC derivation): classify every key of "
+    "two table snapshots as added / removed / changed via ONE full "
+    "outer join on the key plus null-safe column comparison, emitting "
+    "only the delta. The snapshots are carved deterministically from "
+    "`customer` (old: custkey%10≠0; new: custkey%7≠0 with %5==0 "
+    "balances bumped) so the oracle is closed. Scale shape: a single "
+    "key-partitioned shuffle join — the delta between two 100 TB "
+    "snapshots costs one co-partitioned pass, no driver state.",
+    tags=("relational", "cdc"),
+)
+def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer")
+    old_snap = customer.filter(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    new_snap = customer.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    o = old_snap.alias("o")
+    n = new_snap.alias("n")
+    joined = o.join(n, on=F.col("o.c_custkey") == F.col("n.c_custkey"), how="full_outer")
+    changed = (
+        F.col("o.c_custkey").isNull()
+        | F.col("n.c_custkey").isNull()
+        | ~F.col("o.c_acctbal").eqNullSafe(F.col("n.c_acctbal"))
+        | ~F.col("o.c_mktsegment").eqNullSafe(F.col("n.c_mktsegment"))
+    )
+    return (
+        joined.where(changed)
+        .select(
+            F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+            F.when(F.col("o.c_custkey").isNull(), F.lit("added"))
+            .when(F.col("n.c_custkey").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+            F.col("o.c_acctbal").alias("old_acctbal"),
+            F.col("n.c_acctbal").alias("new_acctbal"),
+        )
+        .orderBy("c_custkey")
+    )

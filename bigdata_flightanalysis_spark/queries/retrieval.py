@@ -1,0 +1,239 @@
+"""Corpus retrieval & span-level dedup operators.
+
+Two pipeline stages the doc-level suite (``queries/text.py``) doesn't
+cover:
+
+- **BM25 retrieval scoring** (``doc_bm25_topk``): score the corpus
+  against a fixed query-term set — the ranking half of a
+  dedup-then-retrieve data pipeline (and of RAG-style corpus search).
+- **Duplicated-span detection** (``doc_duplicate_spans``): the
+  substring-level dedup signal of Lee et al. 2022 ("Deduplicating
+  Training Data Makes Language Models Better") — a 5-word span is
+  *duplicated* if it occurs in ≥2 distinct documents; per document we
+  report the fraction of its spans that are cross-document duplicates.
+  Doc-level MinHash (``doc_near_dup_candidates``) misses a unique page
+  quoting a boilerplate paragraph; this catches it.
+
+Determinism notes (same discipline as ``queries/text_ext.py``):
+- BM25 uses the log-free monotone idf ``(N − df + 0.5)/(df + 0.5)``
+  instead of its logarithm — transcendental functions are not
+  bit-identical across engines, rational arithmetic on identical
+  doubles is. Every fractional literal is an exact binary double
+  (0.5, 0.25, 0.75, 1.2, 2.2) and the oracle casts each one to DOUBLE
+  so DuckDB can't parse them as DECIMAL.
+- per-term scores are added in a FIXED expression order (term list
+  order), never via SUM over rows, so float non-associativity can't
+  make the result partition-order-dependent.
+
+Scale shape:
+- ``doc_bm25_topk`` is two corpus scans and zero corpus shuffles: one
+  scan aggregates to a single global-stats row (N, avgdl, per-term df)
+  that is broadcast back; the second scan computes per-doc scores with
+  pure expressions and feeds TakeOrderedAndProject. No explode, no
+  join keyed on the corpus.
+- ``doc_duplicate_spans`` shuffles the exploded spans twice on the
+  64-bit span hash (df aggregate + join-back) and once on doc_id —
+  the standard inverted-index shape; never corpus-quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_flightanalysis_spark.functions.text import (
+    md5_long,
+    md5_long_sql,
+    tokenize,
+    word_shingles,
+)
+from bigdata_flightanalysis_spark.queries.catalog import register
+from bigdata_flightanalysis_spark.queries.text import _SQL_TOKENS, _sql_shingles
+from bigdata_flightanalysis_spark.sources.readers import read_table
+
+# Fixed retrieval query — three terms known to appear in the synthetic
+# corpus vocabulary. A production call would parameterize this list;
+# the registry entry pins it so the oracle is a closed expression.
+BM25_TERMS: tuple[str, ...] = ("spark", "join", "filter")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    df_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN list_contains(t, '{t}') THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS df{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    score_terms = " + ".join(
+        f"((CAST(n_docs - df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / (CAST(df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+        f" * ((CAST(tf{i} AS DOUBLE) * CAST(2.2 AS DOUBLE))"
+        f" / (CAST(tf{i} AS DOUBLE) + CAST(1.2 AS DOUBLE)"
+        f" * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)"
+        f" * (CAST(dl AS DOUBLE) / avgdl))))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   {_SQL_TOKENS} AS t,
+                   len({_SQL_TOKENS}) AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               {df_cols}
+            FROM toks
+        ),
+        tf AS (
+            SELECT doc_id, dl,
+               {tf_cols}
+            FROM toks
+        )
+        SELECT doc_id, {score_terms} AS bm25_score
+        FROM tf CROSS JOIN stats
+        WHERE {score_terms} > 0
+        ORDER BY bm25_score DESC, doc_id
+        LIMIT {BM25_TOPK}
+    """
+
+
+@register(
+    "doc_bm25_topk",
+    oracle=_bm25_oracle(),
+    description="BM25 retrieval top-10 for a fixed 3-term query "
+    f"{BM25_TERMS} (k1={BM25_K1}, b={BM25_B}; log-free monotone idf "
+    "(N−df+0.5)/(df+0.5) for cross-engine bit-stability). Two corpus "
+    "scans, zero corpus shuffles: global stats (N, avgdl, per-term df) "
+    "aggregate to one broadcast row; scores are pure expressions added "
+    "in fixed term order; top-k is TakeOrderedAndProject.",
+    tags=("text", "retrieval"),
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        tokenize("text").alias("t"),
+        F.size(tokenize("text")).cast("bigint").alias("dl"),
+    )
+
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("t", t).cast("int"))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+
+    def _eq(term: str):
+        # A plain closure: a 2-arg lambda would make F.filter pass the
+        # element INDEX as the second argument.
+        return lambda x: x == F.lit(term)
+
+    tf = toks.select(
+        "doc_id",
+        "dl",
+        *[
+            F.size(F.filter("t", _eq(t))).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+
+    half = F.lit(0.5)
+    score = None
+    for i in range(len(BM25_TERMS)):
+        idf = ((F.col("n_docs") - F.col(f"df{i}")).cast("double") + half) / (
+            F.col(f"df{i}").cast("double") + half
+        )
+        tf_d = F.col(f"tf{i}").cast("double")
+        tfpart = (tf_d * F.lit(2.2)) / (
+            tf_d
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
+        )
+        term_score = idf * tfpart
+        score = term_score if score is None else score + term_score
+
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("bm25_score"))
+        .where(F.col("bm25_score") > 0)
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+SPAN_WORDS = 5  # same shingle width as doc_decontamination
+
+
+@register(
+    "doc_duplicate_spans",
+    oracle=f"""
+        WITH spans AS (
+            SELECT doc_id, {md5_long_sql("sh")} AS h
+            FROM (
+                SELECT doc_id, unnest({_sql_shingles(SPAN_WORDS)}) AS sh
+                FROM documents
+            )
+        ),
+        span_df AS (
+            SELECT h, COUNT(DISTINCT doc_id) AS ndocs
+            FROM spans GROUP BY h
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_dup_spans,
+               CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / COUNT(*) AS dup_ratio
+        FROM spans s JOIN span_df d USING (h)
+        GROUP BY s.doc_id
+        ORDER BY s.doc_id
+    """,
+    description="Substring-level duplication signal (Lee et al. 2022): "
+    f"per doc, the fraction of its {SPAN_WORDS}-word spans that occur "
+    "in ≥2 distinct documents. ONE corpus scan, no join: explode spans "
+    "and hash once (60-bit md5), pre-aggregate to (hash, doc, cnt) — "
+    "the map-side-combinable shrink that makes the rest cheap — then a "
+    "count window over the hash marks cross-doc spans and a doc_id "
+    "rollup finishes. Three key-partitioned shuffles on shrinking "
+    "relations, never corpus-quadratic. Catches boilerplate quotation "
+    "that doc-level MinHash misses.",
+    tags=("text", "dedup"),
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = docs.select(
+        "doc_id",
+        F.explode(word_shingles(tokenize("text"), SPAN_WORDS)).alias("sh"),
+    ).select("doc_id", md5_long("sh").alias("h"))
+
+    # (h, doc) pre-aggregate: cnt = how often this doc repeats the span
+    # internally; the row count per h IS the distinct-doc frequency, so
+    # no countDistinct and no join-back of the exploded relation.
+    per_hd = spans.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+    ndocs = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    marked = per_hd.select("doc_id", "cnt", ndocs.alias("ndocs"))
+
+    dup_cnt = F.when(F.col("ndocs") >= 2, F.col("cnt")).otherwise(F.lit(0))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_spans"),
+            F.sum(dup_cnt).cast("bigint").alias("n_dup_spans"),
+            (F.sum(dup_cnt).cast("double") / F.sum("cnt")).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -412,3 +412,80 @@ def doc_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+# Deterministic global-shuffle constants: seed salts the permutation
+# hash; the Mersenne prime 2^61-1 folds the exact decimal order
+# checksum back into a bigint both engines compare bit-for-bit.
+SHUFFLE_SEED = 77
+N_SHARDS = 16
+_CHECKSUM_PRIME = 2305843009213693951
+
+
+@register(
+    "doc_shuffle_shards",
+    oracle=f"""
+        WITH perm AS (
+            SELECT doc_id, n_chars,
+                   {md5_long_sql("CAST(doc_id AS VARCHAR)", seed=SHUFFLE_SEED)} AS h
+            FROM documents
+        ),
+        ordered AS (
+            SELECT h % {N_SHARDS} AS shard_id, n_chars, h % 1000003 AS hm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id
+                   ) AS pos
+            FROM perm
+        )
+        SELECT shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(CAST(hm * pos AS DECIMAL(38,0)))
+                    % {_CHECKSUM_PRIME} AS BIGINT) AS order_checksum
+        FROM ordered
+        GROUP BY shard_id
+        ORDER BY shard_id
+    """,
+    description="Deterministic global shuffle → shard manifest: the "
+    f"training-order permutation is h = md5(seed|doc_id), shard = h % "
+    f"{N_SHARDS}, within-shard order = (h, doc_id). The manifest rolls "
+    "each shard up to (n_docs, total_chars, order_checksum) where the "
+    "checksum is an exact-decimal Σ (h mod p)·position folded mod "
+    "2^61−1 — a bit-reproducible proof that every engine, partition "
+    "layout, and rerun produces the IDENTICAL training order (what "
+    "df.repartition(shuffle=true) can never give you). Scale shape: "
+    "one hash-partitioned shuffle to the shard key; the within-shard "
+    "sort is per-partition (writers stream in order), no global sort.",
+    tags=("sampling", "shuffle"),
+)
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    perm = docs.select(
+        "doc_id",
+        "n_chars",
+        md5_long(F.col("doc_id").cast("string"), seed=SHUFFLE_SEED).alias("h"),
+    )
+    shard = (F.col("h") % N_SHARDS).alias("shard_id")
+    w = Window.partitionBy(F.col("h") % N_SHARDS).orderBy("h", "doc_id")
+    ordered = perm.select(
+        shard,
+        "n_chars",
+        (F.col("h") % 1000003).alias("hm"),
+        F.row_number().over(w).alias("pos"),
+    )
+    return (
+        ordered.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (
+                F.sum((F.col("hm") * F.col("pos")).cast("decimal(38,0)"))
+                % F.lit(_CHECKSUM_PRIME)
+            )
+            .cast("bigint")
+            .alias("order_checksum"),
+        )
+        .orderBy("shard_id")
+    )

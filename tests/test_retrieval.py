@@ -1,0 +1,127 @@
+"""Behavioral tests for the retrieval / span-dedup / CDC / shard
+queries added in round 6 — semantic invariants the oracle parity sweep
+(pure equality) can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_flightanalysis_spark.queries.catalog import load_all
+from bigdata_flightanalysis_spark.queries.retrieval import BM25_TERMS, BM25_TOPK
+
+REG = load_all()
+SF = "/root/testdata/sf0.001"
+
+
+def test_bm25_scores_positive_sorted_and_hit_bearing(spark):
+    rows = REG["doc_bm25_topk"].fn(spark, SF).collect()
+    assert 0 < len(rows) <= BM25_TOPK
+    scores = [r["bm25_score"] for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    # every returned doc actually contains at least one query term
+    hit_ids = {r["doc_id"] for r in rows}
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .where(F.col("doc_id").isin(list(hit_ids)))
+        .select("doc_id", "text")
+        .collect()
+    )
+    for d in docs:
+        toks = set(d["text"].split())
+        assert toks & set(BM25_TERMS), d["doc_id"]
+
+
+def test_bm25_matches_independent_python_recomputation(spark):
+    """Third engine: recompute BM25 in pure Python (IEEE doubles, same
+    expression order) and compare the top-10 ranking AND scores."""
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    toks = {r["doc_id"]: re.split(r"\s+", r["text"].strip()) for r in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs = [sum(1 for t in toks.values() if q in t) for q in BM25_TERMS]
+    scored = []
+    for did, t in toks.items():
+        dl = len(t)
+        score = 0.0
+        for q, df in zip(BM25_TERMS, dfs):
+            tf = sum(1 for x in t if x == q)
+            idf = (n - df + 0.5) / (df + 0.5)
+            tfpart = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+            score += idf * tfpart
+        if score > 0:
+            scored.append((did, score))
+    scored.sort(key=lambda p: (-p[1], p[0]))
+    expect = scored[:BM25_TOPK]
+
+    got = [
+        (r["doc_id"], r["bm25_score"])
+        for r in REG["doc_bm25_topk"].fn(spark, SF).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (_, a), (_, b) in zip(got, expect):
+        assert abs(a - b) < 1e-9 * max(1.0, abs(b))
+
+
+def test_duplicate_spans_on_crafted_corpus(spark, tmp_path):
+    """Exact-dup docs score dup_ratio 1.0; a unique page QUOTING a
+    shared paragraph is partially covered (the case doc-level MinHash
+    misses); fully unique text scores 0."""
+    para = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (1, para, "en", "s", len(para)),
+        (2, para, "en", "s", len(para)),  # exact dup of 1
+        (3, "unique one two three four five six seven", "en", "s", 40),
+        # quotes the shared paragraph inside otherwise-unique text
+        (4, f"intro words here {para} closing remarks now", "en", "s", 70),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        r["doc_id"]: r
+        for r in REG["doc_duplicate_spans"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["dup_ratio"] == 1.0 and out[2]["dup_ratio"] == 1.0
+    assert out[3]["dup_ratio"] == 0.0
+    assert 0.0 < out[4]["dup_ratio"] < 1.0  # partially covered quoter
+    # and on the real corpus every ratio is well-formed
+    real = REG["doc_duplicate_spans"].fn(spark, SF).collect()
+    assert all(0.0 <= r["dup_ratio"] <= 1.0 for r in real)
+
+
+def test_snapshot_diff_classification_matches_key_arithmetic(spark):
+    rows = REG["customer_snapshot_diff"].fn(spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        k, ct = r["c_custkey"], r["change_type"]
+        seen.add(ct)
+        if ct == "added":
+            assert k % 10 == 0 and k % 7 != 0
+            assert r["old_acctbal"] is None and r["new_acctbal"] is not None
+        elif ct == "removed":
+            assert k % 7 == 0 and k % 10 != 0
+            assert r["new_acctbal"] is None and r["old_acctbal"] is not None
+        else:
+            assert ct == "changed"
+            # only the %5==0 balance bump can change a surviving row
+            assert k % 5 == 0 and k % 10 != 0 and k % 7 != 0
+            assert r["new_acctbal"] == r["old_acctbal"] + 100.0
+    assert seen == {"added", "removed", "changed"}
+
+
+def test_shuffle_shards_cover_corpus_and_replay_identically(spark):
+    out1 = REG["doc_shuffle_shards"].fn(spark, SF).collect()
+    n_docs_total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sorted(r["shard_id"] for r in out1) == list(range(16))
+    assert sum(r["n_docs"] for r in out1) == n_docs_total
+    # shard sizes roughly balanced (uniform hash): no shard > 3× mean
+    mean = n_docs_total / 16
+    assert all(r["n_docs"] < 3 * mean for r in out1)
+    # the order checksum is replay-stable (same permutation every run)
+    out2 = REG["doc_shuffle_shards"].fn(spark, SF).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
