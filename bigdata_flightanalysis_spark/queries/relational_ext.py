@@ -1484,3 +1484,74 @@ def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "orders_pit_customer_balance",
+    oracle="""
+        WITH versions AS (
+            SELECT c_custkey, c_acctbal,
+                   TIMESTAMP '1995-01-01 00:00:00' AS valid_from
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, 0.0 AS c_acctbal,
+                   TIMESTAMP '1999-06-01 00:00:00' AS valid_from
+            FROM customer WHERE c_acctbal < 0.0
+        )
+        SELECT o.o_orderkey,
+               o.o_custkey AS c_custkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+               v.c_acctbal AS pit_acctbal
+        FROM orders o
+        ASOF LEFT JOIN versions v
+          ON o.o_custkey = v.c_custkey AND o.o_orderdate >= v.valid_from
+        ORDER BY o.o_orderkey
+    """,
+    description="Point-in-time (PIT) dimension lookup: each order "
+    "joined to the customer-balance VERSION valid at its order date — "
+    "the temporally-correct join that prevents feature leakage in "
+    "training pipelines (a naive join reads today's balance into a "
+    "1996 order). The version stream is the same deterministic SCD2 "
+    "construction as customer_scd2_merge (base 1995-01-01; negative "
+    "balances zeroed effective 1999-06-01; order dates run to 2001 so "
+    "both versions are exercised). Spark side reuses "
+    "operators.temporal.asof_join — ONE shuffle on the business key, "
+    "single window pass, no range explosion; the oracle is DuckDB's "
+    "native ASOF JOIN, an independent implementation of the same "
+    "semantics. Cites reference scope: the reference has no temporal "
+    "join; this is engine surface (SURVEY.md §2.3).",
+    tags=("relational", "temporal", "scd2", "asof"),
+)
+def orders_pit_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.temporal import asof_join
+
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    base = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    corrections = customer.filter(F.col("c_acctbal") < 0.0).select(
+        "c_custkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("1999-06-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    versions = base.unionByName(corrections)
+    left = orders.select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_orderdate"
+    )
+    pit = asof_join(
+        left,
+        versions,
+        on="c_custkey",
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        how="left",
+    )
+    return pit.select(
+        "o_orderkey",
+        "c_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.col("c_acctbal").alias("pit_acctbal"),
+    ).orderBy("o_orderkey")

@@ -6,7 +6,10 @@ dependencies) → entry() returns rows → every queries() entry vs its
 oracle_sql() through DuckDB, order-insensitive exact compare; rows-only
 entries must at least execute.
 
-    python scripts/verify_driver_surface.py [sf_dir]
+    python scripts/verify_driver_surface.py [sf_dir] [query_name ...]
+
+With query names given, only those registry entries are checked (fast
+iteration on a new query); with none, the full registry runs.
 """
 
 from __future__ import annotations
@@ -37,6 +40,13 @@ def main() -> int:
     e = importlib.import_module("__spark_entry__")
     assert len(e.entry(spark).collect()) > 0, "entry() returned no rows"
     qs, oracles = e.queries(), e.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        missing = only - set(qs)
+        if missing:
+            raise SystemExit(f"unknown query names: {sorted(missing)}")
+        qs = {n: f for n, f in qs.items() if n in only}
+        oracles = {n: s for n, s in oracles.items() if n in only}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")

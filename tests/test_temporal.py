@@ -111,3 +111,29 @@ def test_asof_plan_has_single_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_pit_lookup_prevents_balance_leakage(spark):
+    """Orders BEFORE the 1999-06-01 correction must see the original
+    (negative) balance; orders after must see the zeroed version —
+    the feature-leakage case a naive dimension join gets wrong."""
+    from pyspark.sql import functions as F
+
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+
+    sf = "/root/testdata/sf0.001"
+    out = load_all()["orders_pit_customer_balance"].fn(spark, sf)
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    neg = {
+        r["c_custkey"]: r["c_acctbal"]
+        for r in cust.where(F.col("c_acctbal") < 0).collect()
+    }
+    rows = [r for r in out.collect() if r["c_custkey"] in neg]
+    assert rows, "fixture should have orders from negative-balance customers"
+    before = [r for r in rows if r["order_date"] < "1999-06-01"]
+    after = [r for r in rows if r["order_date"] >= "1999-06-01"]
+    assert before and after, "both version windows should be exercised"
+    for r in before:
+        assert r["pit_acctbal"] == neg[r["c_custkey"]], r
+    for r in after:
+        assert r["pit_acctbal"] == 0.0, r
