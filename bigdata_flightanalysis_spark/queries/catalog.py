@@ -69,6 +69,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "customer_snapshot_diff",
     "doc_shuffle_shards",
     "orders_pit_customer_balance",
+    "doc_split_leakage_check",
     "doc_near_dup_candidates_largemode",
     "embed_near_dup_pairs_largemode",
     "doc_dup_canonical_pagerank",

@@ -489,3 +489,64 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+def _split_case_sql(key: str) -> str:
+    return (
+        f"CASE WHEN {_sql_bucket(key)} < '{TRAIN_HEX_LT}' "
+        f"THEN 'train' ELSE 'test' END"
+    )
+
+
+def _split_leakage_oracle() -> str:
+    from bigdata_flightanalysis_spark.queries.text import (
+        _SQL_BANDS_CTE,
+        _SQL_PAIRS_SELECT,
+        _SQL_SIG_CTE,
+    )
+
+    return f"""
+        WITH {_SQL_SIG_CTE}, {_SQL_BANDS_CTE}, pairs AS (
+            {_SQL_PAIRS_SELECT}
+        )
+        SELECT doc_a, doc_b,
+               {_split_case_sql("doc_a")} AS split_a,
+               {_split_case_sql("doc_b")} AS split_b,
+               CAST({_split_case_sql("doc_a")} <> {_split_case_sql("doc_b")}
+                    AS BOOLEAN) AS leaks
+        FROM pairs
+        ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "doc_split_leakage_check",
+    oracle=_split_leakage_oracle(),
+    description="Cross-split contamination audit: every MinHash-LSH "
+    "near-duplicate candidate pair labeled with the train/test side "
+    "of each member; `leaks = true` marks a near-dup straddling the "
+    "split — the evaluation-contamination case a doc-level split "
+    "cannot see (a test doc's near-twin sitting in train silently "
+    "inflates eval scores). Composes the banded LSH self-join with "
+    "the deterministic md5 split — the split side is a PURE expression "
+    "of the id, so labeling adds zero joins and zero shuffles on top "
+    "of the candidate-pair plan.",
+    tags=("sampling", "split", "dedup", "audit"),
+)
+def doc_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.queries.text import _candidate_pairs
+
+    def split_of(col: str) -> Column:
+        return (
+            F.when(hash_bucket_hex(F.col(col)) < TRAIN_HEX_LT, F.lit("train"))
+            .otherwise(F.lit("test"))
+        )
+
+    pairs = _candidate_pairs(spark, sf_dir)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        split_of("doc_a").alias("split_a"),
+        split_of("doc_b").alias("split_b"),
+        (split_of("doc_a") != split_of("doc_b")).alias("leaks"),
+    ).orderBy("doc_a", "doc_b")

@@ -111,3 +111,22 @@ def test_temperature_mixture_flattens_lang_shares(spark):
     small = min(before, key=lambda k: before[k])
     assert after[dom] / na < before[dom] / nb  # dominant flattened
     assert after[small] == before[small]  # minority fully kept (cap=1)
+
+
+def test_split_leakage_flags_are_consistent_with_split_query(spark):
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.01"
+    split = {
+        r["doc_id"]: r["split"]
+        for r in reg["doc_train_test_split"].fn(spark, sf).collect()
+    }
+    rows = reg["doc_split_leakage_check"].fn(spark, sf).collect()
+    assert rows, "LSH should find candidate pairs at sf0.01"
+    for r in rows:
+        assert r["split_a"] == split[r["doc_a"]]
+        assert r["split_b"] == split[r["doc_b"]]
+        assert r["leaks"] == (r["split_a"] != r["split_b"])
+    # at a ~90/10 split some pairs straddle; both flag values occur
+    assert {r["leaks"] for r in rows} == {True, False}
