@@ -237,3 +237,103 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Winnowing constants (Schleimer, Wilkerson, Aiken — SIGMOD 2003, the
+# MOSS fingerprinter): k-word grams, window of WINNOW_W consecutive
+# gram hashes, keep each window's minimum. Guarantee: any shared run
+# of >= WINNOW_W + WINNOW_K - 1 words produces at least one shared
+# fingerprint, while storing only ~2/(w+1) of all gram hashes.
+WINNOW_K = 3
+WINNOW_W = 4
+# 40-bit hash packed with the position into ONE bigint so the
+# rightmost-min tie-break is a plain MIN over a window in BOTH
+# engines (no struct-min, no second pass): h*2^20 + (2^20-1-pos).
+# Caps documents at 2^20-1 grams (~1M words) — far above any real
+# web/pretraining doc; the pack would need widening for book-length
+# inputs.
+_POS_CAP = 1 << 20
+
+
+def _winnow_oracle() -> str:
+    grams = (
+        "SELECT doc_id, t.i AS pos, "
+        "CAST(('0x' || substr(md5(t.x), 1, 10)) AS BIGINT) AS h "
+        "FROM (SELECT doc_id, unnest(list_transform("
+        "range(1, len(g) + 1), i -> {'i': i, 'x': g[i]})) AS t "
+        f"FROM (SELECT doc_id, {_sql_shingles(WINNOW_K)} AS g FROM documents))"
+    )
+    return f"""
+        WITH grams AS ({grams}),
+        win AS (
+            SELECT doc_id, pos,
+                   MIN(h * {_POS_CAP} + ({_POS_CAP - 1} - pos)) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW
+                   ) AS min_c
+            FROM grams
+        )
+        SELECT DISTINCT doc_id,
+               CAST({_POS_CAP - 1} - (min_c % {_POS_CAP}) AS INT) AS fp_pos,
+               min_c // {_POS_CAP} AS fp_hash
+        FROM win WHERE pos >= {WINNOW_W}
+        ORDER BY doc_id, fp_pos
+    """
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=_winnow_oracle(),
+    description="Winnowing document fingerprints (Schleimer et al. "
+    f"2003, the MOSS algorithm): hash every {WINNOW_K}-word gram "
+    f"(40-bit md5 prefix), slide a {WINNOW_W}-gram window, keep each "
+    "window's minimum hash with the RIGHTMOST-occurrence tie-break — "
+    "guaranteeing any shared run of ≥ "
+    f"{WINNOW_W + WINNOW_K - 1} words yields a shared fingerprint at "
+    f"~2/(w+1) storage density. The select is ONE windowed MIN per "
+    "gram: hash and position pack into a single bigint (h·2^20 + "
+    "(2^20−1−pos)) so the tie-break needs no struct-min and no second "
+    "pass; per-doc window partitioning keeps it embarrassingly "
+    "parallel — one shuffle on doc_id, nothing corpus-global.",
+    tags=("text", "fingerprint", "winnowing"),
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(word_shingles(tokenize("text"), WINNOW_K)).alias(
+            "pos0", "g"
+        ),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(
+            F.substring(F.md5(F.encode("g", "UTF-8")), 1, 10), 16, 10
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    packed = (
+        F.col("h") * _POS_CAP + (F.lit(_POS_CAP - 1) - F.col("pos"))
+    )
+    win = grams.select(
+        "doc_id", "pos", F.min(packed).over(w).alias("min_c")
+    ).where(F.col("pos") >= WINNOW_W)
+    return (
+        win.select(
+            "doc_id",
+            (F.lit(_POS_CAP - 1) - F.col("min_c") % _POS_CAP)
+            .cast("int")
+            .alias("fp_pos"),
+            F.expr(f"min_c DIV {_POS_CAP}").alias("fp_hash"),
+        )
+        .distinct()
+        .orderBy("doc_id", "fp_pos")
+    )

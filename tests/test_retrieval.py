@@ -125,3 +125,43 @@ def test_shuffle_shards_cover_corpus_and_replay_identically(spark):
     # the order checksum is replay-stable (same permutation every run)
     out2 = REG["doc_shuffle_shards"].fn(spark, SF).collect()
     assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+
+
+def test_winnowing_guarantee_and_density(spark, tmp_path):
+    """The winnowing contract (Schleimer et al. 2003): two docs sharing
+    a run of >= w+k-1 words share at least one fingerprint hash, and
+    the fingerprint density is far below the gram count."""
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    assert len(shared.split()) >= WINNOW_W + WINNOW_K - 1
+    rows = [
+        (1, f"aaa bbb ccc {shared} ddd eee fff", "en", "s", 10),
+        (2, f"xxx yyy {shared} zzz www qqq rrr", "en", "s", 10),
+        (3, "totally different words entirely unrelated content here now", "en", "s", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = REG["doc_winnow_fingerprints"].fn(spark, str(tmp_path)).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert fps[1] & fps[2], "shared run must yield a shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+    # density on the real corpus: selected fingerprints ≪ total grams
+    # (theoretical expectation 2/(w+1) = 0.4 of gram positions)
+    real = REG["doc_winnow_fingerprints"].fn(spark, SF)
+    n_fp = real.count()
+    n_grams = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert n_fp < 0.6 * n_grams
