@@ -299,3 +299,48 @@ def test_plan_stats_helper(spark, registry):
     assert stats["broadcast_joins"] == 3
     assert stats["nested_loop_joins"] == 0
     assert stats["python_row_udfs"] == 0
+
+
+def test_bm25_no_corpus_shuffle(spark, registry):
+    """BM25 must be stats-broadcast + pure expressions: the only
+    exchanges are the single-row stats aggregate and its broadcast —
+    nothing hash-partitions the corpus, and top-k is
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(registry["doc_bm25_topk"].fn(spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_spans_no_join(spark, registry):
+    """The span-dup rollup is aggregate+window only — the exploded
+    corpus relation is never joined back to itself."""
+    plan = _plan(registry["doc_duplicate_spans"].fn(spark, SF))
+    assert "Join" not in plan
+    assert "partial_count" in plan  # (h, doc) pre-agg is map-side combinable
+
+
+def test_snapshot_diff_single_join(spark, registry):
+    plan = _plan(registry["customer_snapshot_diff"].fn(spark, SF))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1
+    assert "FullOuter" in plan
+
+
+def test_winnowing_single_doc_shuffle(spark, registry):
+    """Winnowing is per-doc window work: exactly one hash partitioning
+    (doc_id for the window) before the distinct's own exchange; no
+    joins at all."""
+    plan = _plan(registry["doc_winnow_fingerprints"].fn(spark, SF))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pit_lookup_is_union_window_not_range_join(spark, registry):
+    """The PIT lookup must run as the union+window as-of formulation —
+    one shuffle on the business key, no inequality join explosion."""
+    plan = _plan(registry["orders_pit_customer_balance"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
