@@ -1,6 +1,6 @@
 """Corpus retrieval & span-level dedup operators.
 
-Two pipeline stages the doc-level suite (``queries/text.py``) doesn't
+Pipeline stages the doc-level suite (``queries/text.py``) doesn't
 cover:
 
 - **BM25 retrieval scoring** (``doc_bm25_topk``): score the corpus
@@ -13,6 +13,10 @@ cover:
   report the fraction of its spans that are cross-document duplicates.
   Doc-level MinHash (``doc_near_dup_candidates``) misses a unique page
   quoting a boilerplate paragraph; this catches it.
+- **Winnowing fingerprints** (``doc_winnow_fingerprints``): the MOSS
+  fingerprint-selection algorithm (Schleimer et al., SIGMOD 2003) —
+  position-aware, density-bounded fingerprints with a shared-run
+  guarantee, as a single windowed MIN per document.
 
 Determinism notes (same discipline as ``queries/text_ext.py``):
 - BM25 uses the log-free monotone idf ``(N − df + 0.5)/(df + 0.5)``
@@ -59,6 +63,13 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 10
 
+# Derived constants computed ONCE in Python and injected into BOTH the
+# Spark expression tree (F.lit) and the oracle SQL (repr round-trips
+# doubles exactly) — a single source of truth, so retuning k1/b can
+# never skew one engine's literals off the other's by an ulp.
+_K1_PLUS_1 = BM25_K1 + 1.0
+_ONE_MINUS_B = 1.0 - BM25_B
+
 
 def _bm25_oracle() -> str:
     df_cols = ",\n               ".join(
@@ -73,9 +84,9 @@ def _bm25_oracle() -> str:
     score_terms = " + ".join(
         f"((CAST(n_docs - df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
         f" / (CAST(df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
-        f" * ((CAST(tf{i} AS DOUBLE) * CAST(2.2 AS DOUBLE))"
-        f" / (CAST(tf{i} AS DOUBLE) + CAST(1.2 AS DOUBLE)"
-        f" * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)"
+        f" * ((CAST(tf{i} AS DOUBLE) * CAST({_K1_PLUS_1!r} AS DOUBLE))"
+        f" / (CAST(tf{i} AS DOUBLE) + CAST({BM25_K1!r} AS DOUBLE)"
+        f" * (CAST({_ONE_MINUS_B!r} AS DOUBLE) + CAST({BM25_B!r} AS DOUBLE)"
         f" * (CAST(dl AS DOUBLE) / avgdl))))"
         for i in range(len(BM25_TERMS))
     )
@@ -156,10 +167,13 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"df{i}").cast("double") + half
         )
         tf_d = F.col(f"tf{i}").cast("double")
-        tfpart = (tf_d * F.lit(2.2)) / (
+        tfpart = (tf_d * F.lit(_K1_PLUS_1)) / (
             tf_d
-            + F.lit(1.2)
-            * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
+            + F.lit(BM25_K1)
+            * (
+                F.lit(_ONE_MINUS_B)
+                + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
         )
         term_score = idf * tfpart
         score = term_score if score is None else score + term_score
