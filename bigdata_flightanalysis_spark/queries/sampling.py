@@ -550,3 +550,66 @@ def doc_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_of("doc_b").alias("split_b"),
         (split_of("doc_a") != split_of("doc_b")).alias("leaks"),
     ).orderBy("doc_a", "doc_b")
+
+
+# Efraimidis–Spirakis weighted sampling without replacement: each item
+# draws u ~ Uniform(0,1] from the deterministic hash and gets key
+# u^(1/w); the top-k keys ARE a weighted sample without replacement
+# (Efraimidis & Spirakis 2006). Ranked on the equivalent ln(u)/w
+# (monotone in u^(1/w), avoids pow); ln() isn't correctly rounded by
+# IEEE, but an ulp flip only matters when two keys are within ~1e-16
+# relatively — adjacent ranked keys sit ~1/n apart, so the doctrine of
+# doc_bigram_nll_quality applies; the emitted key is micro-quantized.
+ES_SAMPLE_K = 50
+ES_SEED = 913
+_TWO_60 = float(1 << 60)
+
+
+@register(
+    "doc_weighted_sample_es",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars AS weight,
+                   ln(CAST(({md5_long_sql("CAST(doc_id AS VARCHAR)", seed=ES_SEED)} + 1)
+                           AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))
+                   / CAST(n_chars AS DOUBLE) AS k
+            FROM documents
+        )
+        SELECT doc_id, weight,
+               CAST(floor(k * 1000000.0 + 0.5) AS BIGINT) AS key_micro
+        FROM keyed
+        ORDER BY k DESC, doc_id
+        LIMIT {ES_SAMPLE_K}
+    """,
+    description=f"Weighted sampling WITHOUT replacement (Efraimidis–"
+    f"Spirakis 2006), k={ES_SAMPLE_K}, weight = n_chars: each doc "
+    "draws u from the deterministic md5 hash and is ranked by "
+    "ln(u)/w — the monotone twin of the paper's u^(1/w) key — so the "
+    "top-k ARE an exact without-replacement weighted sample, unlike "
+    "the Bernoulli samplers (which can't hit an exact k) and unlike "
+    "rand()-based reservoirs (partition-order-dependent). One narrow "
+    "pass + TakeOrderedAndProject: no shuffle of the corpus, "
+    "reproducible on any cluster layout. Emitted key micro-quantized "
+    "(ln ulp doctrine of doc_bigram_nll_quality).",
+    tags=("sampling", "weighted"),
+)
+def doc_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    u = (
+        md5_long(F.col("doc_id").cast("string"), seed=ES_SEED) + 1
+    ).cast("double") / F.lit(_TWO_60)
+    k = F.log(u) / F.col("n_chars").cast("double")
+    keyed = docs.select(
+        "doc_id", F.col("n_chars").alias("weight"), k.alias("k")
+    )
+    return (
+        keyed.orderBy(F.desc("k"), "doc_id")
+        .limit(ES_SAMPLE_K)
+        .select(
+            "doc_id",
+            "weight",
+            F.floor(F.col("k") * 1000000.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("key_micro"),
+        )
+    )

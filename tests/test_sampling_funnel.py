@@ -130,3 +130,42 @@ def test_split_leakage_flags_are_consistent_with_split_query(spark):
         assert r["leaks"] == (r["split_a"] != r["split_b"])
     # at a ~90/10 split some pairs straddle; both flag values occur
     assert {r["leaks"] for r in rows} == {True, False}
+
+
+def test_es_weighted_sample_matches_python_and_biases_to_weight(spark):
+    """Third engine: recompute the Efraimidis–Spirakis selection with
+    u^(1/w) keys in pure Python and compare the selected id set; then
+    confirm the sample is weight-biased (mean weight above corpus
+    mean — the property Bernoulli-per-row sampling shares but uniform
+    reservoirs lack)."""
+    import hashlib
+
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+    from bigdata_flightanalysis_spark.queries.sampling import (
+        ES_SAMPLE_K,
+        ES_SEED,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).collect()
+
+    def u_of(doc_id: int) -> float:
+        h = int(hashlib.md5(f"{ES_SEED}|{doc_id}".encode()).hexdigest()[:15], 16)
+        return (h + 1) / float(1 << 60)
+
+    # paper's key u^(1/w); ranking must equal the engine's ln(u)/w
+    scored = sorted(
+        ((u_of(r["doc_id"]) ** (1.0 / r["n_chars"]), r["doc_id"], r["n_chars"])
+         for r in docs),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expect_ids = [d for _, d, _ in scored[:ES_SAMPLE_K]]
+
+    out = load_all()["doc_weighted_sample_es"].fn(spark, sf).collect()
+    assert [r["doc_id"] for r in out] == expect_ids
+
+    corpus_mean = sum(r["n_chars"] for r in docs) / len(docs)
+    sample_mean = sum(r["weight"] for r in out) / len(out)
+    assert sample_mean > corpus_mean
