@@ -344,3 +344,12 @@ def test_pit_lookup_is_union_window_not_range_join(spark, registry):
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     assert "Union" in plan
+
+
+def test_es_weighted_sample_no_shuffle_topk(spark, registry):
+    """E-S sampling is a narrow pass + TakeOrderedAndProject — no hash
+    partitioning of the corpus, no global sort."""
+    plan = _plan(registry["doc_weighted_sample_es"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
