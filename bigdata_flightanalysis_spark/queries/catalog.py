@@ -73,6 +73,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_winnow_fingerprints",
     "doc_weighted_sample_es",
     "multimodal_audio_stats",
+    "multimodal_image_stats",
     "doc_near_dup_candidates_largemode",
     "embed_near_dup_pairs_largemode",
     "doc_dup_canonical_pagerank",

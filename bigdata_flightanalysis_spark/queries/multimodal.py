@@ -208,3 +208,87 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(batches, schema).orderBy("asset_id")
+
+
+@register(
+    "multimodal_image_stats",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               CAST(4 + doc_id % 13 AS INT) AS height,
+               CAST(4 + doc_id % 7 AS INT) AS width,
+               3 AS n_channels,
+               CAST(list_sum(list_transform(
+                   range(0, CAST((4 + doc_id % 13) * (4 + doc_id % 7) * 3
+                                 AS INT)),
+                   i -> (doc_id * 7 + i * 13) % 256
+               )) AS BIGINT) AS sum_pixels,
+               CAST(list_max(list_transform(
+                   range(0, CAST((4 + doc_id % 13) * (4 + doc_id % 7) * 3
+                                 AS INT)),
+                   i -> (doc_id * 7 + i * 13) % 256
+               )) AS INT) AS max_pixel
+        FROM documents
+        ORDER BY asset_id
+    """,
+    description="Image PNG codec roundtrip through the Arrow batch "
+    "loop, oracle-checked end to end — the image twin of "
+    "multimodal_audio_stats: per asset a deterministic RGB image "
+    "(pixel_i = (id·7 + i·13) mod 256 in row-major order, "
+    "(4 + id mod 13) × (4 + id mod 7) px) is ENCODED to PNG (zlib, "
+    "filter 0) and DECODED back with the pure-stdlib codec inside ONE "
+    "mapInPandas stage; integer pixel stats come from the decoded "
+    "array while the oracle recomputes the raster arithmetically in "
+    "SQL, so the whole encode→compress→decode→Arrow path is verified "
+    "bit-for-bit. Embarrassingly parallel, zero shuffles before the "
+    "presentation sort.",
+    tags=("multimodal", "image", "pandas-udf"),
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    schema = (
+        "asset_id bigint, height int, width int, n_channels int, "
+        "sum_pixels bigint, max_pixel int"
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from bigdata_flightanalysis_spark.operators.codecs import (
+            decode_png,
+            encode_png,
+        )
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                h, w = 4 + did % 13, 4 + did % 7
+                i = np.arange(h * w * 3, dtype=np.int64)
+                raster = ((did * 7 + i * 13) % 256).astype(np.uint8)
+                payload = encode_png(raster.reshape(h, w, 3))
+                arr = decode_png(payload)  # stats from the DECODED bytes
+                flat = arr.astype(np.int64)
+                rows.append(
+                    (
+                        did,
+                        int(arr.shape[0]),
+                        int(arr.shape[1]),
+                        int(arr.shape[2]),
+                        int(flat.sum()),
+                        int(flat.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "height",
+                    "width",
+                    "n_channels",
+                    "sum_pixels",
+                    "max_pixel",
+                ],
+            )
+
+    return docs.mapInPandas(batches, schema).orderBy("asset_id")
