@@ -874,3 +874,77 @@ def events_minutely_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("minute")
     )
+
+
+# Spark's approx_percentile (Greenwald-Khanna) guarantees rank error
+# <= n/accuracy; the contract query verifies that bound against the
+# exact ranks, the same shape as the ANN recall contracts.
+_GK_ACCURACY = 1000
+
+
+@register(
+    "events_approx_quantile_contract",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               TRUE AS p50_within_bound,
+               TRUE AS p95_within_bound
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Approximate-quantile sketch with a verified error "
+    f"contract: per event type, approx_percentile (Greenwald–Khanna, "
+    f"accuracy={_GK_ACCURACY}) estimates p50/p95 of `value`, then the "
+    "EXACT rank of each estimate is counted and checked against the "
+    "sketch's published bound (rank error ≤ n/accuracy, +1 slack for "
+    "the ≤-boundary). The oracle expects literal TRUE per type, so "
+    "the hash matches iff the bound holds — completing the sketch "
+    "family (HLL, approx_top_k, Count-Min) with the quantile member. "
+    "Scale shape: the sketch is a single mergeable partial aggregate; "
+    "the verification join broadcasts one row per type back over the "
+    "events — production would skip the check and keep only the "
+    "one-pass sketch.",
+    tags=("events", "sketch", "quantile"),
+)
+def events_approx_quantile_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    ap = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.95)), F.lit(_GK_ACCURACY)
+        ).alias("aq"),
+    )
+    est = ap.select(
+        "event_type",
+        "n_events",
+        F.col("aq")[0].alias("v50"),
+        F.col("aq")[1].alias("v95"),
+    )
+    ranks = (
+        ev.join(F.broadcast(est.select("event_type", "v50", "v95")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") <= F.col("v50")).cast("long")).alias("r50"),
+            F.sum((F.col("value") <= F.col("v95")).cast("long")).alias("r95"),
+        )
+    )
+    tol = F.col("n_events").cast("double") / _GK_ACCURACY + 1.0
+    return (
+        est.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            (
+                F.abs(F.col("r50").cast("double") - 0.5 * F.col("n_events"))
+                <= tol
+            ).alias("p50_within_bound"),
+            (
+                F.abs(F.col("r95").cast("double") - 0.95 * F.col("n_events"))
+                <= tol
+            ).alias("p95_within_bound"),
+        )
+        .orderBy("event_type")
+    )
