@@ -78,6 +78,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "multimodal_audio_stats",
     "multimodal_image_stats",
     "events_approx_quantile_contract",
+    "doc_dup_graph_triangles",
     "doc_near_dup_candidates_largemode",
     "embed_near_dup_pairs_largemode",
     "doc_dup_canonical_pagerank",

@@ -1183,3 +1183,95 @@ def doc_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "doc_dup_graph_triangles",
+    oracle=f"""
+        WITH {_SQL_SIG_CTE}, {_SQL_BANDS_CTE}, e AS (
+            {_SQL_PAIRS_SELECT}
+        ),
+        tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.doc_a = e1.doc_b
+            JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+        ),
+        deg AS (
+            SELECT node, COUNT(*) AS d FROM (
+                SELECT doc_a AS node FROM e
+                UNION ALL SELECT doc_b AS node FROM e
+            ) GROUP BY node
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+            FROM deg
+        )
+        SELECT agg.n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+               CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+               agg.n_wedges,
+               CASE WHEN agg.n_wedges > 0
+                    THEN CAST(3 * tri.n_triangles AS DOUBLE)
+                         / CAST(agg.n_wedges AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS global_cc
+        FROM agg CROSS JOIN tri
+    """,
+    description="Triangle count + global clustering coefficient of the "
+    "MinHash-LSH similarity graph — the canonical join-based graph "
+    "analytic: with edges oriented a<b, each triangle x<y<z is found "
+    "exactly once by the two-hop equi-join e1(x,y)⋈e2(y,z)⋈e3(x,z); "
+    "wedges come from per-node degrees (Σ d·(d−1)/2) and "
+    "cc = 3·triangles/wedges. A near-1 coefficient confirms dup "
+    "clusters are clique-like (true near-dup sets), a low one flags "
+    "chained false-positive merges — the graph-health metric for "
+    "dedup QA. Scale shape: two hash-partitioned edge joins (the "
+    "standard distributed triangle enumeration; the a<b orientation "
+    "bounds each node's join fan-out by its out-degree) plus one "
+    "degree aggregate; no adjacency lists materialized.",
+    tags=("text", "dedup", "graph"),
+)
+def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _candidate_pairs(spark, sf_dir)
+
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("doc_a").alias("node"))
+        .unionAll(e.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        agg.crossJoin(tri)
+        .crossJoin(n_edges)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                (3 * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("global_cc"),
+        )
+    )

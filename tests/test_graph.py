@@ -141,3 +141,30 @@ def test_pagerank_partition_order_invariant(spark):
     a = sorted(tuple(r) for r in pagerank(edges.repartition(1)).collect())
     b = sorted(tuple(r) for r in pagerank(edges.repartition(8)).collect())
     assert a == b  # decimal accumulation → bit-identical ranks
+
+
+def test_triangle_count_on_crafted_clique(spark, tmp_path):
+    """Three identical docs form a 3-clique (3 edges, 1 triangle,
+    cc=1.0); an identical pair adds 1 edge and no triangle; a unique
+    doc stays isolated (absent from the edge set)."""
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten eleven"
+    rows = [
+        (1, a, "en", "s", 10), (2, a, "en", "s", 10), (3, a, "en", "s", 10),
+        (4, b, "en", "s", 10), (5, b, "en", "s", 10),
+        (6, "completely unrelated text with different words entirely", "en", "s", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = load_all()["doc_dup_graph_triangles"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_nodes"] == 5          # doc 6 isolated, not in edge set
+    assert r["n_edges"] == 4          # 3-clique + 1 pair edge
+    assert r["n_triangles"] == 1
+    assert r["n_wedges"] == 3         # each clique node: deg 2 -> 1 wedge
+    assert r["global_cc"] == 1.0      # 3*1/3
