@@ -162,3 +162,62 @@ def range_join_bucketed(
         )
     )
     return joined.drop("__bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str] = (),
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_micros: int,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Equi-join-shaped INTERVAL-overlap join: pairs whose closed
+    intervals ``[left_start, left_end]`` and ``[right_start,
+    right_end]`` (epoch-microsecond bigint columns) overlap, plus
+    equal key columns.
+
+    The both-sides-interval generalization of
+    :func:`range_join_bucketed` (point vs window): each interval
+    explodes to EVERY ``bucket_micros``-wide epoch bin it touches, the
+    join is a plain shuffled equi-join on (keys, bin), the exact
+    overlap predicate is re-applied, and the multi-bin duplicate match
+    is eliminated WITHOUT a distinct: a pair is kept only in the bin
+    containing ``greatest(left_start, right_start)`` — each
+    overlapping pair has exactly one such bin. Linear in
+    matches + bins touched; never a nested-loop inequality join.
+    Choose ``bucket_micros`` near the typical interval length: shorter
+    buckets explode long intervals into more rows, longer buckets put
+    more non-matches in each bin.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def bins(s: str, e: str) -> Column:
+        return F.sequence(
+            F.floor(F.col(s) / bucket_micros).cast("long"),
+            F.floor(F.col(e) / bucket_micros).cast("long"),
+        )
+
+    l2 = left.withColumn("__bin", F.explode(bins(left_start, left_end)))
+    renames = {
+        c: f"{c}{suffix}" if c in left.columns else c for c in right.columns
+    }
+    r2 = right.select(
+        *[F.col(c).alias(renames[c]) for c in right.columns]
+    ).withColumn(
+        "__bin", F.explode(bins(renames[right_start], renames[right_end]))
+    )
+    rs, re_ = renames[right_start], renames[right_end]
+    joined = l2.join(r2, [*keys, "__bin"]).filter(
+        (F.col(left_start) <= F.col(re_))
+        & (F.col(rs) <= F.col(left_end))
+        & (
+            F.col("__bin")
+            == F.floor(F.greatest(F.col(left_start), F.col(rs)) / bucket_micros)
+        )
+    )
+    return joined.drop("__bin")

@@ -79,6 +79,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "multimodal_image_stats",
     "events_approx_quantile_contract",
     "doc_dup_graph_triangles",
+    "events_activity_incident_overlap",
     "doc_near_dup_candidates_largemode",
     "embed_near_dup_pairs_largemode",
     "doc_dup_canonical_pagerank",

@@ -948,3 +948,73 @@ def events_approx_quantile_contract(
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_activity_incident_overlap",
+    oracle="""
+        WITH act AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   epoch_us(MIN(ts)) AS a_start,
+                   epoch_us(MAX(ts)) AS a_end
+            FROM events GROUP BY user_id, day
+        ),
+        inc AS (
+            SELECT event_id AS incident_id,
+                   epoch_us(ts) - 300000000 AS i_start,
+                   epoch_us(ts) + 300000000 AS i_end
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT a.user_id, strftime(a.day, '%Y-%m-%d') AS day,
+               i.incident_id
+        FROM act a JOIN inc i
+          ON a.a_start <= i.i_end AND i.i_start <= a.a_end
+        ORDER BY user_id, day, incident_id
+    """,
+    description="Interval-OVERLAP join (both sides are intervals — the "
+    "generalization of the point-vs-window range join): each user's "
+    "daily activity span [first event, last event] matched to every "
+    "incident window (±5 min around each error event) it overlaps. "
+    "Implemented with operators.temporal.interval_overlap_join: both "
+    "interval sets explode to the day-wide epoch bins they touch, a "
+    "plain shuffled equi-join on the bin replaces the quadratic "
+    "inequality join, the exact overlap predicate is re-applied, and "
+    "the multi-bin duplicate is eliminated join-side (pair kept only "
+    "in the bin of greatest(start, start)) — no DISTINCT pass. The "
+    "oracle is DuckDB's native inequality join (IEJoin), an "
+    "independent algorithm for the same semantics.",
+    tags=("events", "range-join", "interval", "join"),
+)
+def events_activity_incident_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    act = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.unix_micros(F.min("ts")).alias("a_start"),
+        F.unix_micros(F.max("ts")).alias("a_end"),
+    )
+    inc = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        (F.unix_micros("ts") - 300_000_000).alias("i_start"),
+        (F.unix_micros("ts") + 300_000_000).alias("i_end"),
+    )
+    j = interval_overlap_join(
+        act,
+        inc,
+        left_start="a_start",
+        left_end="a_end",
+        right_start="i_start",
+        right_end="i_end",
+        bucket_micros=86_400_000_000,
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "incident_id",
+    ).orderBy("user_id", "day", "incident_id")

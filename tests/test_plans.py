@@ -353,3 +353,9 @@ def test_es_weighted_sample_no_shuffle_topk(spark, registry):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_interval_overlap_is_equijoin_not_nested_loop(spark, registry):
+    plan = _plan(registry["events_activity_incident_overlap"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -137,3 +137,44 @@ def test_pit_lookup_prevents_balance_leakage(spark):
         assert r["pit_acctbal"] == neg[r["c_custkey"]], r
     for r in after:
         assert r["pit_acctbal"] == 0.0, r
+
+
+def test_interval_overlap_join_matches_naive_quadratic(spark):
+    """Random closed intervals: the bucketed equi-join must produce
+    exactly the pair set of the naive all-pairs overlap check —
+    including intervals spanning many buckets and exact-touch
+    boundaries."""
+    import random
+
+    from bigdata_flightanalysis_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(7)
+    W = 1000
+    lefts = [
+        (i, s, s + rng.randint(0, 3500))
+        for i, s in ((i, rng.randint(0, 20000)) for i in range(60))
+    ]
+    rights = [
+        (j, s, s + rng.randint(0, 900))
+        for j, s in ((j, rng.randint(0, 20000)) for j in range(80))
+    ]
+    expect = sorted(
+        (li, rj)
+        for li, ls, le in lefts
+        for rj, rs, re_ in rights
+        if ls <= re_ and rs <= le
+    )
+    ldf = spark.createDataFrame(lefts, "lid bigint, ls bigint, le bigint")
+    rdf = spark.createDataFrame(rights, "rid bigint, rs bigint, re bigint")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            bucket_micros=W,
+        ).select("lid", "rid").collect()
+    )
+    assert got == expect
