@@ -151,6 +151,81 @@ def assign_components(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Return ``(node, core_degree)`` for every node of the ``k``-core
+    of the undirected graph: the maximal subgraph in which every node
+    has degree >= k (Seidman 1983; the standard peel: repeatedly drop
+    nodes with degree < k until fixed point). ``core_degree`` is the
+    node's degree WITHIN the k-core.
+
+    Dedup-QA use: the 2-core of the near-dup graph strips pendant
+    (single-collision, likely false-positive) docs, leaving the densely
+    connected clusters worth canonical-selection effort.
+
+    Scale posture mirrors ``connected_components``: each peel round is
+    one per-node degree aggregate (partial, map-side combined) plus a
+    semi-join filter of the edge list — no adjacency lists; rounds are
+    eagerly checkpointed so the plan can't grow with iteration count,
+    and ``checkpoint_dir`` / ``SPARK_GRAFT_CHECKPOINT_DIR`` selects
+    reliable ``checkpoint()`` for multi-executor fault tolerance.
+    Worst-case round count is O(n) (a path peels from the ends in),
+    so convergence is load-bearing: the function raises rather than
+    return a not-yet-peeled subgraph.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u, v = F.col(src), F.col(dst)
+    sym_in = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    with checkpoint_scope(edges.sparkSession, checkpoint_dir) as ck:
+        # Symmetrize once; each round only shrinks the edge set.
+        sym = ck(
+            sym_in.union(
+                sym_in.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            ).distinct()
+        )
+        n_edges = sym.count()
+        for _ in range(max_iter):
+            if n_edges == 0:
+                break
+            keep = (
+                sym.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .where(F.col("d") >= k)
+                .select("u")
+            )
+            nxt = ck(
+                sym.join(keep, "u", "left_semi").join(
+                    keep.select(F.col("u").alias("v")), "v", "left_semi"
+                )
+            )
+            n_next = nxt.count()
+            if n_next == n_edges:
+                break
+            sym, n_edges = nxt, n_next
+        else:
+            raise RuntimeError(
+                f"k_core(k={k}) did not converge within {max_iter} peel "
+                "rounds; raise max_iter (a long path/chain component "
+                "peels only two nodes per round)"
+            )
+    return (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     *,

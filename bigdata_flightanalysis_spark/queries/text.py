@@ -1275,3 +1275,68 @@ def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_cc"),
         )
     )
+
+
+_KCORE_K = 2
+_KCORE_SQL_ROUNDS = 12  # real dup graphs converge in 1-2; generous margin
+
+
+def _kcore_oracle() -> str:
+    """Unrolled fixed-round peel — the same trick that made PageRank
+    oracle-checkable: DuckDB runs _KCORE_SQL_ROUNDS peel rounds as
+    chained CTEs; peeling is idempotent at the fixed point, so as long
+    as the graph converges within the unrolled count (measured: 1 round
+    at sf0.001/sf0.01, guarded by the Spark side's convergence raise)
+    the result IS the true k-core."""
+    # AS MATERIALIZED throughout: DuckDB inlines plain CTEs per
+    # reference, and each round references its predecessor three times
+    # — unmaterialized, the base LSH scan would be re-expanded
+    # exponentially in the round count.
+    ctes = [
+        "s0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM e"
+        " UNION ALL SELECT doc_b AS u, doc_a AS v FROM e)"
+    ]
+    for i in range(_KCORE_SQL_ROUNDS):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT u FROM s{i} GROUP BY u"
+            f" HAVING COUNT(*) >= {_KCORE_K})"
+        )
+        ctes.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT s.u, s.v FROM s{i} s"
+            f" JOIN k{i} a ON s.u = a.u JOIN k{i} b ON s.v = b.u)"
+        )
+    last = f"s{_KCORE_SQL_ROUNDS}"
+    return f"""
+        WITH {_SQL_SIG_CTE}, {_SQL_BANDS_CTE}, e AS MATERIALIZED (
+            {_SQL_PAIRS_SELECT}
+        ),
+        {", ".join(ctes)}
+        SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM {last} GROUP BY u ORDER BY node
+    """
+
+
+@register(
+    "doc_dup_graph_kcore",
+    oracle=_kcore_oracle(),
+    description=f"{_KCORE_K}-core of the MinHash-LSH similarity graph "
+    "(operators/graph.py:k_core — iterative peel: drop degree<k nodes "
+    "until fixed point): strips pendant single-collision docs (the "
+    "likely LSH false positives) and keeps the densely-connected dup "
+    "clusters worth canonical-selection effort — the graph-cleanup "
+    "step between candidate pairs and clustering. Scale shape: each "
+    "round is one map-side-combined degree aggregate plus a semi-join "
+    "edge filter, rounds eagerly checkpointed (reliable dir via the "
+    "SPARK_GRAFT_CHECKPOINT_DIR contract), and the operator RAISES if "
+    "unconverged rather than return a half-peeled subgraph. The oracle "
+    f"unrolls {_KCORE_SQL_ROUNDS} peel rounds as chained CTEs — "
+    "idempotent past the fixed point, so it equals the true k-core "
+    "whenever the Spark side's convergence check passes.",
+    tags=("text", "dedup", "graph", "kcore"),
+)
+def doc_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.graph import k_core
+
+    return k_core(
+        _candidate_pairs(spark, sf_dir), _KCORE_K, src="doc_a", dst="doc_b"
+    ).orderBy("node")

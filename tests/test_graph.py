@@ -168,3 +168,80 @@ def test_triangle_count_on_crafted_clique(spark, tmp_path):
     assert r["n_triangles"] == 1
     assert r["n_wedges"] == 3         # each clique node: deg 2 -> 1 wedge
     assert r["global_cc"] == 1.0      # 3*1/3
+
+
+def _kcore_brute(edges, k):
+    """Driver-side peel: the independent implementation k_core is
+    checked against."""
+    sym = set()
+    for a, b in edges:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    while True:
+        deg = {}
+        for u, _ in sym:
+            deg[u] = deg.get(u, 0) + 1
+        bad = {u for u, d in deg.items() if d < k}
+        if not bad:
+            break
+        sym = {(u, v) for u, v in sym if u not in bad and v not in bad}
+    out = {}
+    for u, _ in sym:
+        out[u] = out.get(u, 0) + 1
+    return out
+
+
+def _kcore_dict(spark, edges, k, **kw):
+    from bigdata_flightanalysis_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return {r["node"]: r["core_degree"] for r in k_core(df, k, **kw).collect()}
+
+
+def test_kcore_path_peels_to_empty(spark):
+    # The 2-core of a path is empty — reached only after ~n/2 peel
+    # rounds (ends fall off two per round), the worst-case round shape.
+    got = _kcore_dict(spark, [(i, i + 1) for i in range(9)], 2)
+    assert got == {}
+
+
+def test_kcore_clique_sheds_pendant_chain(spark):
+    # K4 + pendant chain 3-10-11: the 2-core and 3-core are exactly
+    # the K4 (chain removal must CASCADE: 11 falls, then 10);
+    # the 4-core is empty.
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 10), (10, 11)]
+    assert _kcore_dict(spark, edges, 2) == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert _kcore_dict(spark, edges, 3) == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert _kcore_dict(spark, edges, 4) == {}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_kcore_random_matches_brute_force(spark, seed):
+    rng = random.Random(seed)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(140)]
+    edges = [(a, b) for a, b in edges if a != b]
+    for k in (2, 3):
+        got = _kcore_dict(spark, edges, k)
+        assert got == _kcore_brute(edges, k)
+        # every surviving node meets the core-degree contract
+        assert all(d >= k for d in got.values())
+
+
+def test_kcore_reliable_checkpoint_dir_same_result(spark, tmp_path):
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)] + [(4, 9)]
+    plain = _kcore_dict(spark, edges, 2)
+    reliable = _kcore_dict(spark, edges, 2, checkpoint_dir=str(tmp_path))
+    assert plain == reliable == {i: 4 for i in range(5)}
+
+
+def test_kcore_raises_without_convergence(spark):
+    from bigdata_flightanalysis_spark.operators.graph import k_core
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(chain, 2, max_iter=2)
