@@ -1018,3 +1018,174 @@ def events_activity_incident_overlap(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "incident_id",
     ).orderBy("user_id", "day", "incident_id")
+
+
+@register(
+    "events_cdc_latest_state",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT user_id, ts, event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               strftime(ts, '{_TS_FMT_DUCK}') AS last_ts,
+               event_type AS last_event_type,
+               value AS last_value
+        FROM ranked
+        WHERE rn = 1 AND event_type <> 'error'
+        ORDER BY user_id
+    """,
+    description="CDC changelog compaction (latest-wins upsert with "
+    "tombstones): the events stream read as a change log keyed by "
+    "user_id — each event upserts the user's state, 'error' events "
+    "are tombstones, and the snapshot keeps only users whose LATEST "
+    "change (total order: ts, then event_id) is not a delete. "
+    "Implemented as ONE max_by(struct, struct) aggregate — a partial "
+    "aggregate, so each map task pre-compacts its slice and only one "
+    "candidate row per key crosses the shuffle; the window/row_number "
+    "formulation the oracle uses would shuffle EVERY change record. "
+    "This is the log→snapshot materialization every incremental "
+    "ingest pipeline runs, and at 100 TB the map-side combine is the "
+    "difference between shuffling the changelog and shuffling one row "
+    "per key.",
+    tags=("events", "cdc", "upsert", "argmax"),
+)
+def events_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("ts", "event_type", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("s")
+    )
+    return (
+        latest.where(F.col("s.event_type") != "error")
+        .select(
+            "user_id",
+            F.date_format("s.ts", _TS_FMT_SPARK).alias("last_ts"),
+            F.col("s.event_type").alias("last_event_type"),
+            F.col("s.value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_rollup_cascade",
+    oracle=f"""
+        SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP),
+                        '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+                   AS n_hours,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {dsum_sql("value", "sum_value")},
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY 1
+        ORDER BY day
+    """,
+    description="Multi-resolution rollup cascade (the hypertable / "
+    "incremental-materialized-view shape): daily aggregates derived "
+    "from the HOURLY aggregate frame, never from raw events — counts "
+    "sum, decimal partial sums add exactly (the double cast happens "
+    "once, at the final level, so the cascade is bit-identical to a "
+    "single-level aggregate — which is exactly what the oracle "
+    "computes from raw rows), min/max re-min/re-max. At 100 TB this "
+    "is how continuous aggregates stay cheap: the raw stream is "
+    "touched once per hour partition and every coarser resolution "
+    "re-aggregates the one-row-per-bucket frame above it.",
+    tags=("events", "rollup", "incremental", "time-bucket"),
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_hours",
+            "n_events",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+        .orderBy("day")
+    )
+
+
+# HLL (datasketches, lgConfigK=12) relative standard error is
+# ~1.04/sqrt(2^12) ≈ 1.6%; the contract allows ~3.7 sigma.
+_HLL_REL_TOL = 0.06
+
+
+@register(
+    "events_distinct_rollup_sketch",
+    oracle="""
+        SELECT strftime(CAST(date_trunc('month', ts) AS TIMESTAMP),
+                        '%Y-%m') AS month,
+               CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                   AS n_days,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               TRUE AS within_bound
+        FROM events
+        GROUP BY 1
+        ORDER BY month
+    """,
+    description="Mergeable-sketch rollup: per-day HLL sketches of "
+    "distinct users (hll_sketch_agg — one partial aggregate over the "
+    "raw stream) are UNIONED up to monthly estimates (hll_union_agg "
+    "over the one-row-per-day frame), the pre-aggregated pattern that "
+    "makes distinct-count rollups O(days) instead of O(events) at "
+    "every coarser resolution — COUNT(DISTINCT) does not re-aggregate, "
+    "sketches do. The contract completes like the quantile one: the "
+    "exact monthly distinct count is computed alongside and the "
+    f"estimate must land within {_HLL_REL_TOL:.0%} (vs the sketch's "
+    "~1.6% published standard error at lgConfigK=12); the oracle "
+    "expects literal TRUE, so the hash matches iff the bound holds.",
+    tags=("events", "sketch", "hll", "rollup"),
+)
+def events_distinct_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("ts", "user_id")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    monthly = daily.groupBy(F.date_trunc("month", "day").alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        monthly.join(exact, "month")
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            "n_days",
+            "exact_distinct",
+            (
+                F.abs(
+                    F.col("est").cast("double")
+                    - F.col("exact_distinct").cast("double")
+                )
+                <= F.lit(_HLL_REL_TOL) * F.col("exact_distinct").cast("double")
+            ).alias("within_bound"),
+        )
+        .orderBy("month")
+    )

@@ -506,3 +506,76 @@ def doc_bigram_nll_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# C4/CCNet-style normalization pipeline, stage by stage. Regex classes
+# are spelled out explicitly (no \s, \p{...}) because Java regex
+# (Spark) and RE2 (DuckDB) disagree on shorthand-class membership —
+# e.g. Java \s includes \x0B, RE2's does not.
+_CLEAN_MAX_CHARS = 300
+
+
+@register(
+    "doc_clean_normalize",
+    oracle=f"""
+        WITH cleaned AS (
+            SELECT doc_id,
+                   length(text) AS n_raw,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       '<[^>]*>', ' ', 'g'),
+                       '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+                       '[ \\t\\n\\r\\x0b\\x0c]+', ' ', 'g')) AS t
+            FROM documents
+        ),
+        capped AS (
+            SELECT doc_id, n_raw,
+                   CASE WHEN length(t) > {_CLEAN_MAX_CHARS}
+                        THEN substr(t, 1, {_CLEAN_MAX_CHARS})
+                        ELSE t END AS t
+            FROM cleaned
+        )
+        SELECT doc_id,
+               CAST(n_raw AS BIGINT) AS n_raw,
+               CAST(length(t) AS BIGINT) AS n_clean,
+               md5(t) AS clean_md5
+        FROM capped
+        ORDER BY doc_id
+    """,
+    description="Text normalization pipeline (the cleaning pass every "
+    "pretraining corpus runs before dedup/quality): strip markup tags, "
+    "drop non-whitespace control characters, collapse whitespace runs "
+    "to single spaces, trim, and hard-cap at "
+    f"{_CLEAN_MAX_CHARS} chars — all as chained JVM-side regexp/substr "
+    "built-ins (narrow, no shuffle, whole-stage codegen; a Python UDF "
+    "here would put every corpus byte through the interpreter). The "
+    "oracle re-runs the identical pipeline in DuckDB and compares "
+    "md5(clean_text) — content-exact without hashing megabytes through "
+    "the driver. Character classes are written out explicitly because "
+    "Java regex and RE2 disagree on shorthand classes (Java \\s "
+    "includes \\x0b).",
+    tags=("text", "cleaning", "normalization"),
+)
+def doc_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.regexp_replace(F.col("text"), "<[^>]*>", " ")
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0e-\\x1f\\x7f]", "")
+    t = F.regexp_replace(t, "[ \\t\\n\\r\\x0b\\x0c]+", " ")
+    t = F.trim(t)
+    t = F.when(
+        F.length(t) > _CLEAN_MAX_CHARS, F.substring(t, 1, _CLEAN_MAX_CHARS)
+    ).otherwise(t)
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_raw"),
+            t.alias("t"),
+        )
+        .select(
+            "doc_id",
+            "n_raw",
+            F.length("t").cast("bigint").alias("n_clean"),
+            F.md5(F.col("t").cast("binary")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

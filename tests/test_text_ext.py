@@ -122,3 +122,42 @@ def test_incremental_near_dup_equals_full_restricted(spark):
     expected = {p for p in full if is_new(p[0]) or is_new(p[1])}
     assert inc == expected
     assert inc, "fixture has no batch-involving near-dup pairs"
+
+
+def test_clean_normalize_adversarial_inputs(spark, tmp_path):
+    """The engine-parity claim on input that actually exercises every
+    stage (the synthetic corpus is already clean): tags stripped,
+    control chars dropped, whitespace runs collapsed, trim, 300-char
+    cap — Spark output must equal the DuckDB oracle run on the same
+    crafted corpus."""
+    import duckdb
+
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+
+    rows = [
+        (1, "plain text stays as is", "en", "s", 10),
+        (2, "a  <b>bold</b>\t\ttag<br/>soup   here", "en", "s", 10),
+        (3, "ctrl\x01\x02chars\x7fgone \x0b\x0c ws", "en", "s", 10),
+        (4, "  leading and trailing   ", "en", "s", 10),
+        (5, "x" * 450, "en", "s", 10),  # capped at 300
+        (6, "<p>" + "word " * 120 + "</p>", "en", "s", 10),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    q = load_all()["doc_clean_normalize"]
+    got = sorted(tuple(r) for r in q.fn(spark, str(tmp_path)).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    con.close()
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[5][2] == 300  # hard cap applied
+    assert by_id[4][2] == len("leading and trailing")  # trimmed+collapsed
