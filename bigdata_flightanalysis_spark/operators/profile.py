@@ -1,0 +1,75 @@
+"""Generic single-pass table profiler (the Deequ/Glue-crawler-style
+column-statistics operator): one long-format row per column with row
+count, null count, distinct count, and stringified min/max.
+
+Shape at scale: ONE aggregate over the table. With ``approx=True``
+(the 100 TB default) distinct counts are HyperLogLog partial
+aggregates, so the whole profile is a single map-side-combined pass —
+no Expand, no per-column scans. ``approx=False`` uses exact
+``count_distinct``; Catalyst rewrites N distinct aggregates into an
+Expand (N rows per input row), which is exact but multiplies the
+shuffled bytes by the column count — fine for dimension-sized tables,
+the documented trade-off for fact tables.
+
+Min/max are STRINGIFIED with engine-portable renderings (doubles via
+DECIMAL(38,6), timestamps via a fixed format) so a profile can be
+compared across engines / persisted as a schema-stable artifact no
+matter the profiled column types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _stringified(col: str, dt: T.DataType) -> F.Column:
+    c = F.col(col)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return c.cast("decimal(38,6)")
+    if isinstance(dt, T.TimestampType):
+        # rendered at agg time below (min/max of timestamp, then format)
+        return c
+    return c
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, *, approx: bool = True
+) -> DataFrame:
+    """Profile ``columns`` (default: all) of ``df`` in one aggregate
+    pass; returns (col_name, n_rows, n_nulls, n_distinct, min_value,
+    max_value) with one row per profiled column."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        dt = df.schema[c].dataType
+        s = _stringified(c, dt)
+        mn, mx = F.min(s), F.max(s)
+        if isinstance(dt, T.TimestampType):
+            mn = F.date_format(mn, _TS_FMT)
+            mx = F.date_format(mx, _TS_FMT)
+        nd = (
+            F.approx_count_distinct(c) if approx else F.count_distinct(F.col(c))
+        )
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).cast("bigint").alias(f"__nulls_{c}"),
+            nd.cast("bigint").alias(f"__nd_{c}"),
+            mn.cast("string").alias(f"__min_{c}"),
+            mx.cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __nd_{c}, `__min_{c}`, `__max_{c}`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        F.col("__n_rows").cast("bigint").alias("n_rows"),
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )

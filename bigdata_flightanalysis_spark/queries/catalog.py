@@ -67,6 +67,13 @@ def register(
 # rows.
 _VERIFY_FIRST: tuple[str, ...] = (
     # (1) new / contract-changed this round
+    "doc_dup_graph_kcore",
+    "events_cdc_latest_state",
+    "events_rollup_cascade",
+    "events_distinct_rollup_sketch",
+    "doc_clean_normalize",
+    "referential_integrity_report",
+    "orders_profile",
     "doc_bm25_topk",
     "doc_duplicate_spans",
     "customer_snapshot_diff",

@@ -1555,3 +1555,143 @@ def orders_pit_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         F.col("c_acctbal").alias("pit_acctbal"),
     ).orderBy("o_orderkey")
+
+
+#: The star schema's FK edges: (edge label, fact table, fk col, dim
+#: table, pk col, dim is broadcast-small). Order defines output order.
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey", True),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey", True),
+]
+
+
+@register(
+    "referential_integrity_report",
+    oracle="""
+        {}
+        ORDER BY edge
+    """.format(
+        " UNION ALL ".join(
+            f"""
+            SELECT '{label}' AS edge,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN d.{pk} IS NULL AND f.{fk} IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+                   CAST(SUM(CASE WHEN f.{fk} IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk
+            FROM {fact} f LEFT JOIN (SELECT DISTINCT {pk} FROM {dim}) d
+              ON f.{fk} = d.{pk}
+            """
+            for label, fact, fk, dim, pk, _ in _FK_EDGES
+        )
+    ),
+    description="Referential-integrity audit of the whole star schema "
+    "(the Deequ-style constraint suite's FK member): for every FK edge, "
+    "the fact rows whose key has no match in the dimension (orphans) "
+    "and the NULL-key rows, in one report frame. Each edge is ONE "
+    "anti-join counted — dims are broadcast (no fact shuffle at all "
+    "for six of the seven edges); the one fact-fact edge "
+    "(lineitem→orders) shuffles on the join key exactly once. The "
+    "oracle recomputes each edge with an independent left-join "
+    "formulation. On clean driver data all orphan counts are zero — "
+    "the report's value is the shape: this is the pre-ingest gate a "
+    "100 TB pipeline runs before promoting a batch, and the "
+    "crafted-orphan behavioral test proves the counts fire.",
+    tags=("relational", "governance", "anti-join", "audit"),
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for label, fact, fk, dim, pk, small in _FK_EDGES:
+        f = read_table(spark, sf_dir, fact).select(F.col(fk).alias("fk"))
+        d = read_table(spark, sf_dir, dim).select(F.col(pk).alias("pk")).distinct()
+        if small:
+            d = F.broadcast(d)
+        joined = f.join(d, f["fk"] == d["pk"], "left")
+        agg = joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                (F.col("pk").isNull() & F.col("fk").isNotNull()).cast("long")
+            )
+            .cast("bigint")
+            .alias("n_orphans"),
+            F.sum(F.col("fk").isNull().cast("long"))
+            .cast("bigint")
+            .alias("n_null_fk"),
+        )
+        frames.append(
+            agg.select(
+                F.lit(label).alias("edge"), "n_rows", "n_orphans", "n_null_fk"
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("edge")
+
+
+@register(
+    "orders_profile",
+    oracle="""
+        SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR),
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+               strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+               strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+        ORDER BY col_name
+    """,
+    description="Whole-table column profile (operators/profile.py: "
+    "Deequ-style data crawler): ONE aggregate pass emits per-column "
+    "row/null/distinct counts and engine-portable stringified min/max "
+    "(doubles via DECIMAL(38,6), timestamps via a fixed format), "
+    "unpivoted to long form with stack(). This registry entry runs the "
+    "exact=True mode so the DuckDB oracle matches value-for-value; the "
+    "100 TB default is approx=True, where every distinct count is an "
+    "HLL partial aggregate and the whole profile is one map-side-"
+    "combined pass with no Expand — the trade-off is documented on the "
+    "operator and the approx twin is property-tested against exact.",
+    tags=("relational", "governance", "profiling", "unpivot"),
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.profile import profile_table
+
+    return profile_table(
+        read_table(spark, sf_dir, "orders"), approx=False
+    ).orderBy("col_name")

@@ -1,0 +1,58 @@
+"""operators/profile.py — generic one-pass table profiler."""
+
+from __future__ import annotations
+
+from bigdata_flightanalysis_spark.operators.profile import profile_table
+
+
+def _profile_dict(df, **kw):
+    return {
+        r["col_name"]: r.asDict() for r in profile_table(df, **kw).collect()
+    }
+
+
+def test_profile_exact_counts_and_stringified_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, None), (2, "b", -0.25, None), (2, None, 1.5, None)],
+        "k bigint, s string, v double, z string",
+    )
+    got = _profile_dict(df, approx=False)
+    assert set(got) == {"k", "s", "v", "z"}
+    assert all(r["n_rows"] == 3 for r in got.values())
+    assert got["k"]["n_nulls"] == 0 and got["k"]["n_distinct"] == 2
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["z"]["n_nulls"] == 3 and got["z"]["n_distinct"] == 0
+    assert got["z"]["min_value"] is None
+    # doubles render through DECIMAL(38,6) — engine-portable strings
+    assert got["v"]["min_value"] == "-0.250000"
+    assert got["v"]["max_value"] == "1.500000"
+    assert got["k"]["min_value"] == "1" and got["k"]["max_value"] == "2"
+
+
+def test_profile_approx_mode_close_to_exact_and_single_pass(spark, sf_dir):
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    exact = _profile_dict(orders, approx=False)
+    approx = _profile_dict(orders, approx=True)
+    for c, e in exact.items():
+        a = approx[c]
+        # HLL++ rsd default 5%; allow 10% slack
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+            2, 0.1 * e["n_distinct"]
+        )
+        assert (a["n_rows"], a["n_nulls"], a["min_value"], a["max_value"]) == (
+            e["n_rows"],
+            e["n_nulls"],
+            e["min_value"],
+            e["max_value"],
+        )
+    # approx mode must be ONE aggregate pass: no Expand in the plan
+    plan = profile_table(orders, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
+def test_profile_column_subset(spark):
+    df = spark.createDataFrame([(1, "x")], "a bigint, b string")
+    got = _profile_dict(df, columns=["b"], approx=False)
+    assert set(got) == {"b"}
