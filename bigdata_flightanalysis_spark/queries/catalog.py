@@ -74,6 +74,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_clean_normalize",
     "referential_integrity_report",
     "orders_profile",
+    "events_value_winsorized",
     "doc_bm25_topk",
     "doc_duplicate_spans",
     "customer_snapshot_diff",

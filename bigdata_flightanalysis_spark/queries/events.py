@@ -1189,3 +1189,79 @@ def events_distinct_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("month")
     )
+
+
+@register(
+    "events_value_winsorized",
+    oracle=f"""
+        WITH cd AS (
+            SELECT event_type, value,
+                   cume_dist() OVER (
+                       PARTITION BY event_type ORDER BY value
+                   ) AS cd
+            FROM events WHERE value IS NOT NULL
+        ), th AS (
+            SELECT event_type,
+                   MIN(CASE WHEN cd >= 0.05 THEN value END) AS lo,
+                   MIN(CASE WHEN cd >= 0.95 THEN value END) AS hi
+            FROM cd GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN e.value < t.lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_low,
+               CAST(SUM(CASE WHEN e.value > t.hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_high,
+               MIN(t.lo) AS p05,
+               MIN(t.hi) AS p95,
+               {dsum_sql("GREATEST(t.lo, LEAST(t.hi, e.value))", "winsorized_sum")}
+        FROM events e JOIN th t USING (event_type)
+        WHERE e.value IS NOT NULL
+        GROUP BY e.event_type
+        ORDER BY event_type
+    """,
+    description="Per-group winsorization (robust feature cleaning: "
+    "clip `value` to its type's [p05, p95] before aggregation — the "
+    "outlier guard feature pipelines apply before scaling/training). "
+    "Thresholds are DISCRETE percentiles — smallest value whose "
+    "cume_dist reaches the quantile — computed as one conditional-min "
+    "over a cume_dist window, deliberately NOT interpolated "
+    "percentile: interpolation arithmetic differs across engines in "
+    "the last ulp, while cume_dist is an exact rational (rank/n) and "
+    "the chosen threshold is an actual data value, so the comparison "
+    "and the clipped decimal sum are bit-identical by construction. "
+    "Shape: one window shuffle on event_type, thresholds broadcast "
+    "back (5 rows), one aggregate — at scale the window partitions by "
+    "the group key, so no single-partition WindowExec.",
+    tags=("events", "window", "quality", "percentile"),
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .where(F.col("value").isNotNull())
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    tagged = ev.withColumn("cd", F.cume_dist().over(w))
+    th = tagged.groupBy("event_type").agg(
+        F.min(F.when(F.col("cd") >= 0.05, F.col("value"))).alias("lo"),
+        F.min(F.when(F.col("cd") >= 0.95, F.col("value"))).alias("hi"),
+    )
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return (
+        ev.join(F.broadcast(th), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("value") < F.col("lo")).cast("long"))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum((F.col("value") > F.col("hi")).cast("long"))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.min("lo").alias("p05"),
+            F.min("hi").alias("p95"),
+            dsum(clipped, "winsorized_sum"),
+        )
+        .orderBy("event_type")
+    )

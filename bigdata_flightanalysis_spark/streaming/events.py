@@ -377,3 +377,72 @@ def run_foreach_batch(
     )
     q.awaitTermination()
     q.stop()
+
+
+def cdc_upsert_foreach_batch(
+    path: str,
+    key_cols: list[str],
+    *,
+    order_cols: list[str],
+    tombstone_col: str,
+    tombstone_value: str,
+):
+    """``foreachBatch`` CDC sink: latest-wins upsert WITH tombstones —
+    the streaming twin of the ``events_cdc_latest_state`` batch query.
+
+    Differences from :func:`upsert_foreach_batch`:
+
+    - the winner per key follows the CHANGELOG order (``order_cols``,
+      e.g. ``["ts", "event_id"]``, batch id as final tie-break), not
+      ingest order — so out-of-order and replayed micro-batches
+      converge to the same state;
+    - tombstone rows (``tombstone_col == tombstone_value``) are
+      RETAINED in the state rather than dropped at merge time: a
+      retained tombstone keeps out-winning any late-arriving older
+      upsert for the same key (dropping it would let stale changes
+      resurrect deleted keys). Readers take the live view through
+      :func:`cdc_snapshot`, which filters tombstones out. Production
+      would add a retention-window compaction that finally drops
+      tombstones older than the max expected lateness.
+
+    Same atomic staging-dir swap and replay idempotence as the plain
+    upsert sink.
+    """
+    from pyspark.sql.window import Window
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        spark = batch_df.sparkSession
+        new = batch_df.withColumn("_v", F.lit(batch_id).cast("long"))
+        if os.path.exists(path):
+            new = new.unionByName(spark.read.parquet(path))
+        order = [F.col(c).desc() for c in order_cols] + [F.col("_v").desc()]
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+        merged = (
+            new.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        staging = path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        old = path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return _apply
+
+
+def cdc_snapshot(
+    spark: SparkSession, path: str, tombstone_col: str, tombstone_value: str
+) -> DataFrame:
+    """Live view over a :func:`cdc_upsert_foreach_batch` state dir:
+    tombstoned keys removed, bookkeeping column dropped."""
+    return (
+        spark.read.parquet(path)
+        .where(F.col(tombstone_col) != F.lit(tombstone_value))
+        .drop("_v")
+    )

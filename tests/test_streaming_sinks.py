@@ -146,3 +146,85 @@ def test_streaming_parquet_sink_partitioned_by_date(spark, tmp_path):
     pruned = back.filter(F.col("event_date") == one_day)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_date" in plan
+
+
+def test_cdc_foreach_batch_stream_equals_batch_query(spark, tmp_path):
+    """The CDC sink's final snapshot over a multi-batch replay of the
+    events changelog must equal the batch compaction query
+    (events_cdc_latest_state) — stream == batch for CDC."""
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+    from bigdata_flightanalysis_spark.streaming.events import (
+        cdc_snapshot,
+        cdc_upsert_foreach_batch,
+    )
+
+    src_dir = _write_events_files(spark, str(tmp_path / "src"))
+    state = str(tmp_path / "state")
+    src = (
+        spark.readStream.schema(read_table(spark, SF_DIR, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    sink = cdc_upsert_foreach_batch(
+        state,
+        ["user_id"],
+        order_cols=["ts", "event_id"],
+        tombstone_col="event_type",
+        tombstone_value="error",
+    )
+    run_foreach_batch(src, sink, checkpoint_dir=str(tmp_path / "ckpt"))
+
+    snap = cdc_snapshot(spark, state, "event_type", "error").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+    got = sorted(tuple(r) for r in snap.collect())
+    want = sorted(
+        tuple(r)
+        for r in load_all()["events_cdc_latest_state"].fn(spark, SF_DIR).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_cdc_sink_tombstone_blocks_late_stale_upsert(spark, tmp_path):
+    """A retained tombstone must out-win a LATE-ARRIVING older upsert
+    (the resurrection bug dropping tombstones at merge time causes)."""
+    from datetime import datetime
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        cdc_snapshot,
+        cdc_upsert_foreach_batch,
+    )
+
+    state = str(tmp_path / "state")
+    sink = cdc_upsert_foreach_batch(
+        state,
+        ["user_id"],
+        order_cols=["ts", "event_id"],
+        tombstone_col="event_type",
+        tombstone_value="error",
+    )
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    # batch 0: user 1 deleted at 12:05
+    sink(
+        spark.createDataFrame(
+            [(2, t.replace(minute=5), 1, "error", 0.0, "{}")], schema
+        ),
+        0,
+    )
+    # batch 1 (late replay of history): an OLDER upsert at 12:01
+    sink(
+        spark.createDataFrame(
+            [(1, t.replace(minute=1), 1, "click", 1.0, "{}")], schema
+        ),
+        1,
+    )
+    live = cdc_snapshot(spark, state, "event_type", "error")
+    assert live.count() == 0  # tombstone still wins; key stays deleted
