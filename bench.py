@@ -87,6 +87,21 @@ HEADLINE += [
     "doc_duplicate_spans",
 ]
 
+# Round-6 session additions: graph cleanup, CDC/rollup/robust-stats,
+# governance audits — first-class numbers so regressions can't hide in
+# the n=1 sweep.
+HEADLINE += [
+    "doc_dup_graph_kcore",
+    "events_cdc_latest_state",
+    "events_rollup_cascade",
+    "events_value_winsorized",
+    "events_mad_anomalies",
+    "events_incremental_agg_merge",
+    "referential_integrity_report",
+    "orders_profile",
+    "doc_clean_normalize",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -139,3 +139,66 @@ def incremental_near_dup_pairs(
     )
     to_append.write.mode("append").parquet(store_path)
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (the materialized-view counterpart
+# of the dedup stores above): keep ONE mergeable state row per key and
+# fold each new batch in with an associative/commutative ⊕ — the
+# history's raw rows are never rescanned.
+# ---------------------------------------------------------------------------
+
+
+def partial_aggregate(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Mergeable per-key aggregate state: (keys…, n, sum_dec, mn, mx).
+
+    The sum accumulates in DECIMAL(38,6) so merging is EXACT and
+    order-independent (double partials would make the final sum depend
+    on batch arrival order); the double cast happens once, in
+    :func:`finalize_aggregate`.
+    """
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(38,6)")).alias("sum_dec"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+
+
+def merge_aggregate_state(state: DataFrame, batch: DataFrame, keys: list[str]) -> DataFrame:
+    """state ⊕ batch: union the two partial frames and re-reduce.
+
+    ⊕ is associative and commutative (counts add, exact decimals add,
+    min/max re-reduce), so ANY sequence of merges over any batch
+    split reaches the identical state — asserted in tests. NOT
+    idempotent by itself: replaying a batch double-counts; exactly-once
+    comes from the caller's batch-id tracking (see
+    ``cdc_upsert_foreach_batch`` / streaming checkpoints), the same
+    division of labor as every mergeable-state system.
+    """
+    return (
+        state.unionByName(batch)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            # sum(DECIMAL(38,6)) stays DECIMAL(38,6) — the state schema
+            # is stable under arbitrarily many merges
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+
+
+def finalize_aggregate(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Serve-side view of the state: the one place decimals become
+    doubles (sum, avg) — so every served number is independent of how
+    many increments built the state."""
+    return state.select(
+        *keys,
+        F.col("n").alias("n_rows"),
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        (F.col("sum_dec").cast("double") / F.col("n")).alias("avg_value"),
+        F.col("mn").alias("min_value"),
+        F.col("mx").alias("max_value"),
+    )

@@ -75,6 +75,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "referential_integrity_report",
     "orders_profile",
     "events_value_winsorized",
+    "events_mad_anomalies",
+    "events_incremental_agg_merge",
     "doc_bm25_topk",
     "doc_duplicate_spans",
     "customer_snapshot_diff",

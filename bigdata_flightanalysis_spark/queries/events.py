@@ -1265,3 +1265,135 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_incremental_agg_merge",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               {dsum_sql("value", "sum_value")},
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+                   AS avg_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Incremental aggregate maintenance "
+    "(operators/incremental.py: partial_aggregate / "
+    "merge_aggregate_state / finalize_aggregate): the events stream "
+    "lands as two batches (days 1-15, then the rest), each reduced to "
+    "ONE mergeable state row per key (count, DECIMAL(38,6) exact sum, "
+    "min, max) and folded together with the associative-commutative ⊕ "
+    "— the history's raw rows are never rescanned, which is the whole "
+    "point of a 100 TB materialized view. The oracle aggregates the "
+    "raw table directly in one pass: hash-matching proves the "
+    "incremental path is EXACTLY the batch answer (decimal partials "
+    "make the sum independent of batch split and merge order — "
+    "property-tested across random splits).",
+    tags=("events", "incremental", "aggregation", "rollup"),
+)
+def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        finalize_aggregate,
+        merge_aggregate_state,
+        partial_aggregate,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    b1 = ev.where(F.dayofmonth("ts") <= 15)
+    b2 = ev.where(F.dayofmonth("ts") > 15)
+    state = partial_aggregate(b1, ["event_type"], "value")
+    state = merge_aggregate_state(
+        state, partial_aggregate(b2, ["event_type"], "value"), ["event_type"]
+    )
+    return finalize_aggregate(state, ["event_type"]).orderBy("event_type")
+
+
+@register(
+    "events_mad_anomalies",
+    oracle="""
+        WITH base AS (
+            SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ), c1 AS (
+            SELECT event_type, value,
+                   cume_dist() OVER (
+                       PARTITION BY event_type ORDER BY value
+                   ) AS cd
+            FROM base
+        ), med AS (
+            SELECT event_type,
+                   MIN(CASE WHEN cd >= 0.5 THEN value END) AS med
+            FROM c1 GROUP BY event_type
+        ), dev AS (
+            SELECT b.event_type, ABS(b.value - m.med) AS dev, m.med
+            FROM base b JOIN med m USING (event_type)
+        ), c2 AS (
+            SELECT event_type, dev, med,
+                   cume_dist() OVER (
+                       PARTITION BY event_type ORDER BY dev
+                   ) AS cd
+            FROM dev
+        ), mad AS (
+            SELECT event_type,
+                   MIN(CASE WHEN cd >= 0.5 THEN dev END) AS mad
+            FROM c2 GROUP BY event_type
+        )
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN d.dev > 3 * a.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_anomalies,
+               MIN(d.med) AS median_value,
+               MIN(a.mad) AS mad
+        FROM dev d JOIN mad a USING (event_type)
+        GROUP BY d.event_type
+        ORDER BY d.event_type
+    """,
+    description="Robust outlier detection via median absolute "
+    "deviation — the heavy-tail-safe complement to the z-score pass "
+    "(`events_hourly_anomalies`): a value is anomalous when its "
+    "absolute deviation from the group median exceeds 3×MAD. Both the "
+    "median and the MAD are DISCRETE percentiles (smallest value whose "
+    "cume_dist reaches 0.5 — exact rationals, actual data values, no "
+    "interpolation), so every comparison and output is bit-identical "
+    "across engines. Shape: two cume_dist windows on the SAME "
+    "partitioning key (the second reuses the first's hash exchange "
+    "under AQE) + two broadcast-back joins of 5-row threshold frames.",
+    tags=("events", "anomaly", "quality", "window"),
+)
+def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .where(F.col("value").isNotNull())
+    )
+    w1 = Window.partitionBy("event_type").orderBy("value")
+    med = (
+        base.withColumn("cd", F.cume_dist().over(w1))
+        .groupBy("event_type")
+        .agg(F.min(F.when(F.col("cd") >= 0.5, F.col("value"))).alias("med"))
+    )
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("dev"), "med"
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev")
+    mad = (
+        dev.withColumn("cd", F.cume_dist().over(w2))
+        .groupBy("event_type")
+        .agg(F.min(F.when(F.col("cd") >= 0.5, F.col("dev"))).alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("dev") > 3 * F.col("mad")).cast("long"))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad"),
+        )
+        .orderBy("event_type")
+    )

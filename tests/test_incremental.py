@@ -234,3 +234,42 @@ def test_incremental_near_dup_replay_is_idempotent(spark, tmp_path):
     p2 = sorted(map(tuple, incremental_near_dup_pairs(spark, second, store).collect()))
     assert p2 == p1
     assert sorted(map(tuple, spark.read.parquet(store).collect())) == rows_after
+
+
+def test_aggregate_state_split_and_order_invariant(spark, sf_dir):
+    """Any batch split, any merge order → bit-identical finalized
+    view (the decimal-partial property the 100 TB materialized-view
+    path depends on)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        finalize_aggregate,
+        merge_aggregate_state,
+        partial_aggregate,
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    keys = ["event_type"]
+
+    def final_rows(n_parts, order):
+        parts = [
+            partial_aggregate(
+                ev.where(F.pmod("event_id", F.lit(n_parts)) == i), keys, "value"
+            )
+            for i in order
+        ]
+        state = reduce(lambda s, b: merge_aggregate_state(s, b, keys), parts)
+        return sorted(tuple(r) for r in finalize_aggregate(state, keys).collect())
+
+    one_shot = sorted(
+        tuple(r)
+        for r in finalize_aggregate(
+            partial_aggregate(ev, keys, "value"), keys
+        ).collect()
+    )
+    assert final_rows(3, [0, 1, 2]) == one_shot
+    assert final_rows(3, [2, 0, 1]) == one_shot
+    assert final_rows(5, [4, 1, 3, 0, 2]) == one_shot
