@@ -56,11 +56,14 @@ def register(
 # (in list order), everything else follows in registration order.
 #
 # Round-6 rotation. Priority: (1) queries new or contract-changed this
-# round — the eleven new round-6 queries (BM25, span dedup, snapshot
-# diff, shard manifest, PIT lookup, split-leakage audit, winnowing,
-# E-S sampling, audio/image codec roundtrips), the two forced-
-# large-mode plan twins, and the PageRank canonical query, which just
-# left the rows-only list (unrolled fixed-iteration SQL oracle);
+# round — the round-6 additions (BM25, span dedup, snapshot diff,
+# shard manifest, PIT lookup, split-leakage audit, winnowing, E-S
+# sampling, audio/image codec roundtrips, k-core, CDC compaction,
+# rollup cascade, HLL sketch rollup, text normalization, referential
+# integrity, table profiler, winsorization, MAD anomalies,
+# incremental-agg merge), the two forced-large-mode plan twins, and
+# the PageRank canonical query, which just left the rows-only list
+# (unrolled fixed-iteration SQL oracle);
 # (2) every query whose latest driver row is r2/r3 (the r5 verdict's
 # staleness list) so the whole registry ends the round with a row
 # dated r4 or later; (3) backfill with the oldest of the r4-dated

@@ -359,3 +359,43 @@ def test_interval_overlap_is_equijoin_not_nested_loop(spark, registry):
     plan = _plan(registry["events_activity_incident_overlap"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_integrity_report_scans_each_fact_once(spark, registry):
+    """All three lineitem FK edges must come out of ONE lineitem scan
+    (the per-fact single-pass shape, not one scan per edge)."""
+    plan = _plan(registry["referential_integrity_report"].fn(spark, SF))
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 2  # dim for lineitem + fact scan
+    # nation is dim for two facts (customer, supplier) + its own fact scan
+    assert plan.count("nation.parquet") == 3
+
+
+def test_winsorized_window_is_key_partitioned(spark, registry):
+    """The cume_dist windows partition by the group key — a
+    no-partition WindowExec (all rows to one task) would be the 100 TB
+    failure mode."""
+    plan = _plan(registry["events_value_winsorized"].fn(spark, SF))
+    assert "Window" in plan
+    assert "partitionBy: []" not in plan.replace(" ", "")
+    mad_plan = _plan(registry["events_mad_anomalies"].fn(spark, SF))
+    assert "Window" in mad_plan
+
+
+def test_cdc_latest_state_is_partial_aggregate_no_window(spark, registry):
+    """CDC compaction must be the max_by partial-aggregate shape (map
+    tasks pre-compact, one candidate per key crosses the shuffle) —
+    NOT the row_number window the oracle uses, which shuffles every
+    change record."""
+    plan = _plan(registry["events_cdc_latest_state"].fn(spark, SF))
+    assert "Window" not in plan
+    assert "max_by" in plan or "MaxBy" in plan
+    assert "partial_max_by" in plan.lower() or "partial" in plan.lower()
+
+
+def test_incremental_agg_merge_stays_partial(spark, registry):
+    """Both batch partials and the merge re-reduce are hash aggregates
+    with map-side partials; no window, no sort-based fallback."""
+    plan = _plan(registry["events_incremental_agg_merge"].fn(spark, SF))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
