@@ -1231,8 +1231,14 @@ def events_distinct_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     "the chosen threshold is an actual data value, so the comparison "
     "and the clipped decimal sum are bit-identical by construction. "
     "Shape: one window shuffle on event_type, thresholds broadcast "
-    "back (5 rows), one aggregate — at scale the window partitions by "
-    "the group key, so no single-partition WindowExec.",
+    "back (5 rows), one aggregate. Scale note, stated honestly: a "
+    "per-key cume_dist still funnels each key's rows through one task "
+    "(fine for bounded per-key volumes; the window never goes "
+    "UNpartitioned) — at 100 TB with huge keys the production swap is "
+    "percentile_approx thresholds (one mergeable sketch, no ordered "
+    "pass), whose error contract `events_approx_quantile_contract` "
+    "already verifies; this exact form pins the semantics the approx "
+    "path approximates.",
     tags=("events", "window", "quality", "percentile"),
 )
 def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1360,7 +1366,10 @@ def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interpolation), so every comparison and output is bit-identical "
     "across engines. Shape: two cume_dist windows on the SAME "
     "partitioning key (the second reuses the first's hash exchange "
-    "under AQE) + two broadcast-back joins of 5-row threshold frames.",
+    "under AQE) + two broadcast-back joins of 5-row threshold frames. "
+    "Same scale caveat as `events_value_winsorized`: per-key ordered "
+    "passes bound parallelism by key count — the 100 TB swap is "
+    "percentile_approx medians under the verified sketch contract.",
     tags=("events", "anomaly", "quality", "window"),
 )
 def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
