@@ -118,14 +118,18 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "status_first_last_orders",
     "max_order_per_status_argmax",
     "order_price_percentile_rank",
+    "customer_scd2_merge",
+    "order_metrics_unpivot",
+    "customer_order_recency",
+    # The 50-query window ends about here (31 new + 19 stale). The five
+    # below are the stale entries deliberately left outside: simple
+    # single-table aggregates, green r2/r3 rows plus the local parity
+    # sweep — lowest re-check risk; r7 rotation takes them first.
     "brand_number_histogram",
     "lineitem_safe_math",
     "supplier_trailing_week_quantity",
     "orders_quality_report",
     "status_priority_sets",
-    "customer_scd2_merge",
-    "order_metrics_unpivot",
-    "customer_order_recency",
     # (3) oldest r4-dated rows as backfill for the rest of the window
     "cube_flag_status",
     "doc_bpe_token_stats",
