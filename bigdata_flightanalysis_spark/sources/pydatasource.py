@@ -1,0 +1,104 @@
+"""Custom Python Data Source (Spark 4.x extension API): a
+deterministic, partition-parallel synthetic-documents generator.
+
+Why an engine needs this: scale/soak testing a 100 TB pipeline should
+not require 100 TB of input files. This source materializes a corpus
+of any size directly in the executors — N output rows split across P
+input partitions, each generated independently — so a cluster can
+drive the full dedup/quality/pack pipeline at target scale with zero
+input I/O.
+
+Determinism contract (tested): row ``doc_id`` content depends ONLY on
+(seed, doc_id) — never on the partition count or which executor
+generates it — so the same options always yield the same corpus, and
+repartitioning the read changes nothing. Randomness comes from md5
+(the same primitive as the engine's hash family), not ``random``, so
+it is also stable across Python versions.
+
+Usage::
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    df = (spark.read.format("synthetic_docs")
+          .option("rows", 100_000).option("partitions", 64)
+          .option("seed", 42).load())
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: Same flavor of vocabulary as the driver's synthetic documents table,
+#: so every text operator (shingles, langid, quality) runs unchanged.
+_WORDS = (
+    "the a spark data table row column key value join merge sort scan "
+    "filter group agg window batch stream hash part order line customer "
+    "query vector small big fast slow dup"
+).split()
+_LANGS = ("en", "de", "es", "fr", "zh")
+
+_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _h(seed: int, doc_id: int, salt: int) -> int:
+    digest = hashlib.md5(f"{seed}:{doc_id}:{salt}".encode()).digest()
+    return int.from_bytes(digest[:8], "big")
+
+
+def _doc_row(seed: int, doc_id: int) -> tuple:
+    n_words = 20 + _h(seed, doc_id, 0) % 80
+    words = [
+        _WORDS[_h(seed, doc_id, 1 + i) % len(_WORDS)] for i in range(n_words)
+    ]
+    # deterministic near-dup injection: every 10th doc clones doc_id-1's
+    # text so dedup operators have work to do on generated corpora too
+    if doc_id % 10 == 9:
+        words = [
+            _WORDS[_h(seed, doc_id - 1, 1 + i) % len(_WORDS)]
+            for i in range(20 + _h(seed, doc_id - 1, 0) % 80)
+        ]
+    text = " ".join(words)
+    return (
+        doc_id,
+        text,
+        _LANGS[_h(seed, doc_id, 9001) % len(_LANGS)],
+        f"src{_h(seed, doc_id, 9002) % 8}",
+        len(text),
+    )
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int, seed: int):
+        self.start, self.end, self.seed = start, end, seed
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.n_partitions = max(1, int(options.get("partitions", 8)))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self) -> list[InputPartition]:
+        per = -(-self.rows // self.n_partitions)  # ceil
+        return [
+            _RangePartition(lo, min(lo + per, self.rows), self.seed)
+            for lo in range(0, self.rows, per)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            yield _doc_row(partition.seed, doc_id)
+
+
+class SyntheticDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)

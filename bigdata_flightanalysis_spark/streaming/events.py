@@ -446,3 +446,63 @@ def cdc_snapshot(
         .where(F.col(tombstone_col) != F.lit(tombstone_value))
         .drop("_v")
     )
+
+
+def streaming_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The ``transformWithStateInPandas`` twin of
+    :func:`streaming_user_stats_stateful` — Spark 4.x's successor API
+    for custom stateful operators (arbitrary named state slots with
+    per-slot schemas and optional TTL, timers, initial-state seeding)
+    over the same running per-user count / sum / max semantics.
+
+    Kept alongside the ``applyInPandasWithState`` form deliberately:
+    tests assert both emit the SAME final state as the batch aggregate,
+    so the engine can migrate stateful pipelines API-by-API with a
+    regression gate.
+
+    Dependency gate: the transformWithState runtime speaks protobuf to
+    its state server, so this operator needs the optional ``protobuf``
+    package at runtime (the test skips where it is absent); the legacy
+    twin has no such dependency.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n bigint, total double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total, mx = self._state.get()
+            else:
+                n, total, mx = 0, 0.0, None
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    bm = float(pdf["value"].max())
+                    mx = bm if mx is None else max(mx, bm)
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStatsProcessor(),
+        outputStructType=_USER_STATS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

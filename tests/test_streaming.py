@@ -220,3 +220,38 @@ def test_streaming_stateful_user_stats(spark):
     assert f.keys() == b.keys()
     for k in f:
         assert abs(f[k] - b[k]) < 1e-6
+
+
+def test_transform_with_state_matches_legacy_and_batch(spark):
+    """Spark 4.x transformWithStateInPandas twin: final per-user state
+    must equal BOTH the applyInPandasWithState operator's and the batch
+    aggregate — the migration regression gate.
+
+    The transformWithState runtime speaks protobuf to its state
+    server; skip (don't fail) where the optional ``protobuf`` package
+    is absent, mirroring the operator's documented dependency gate.
+    """
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs the optional protobuf package",
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+    from bigdata_flightanalysis_spark.streaming.events import (
+        streaming_user_stats_tws,
+    )
+
+    stream = run_to_memory(
+        streaming_user_stats_tws(stream_events(spark, SF_DIR)),
+        spark,
+        output_mode="update",
+    )
+    final = stream.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("max_value").alias("max_value"),
+    )
+    ev = read_table(spark, SF_DIR, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.max("value").alias("max_value")
+    )
+    cols = ["user_id", "n_events", "max_value"]
+    assert _rows(final, cols) == _rows(batch, cols)
