@@ -80,6 +80,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_value_winsorized",
     "events_mad_anomalies",
     "events_incremental_agg_merge",
+    "events_type_trend",
     "doc_bm25_topk",
     "doc_duplicate_spans",
     "customer_snapshot_diff",
@@ -120,11 +121,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "order_price_percentile_rank",
     "customer_scd2_merge",
     "order_metrics_unpivot",
-    "customer_order_recency",
-    # The 50-query window ends about here (31 new + 19 stale). The five
-    # below are the stale entries deliberately left outside: simple
+    # The 50-query window ends here (32 new + 18 stale). The six below
+    # are the stale entries deliberately left outside: simple
     # single-table aggregates, green r2/r3 rows plus the local parity
     # sweep — lowest re-check risk; r7 rotation takes them first.
+    "customer_order_recency",
     "brand_number_histogram",
     "lineitem_safe_math",
     "supplier_trailing_week_quantity",

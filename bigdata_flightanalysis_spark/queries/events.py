@@ -1406,3 +1406,89 @@ def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_type_trend",
+    oracle="""
+        WITH x0 AS (
+            SELECT event_type, MIN(epoch_us(ts) // 1000000) AS t0
+            FROM events GROUP BY event_type
+        ), pts AS (
+            SELECT e.event_type,
+                   (epoch_us(e.ts) // 1000000) - x.t0 AS x,
+                   e.value AS y
+            FROM events e JOIN x0 x USING (event_type)
+        ), m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(CAST(x AS DOUBLE) * y AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sxy
+            FROM pts GROUP BY event_type
+        )
+        SELECT event_type, n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0
+                   AS slope_per_day,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS intercept,
+               (n * sxy - sx * sy)
+                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                   AS pearson_r
+        FROM m
+        ORDER BY event_type
+    """,
+    description="Per-group closed-form linear trend + correlation "
+    "(is each event type's `value` drifting over the month?): OLS "
+    "slope/intercept and Pearson r from the five moment sums — one "
+    "partial-aggregatable pass over the points, no ML library, no "
+    "iteration. Exactness recipe: x is CENTERED per group (seconds "
+    "since the group's first event — keeps x² inside exact integer "
+    "range at any SF instead of relying on 38-digit decimal capping), "
+    "every moment accumulates in DECIMAL(38,6), and the final "
+    "slope/r arithmetic is the identical double expression tree on "
+    "both engines — IEEE sqrt is correctly rounded, so even Pearson r "
+    "is bit-exact. Shape: one tiny per-group min (broadcast back) + "
+    "one map-side-combined moment aggregate.",
+    tags=("events", "regression", "stats", "aggregation"),
+)
+def events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("xs"),
+        F.col("value").alias("y"),
+    )
+    t0 = ev.groupBy("event_type").agg(F.min("xs").alias("t0"))
+    pts = ev.join(F.broadcast(t0), "event_type").select(
+        "event_type", (F.col("xs") - F.col("t0")).alias("x"), "y"
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("x").cast("double") * F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        "n",
+        (slope * 86400.0).alias("slope_per_day"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("pearson_r"),
+    ).orderBy("event_type")
