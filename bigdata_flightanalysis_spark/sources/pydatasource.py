@@ -102,3 +102,60 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming side: the same deterministic corpus as an unbounded source
+# (Spark 4.x SimpleDataSourceStreamReader) — replayable by OFFSET, so
+# exactly-once recovery works: readBetweenOffsets(start, end) always
+# regenerates identical rows for an offset range.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.batch_rows = int(options.get("rowsPerBatch", 100))
+        self.max_rows = int(options.get("maxRows", 1000))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch_rows, self.max_rows)
+        # materialized lists, not generators: the runtime pickles the
+        # returned rows across the driver/worker boundary
+        return (
+            [_doc_row(self.seed, i) for i in range(lo, hi)],
+            {"next": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Determinism IS the recovery contract: any offset range
+        # replays to identical rows after a crash-restart.
+        return [
+            _doc_row(self.seed, i) for i in range(start["next"], end["next"])
+        ]
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SyntheticDocsStreamDataSource(DataSource):
+    """``readStream.format("synthetic_docs_stream")`` — the unbounded
+    twin of :class:`SyntheticDocsDataSource` for soak-testing streaming
+    pipelines (ingest → incremental dedup → CDC sinks) without Kafka
+    or input files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_stream"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)

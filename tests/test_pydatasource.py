@@ -62,3 +62,41 @@ def test_generated_corpus_feeds_dedup_pipeline(registered, tmp_path):
     n = survivors.count()
     # 200 docs, ids 9,19,...,199 are clones of their predecessor -> 20 dups
     assert n == 180
+
+
+def test_streaming_source_replays_deterministically(registered, tmp_path):
+    """The unbounded twin: availableNow drains maxRows in rowsPerBatch
+    micro-batches, and the collected stream equals the batch read of
+    the same (seed, rows) — offset replay determinism."""
+    from bigdata_flightanalysis_spark.sources.pydatasource import (
+        SyntheticDocsStreamDataSource,
+    )
+
+    registered.dataSource.register(SyntheticDocsStreamDataSource)
+    stream = (
+        registered.readStream.format("synthetic_docs_stream")
+        .option("rowsPerBatch", 40)
+        .option("maxRows", 200)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream_sink")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    # drain: 200 rows at 40/batch = 5 micro-batches
+    import time
+
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if registered.sql("SELECT count(*) FROM synth_stream_sink").first()[0] >= 200:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = sorted(
+        tuple(r) for r in registered.sql("SELECT * FROM synth_stream_sink").collect()
+    )
+    want = sorted(tuple(r) for r in _read(registered, rows=200, partitions=4).collect())
+    assert got == want
