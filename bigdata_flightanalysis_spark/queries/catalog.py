@@ -81,6 +81,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_mad_anomalies",
     "events_incremental_agg_merge",
     "events_type_trend",
+    "events_type_transitions",
+    "events_cumulative_new_users",
     "doc_bm25_topk",
     "doc_duplicate_spans",
     "customer_snapshot_diff",
@@ -119,12 +121,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "status_first_last_orders",
     "max_order_per_status_argmax",
     "order_price_percentile_rank",
+    # The 50-query window ends here (34 new + 16 stale). The entries
+    # below are the stale ones deliberately left outside: simple
+    # single-table aggregates and window shapes, green r2/r3 rows plus
+    # the local parity sweep — lowest re-check risk; r7 takes them first.
     "customer_scd2_merge",
     "order_metrics_unpivot",
-    # The 50-query window ends here (32 new + 18 stale). The six below
-    # are the stale entries deliberately left outside: simple
-    # single-table aggregates, green r2/r3 rows plus the local parity
-    # sweep — lowest re-check risk; r7 rotation takes them first.
     "customer_order_recency",
     "brand_number_histogram",
     "lineitem_safe_math",

@@ -1492,3 +1492,85 @@ def events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("pearson_r"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_type_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+        ORDER BY prev_type, next_type
+    """,
+    description="Per-user event-type transition matrix (the Markov-"
+    "chain input for clickstream/journey analysis): each user's events "
+    "ordered by (ts, event_id), adjacent pairs counted by (prev, next) "
+    "type. ONE window shuffle on user_id produces every user's lag "
+    "column, then a map-side-combined count — the matrix itself is "
+    "|types|² rows regardless of corpus size.",
+    tags=("events", "window", "funnel", "markov"),
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@register(
+    "events_cumulative_new_users",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+            FROM events GROUP BY user_id
+        ), per_day AS (
+            SELECT first_day AS day, COUNT(*) AS n_new
+            FROM firsts GROUP BY first_day
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(n_new AS BIGINT) AS n_new_users,
+               CAST(SUM(n_new) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cumulative_users
+        FROM per_day
+        ORDER BY day
+    """,
+    description="User-growth curve: each user's FIRST activity day "
+    "(one min-aggregate — map-side combined, one row per user crosses "
+    "the shuffle), rolled up to new-users-per-day, then a running "
+    "cumulative sum. The final unpartitioned window runs over the "
+    "one-row-per-DAY frame (≤ corpus day count), not over events — "
+    "the reduce-first-then-window ordering that keeps a global "
+    "running total harmless at 100 TB.",
+    tags=("events", "window", "retention", "growth"),
+)
+def events_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_new").cast("bigint").alias("n_new_users"),
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+    ).orderBy("day")
