@@ -211,9 +211,15 @@ def k_core(
                 )
             )
             n_next = nxt.count()
-            if n_next == n_edges:
-                break
+            # peeling only removes edges, so an unchanged count means an
+            # unchanged set; and empty is a PROVEN fixed point (nothing
+            # left to peel) — without the latter, a graph that empties
+            # on the final allowed iteration would falsely raise
+            # "not converged"
+            done = n_next == n_edges or n_next == 0
             sym, n_edges = nxt, n_next
+            if done:
+                break
         else:
             raise RuntimeError(
                 f"k_core(k={k}) did not converge within {max_iter} peel "

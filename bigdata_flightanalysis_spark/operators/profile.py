@@ -61,8 +61,12 @@ def profile_table(
             mx.cast("string").alias(f"__max_{c}"),
         ]
     wide = df.agg(*aggs)
+    # every generated reference backtick-quoted and the label escaped,
+    # so source column names with spaces/quotes can't break the expr
     stack_args = ", ".join(
-        f"'{c}', __nulls_{c}, __nd_{c}, `__min_{c}`, `__max_{c}`" for c in cols
+        f"'{c.replace(chr(39), chr(39) * 2)}', `__nulls_{c}`, `__nd_{c}`,"
+        f" `__min_{c}`, `__max_{c}`"
+        for c in cols
     )
     return wide.select(
         F.expr(

@@ -245,3 +245,10 @@ def test_kcore_raises_without_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         k_core(chain, 2, max_iter=2)
+
+
+def test_kcore_empty_fixed_point_on_last_iteration(spark):
+    """A path of 4 peels to empty in exactly 2 rounds; max_iter=2 must
+    SUCCEED (empty is a proven fixed point), not raise."""
+    got = _kcore_dict(spark, [(1, 2), (2, 3), (3, 4)], 2, max_iter=2)
+    assert got == {}

@@ -56,3 +56,10 @@ def test_profile_column_subset(spark):
     df = spark.createDataFrame([(1, "x")], "a bigint, b string")
     got = _profile_dict(df, columns=["b"], approx=False)
     assert set(got) == {"b"}
+
+
+def test_profile_handles_awkward_column_names(spark):
+    df = spark.createDataFrame([(1, "x")], ["a col", "b"])
+    got = _profile_dict(df, approx=False)
+    assert set(got) == {"a col", "b"}
+    assert got["a col"]["n_distinct"] == 1
