@@ -132,9 +132,15 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 N_PLANES = 8
+#: The pool holds more planes than the default so scale callers can
+#: raise ``n_planes`` (2^planes buckets must grow with the corpus or
+#: buckets run hot); planes are drawn sequentially, so the first
+#: N_PLANES — everything the oracle-checked queries use — are
+#: unchanged by the larger pool.
+MAX_PLANES = 16
 _rng = np.random.default_rng(42)
 HYPERPLANES: list[list[float]] = [
-    [float(x) for x in _rng.standard_normal(DIM)] for _ in range(N_PLANES)
+    [float(x) for x in _rng.standard_normal(DIM)] for _ in range(MAX_PLANES)
 ]
 
 
@@ -266,8 +272,23 @@ _SQL_EMBED_NEAR_DUP_ORACLE = f"""
     tags=("similarity", "dedup", "lsh"),
 )
 def embed_near_dup_pairs(
-    spark: SparkSession, sf_dir: str, *, n_blocks: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_blocks: int | None = None,
+    n_planes: int = NEAR_DUP_PLANES,
 ) -> DataFrame:
+    """``n_planes`` is the bucket-granularity scale lever (2^planes
+    buckets): the registry entry pins the oracle-checked default; a
+    corpus of n vectors wants roughly log2(n / target_bucket_size)
+    planes or buckets run hot and the exact-cosine confirm pays a
+    quadratic per-bucket bill — measured 16x end-to-end at 100k
+    vectors going from 4 to 10 planes (174 s → 10.8 s,
+    scripts/scale_smoke.py). More planes
+    trade candidate RECALL for pruning (collision prob per pair is
+    (1-θ/π)^planes); production near-dup at low planes-recall runs
+    multiple tables, which is this same query unioned over disjoint
+    plane subsets."""
     from bigdata_flightanalysis_spark.operators.skew import blocked_self_pairs
 
     if n_blocks is None:
@@ -279,7 +300,7 @@ def embed_near_dup_pairs(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),
         l2_norm(F.col("embedding")).alias("nrm"),
-        _spark_bucket(F.col("embedding"), NEAR_DUP_PLANES).alias("bucket"),
+        _spark_bucket(F.col("embedding"), n_planes).alias("bucket"),
     )
     pairs = blocked_self_pairs(pre, "bucket", "vec_id", n_blocks=n_blocks)
     return (

@@ -159,3 +159,58 @@ class SyntheticDocsStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
         return SyntheticDocsStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings twin: deterministic synthetic vectors for ANN scale tests.
+# ---------------------------------------------------------------------------
+
+_EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+_EMB_DIM = 64
+
+
+def _emb_row(seed: int, vec_id: int, dim: int) -> tuple:
+    # every 10th vector is a small perturbation of its predecessor —
+    # guaranteed high-cosine near-dups for the LSH/blocking paths
+    base_id = vec_id - 1 if vec_id % 10 == 9 and vec_id > 0 else vec_id
+    vec = [
+        (_h(seed, base_id, 100 + i) % 2001) / 1000.0 - 1.0 for i in range(dim)
+    ]
+    if base_id != vec_id:
+        vec = [v + ((_h(seed, vec_id, 500 + i) % 21) - 10) / 1000.0 for i, v in enumerate(vec)]
+    return (vec_id, [float(v) for v in vec], _h(seed, vec_id, 9003) % 8)
+
+
+class SyntheticEmbeddingsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.n_partitions = max(1, int(options.get("partitions", 8)))
+        self.seed = int(options.get("seed", 42))
+        self.dim = int(options.get("dim", _EMB_DIM))
+
+    def partitions(self) -> list[InputPartition]:
+        per = -(-self.rows // self.n_partitions)
+        return [
+            _RangePartition(lo, min(lo + per, self.rows), self.seed)
+            for lo in range(0, self.rows, per)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for vec_id in range(partition.start, partition.end):
+            yield _emb_row(partition.seed, vec_id, self.dim)
+
+
+class SyntheticEmbeddingsDataSource(DataSource):
+    """``spark.read.format("synthetic_embeddings")`` — deterministic
+    64-dim float vectors with injected near-dups, the embeddings twin
+    of :class:`SyntheticDocsDataSource` for ANN scale tests."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_embeddings"
+
+    def schema(self) -> str:
+        return _EMB_SCHEMA
+
+    def reader(self, schema) -> SyntheticEmbeddingsReader:
+        return SyntheticEmbeddingsReader(self.options)

@@ -20,6 +20,12 @@ Reference run (local[32], 100k docs, 20x the sf0.1 corpus): signatures
 8.2 k components 7.0 s — linear-shaped end to end; the small synthetic
 vocabulary makes LSH collisions far DENSER than a real corpus, so the
 pair/cluster stages are stress-tested above realistic load.
+
+--mode embeddings runs the ANN near-dup chain over 100k generated
+64-dim vectors through the registry path (sign-LSH buckets, triangular
+blocking, exact-cosine confirm): generate 6.9 s, 110k confirmed pairs
+in 10.8 s at 10 planes — and 174 s at the fixture-sized 4-plane
+default, the measurement behind embed_near_dup_pairs' n_planes lever.
 """
 
 from __future__ import annotations
@@ -44,14 +50,61 @@ from bigdata_flightanalysis_spark.sources.pydatasource import (
 from pyspark.sql import functions as F
 
 
+def _smoke_embeddings(spark, args, out: dict) -> None:
+    """ANN chain over generated vectors: write the corpus as an
+    embeddings table, then run the REGISTRY near-dup path (sign-LSH
+    buckets + triangular blocking forced on, exact-cosine confirm)."""
+    import tempfile
+
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+    from bigdata_flightanalysis_spark.queries.similarity import (
+        embed_near_dup_pairs,
+    )
+    from bigdata_flightanalysis_spark.sources.pydatasource import (
+        SyntheticEmbeddingsDataSource,
+    )
+
+    load_all()
+    spark.dataSource.register(SyntheticEmbeddingsDataSource)
+    emb = (
+        spark.read.format("synthetic_embeddings")
+        .option("rows", args.rows)
+        .option("partitions", args.partitions)
+        .option("seed", args.seed)
+        .load()
+    )
+    tmp = tempfile.mkdtemp(prefix="scale_emb_")
+    t0 = time.perf_counter()
+    emb.write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    out["t_emb_generate_s"] = round(time.perf_counter() - t0, 2)
+
+    # 10 planes → 1024 buckets: the granularity a corpus this size
+    # needs (the registry default of 4 planes / 16 buckets is sized for
+    # the sf fixtures; measured 174 s vs 10.8 s here at 100k vectors)
+    t0 = time.perf_counter()
+    pairs = embed_near_dup_pairs(spark, tmp, n_blocks=8, n_planes=10)
+    out["n_emb_near_dup_pairs"] = pairs.count()
+    out["t_emb_near_dup_s"] = round(time.perf_counter() - t0, 2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--mode", choices=["docs", "embeddings", "both"], default="docs"
+    )
     args = ap.parse_args()
 
     spark = get_session("scale-smoke")
+    if args.mode in ("embeddings", "both"):
+        out_e: dict = {"rows": args.rows, "partitions": args.partitions}
+        _smoke_embeddings(spark, args, out_e)
+        print(json.dumps(out_e))
+        if args.mode == "embeddings":
+            spark.stop()
+            return
     spark.dataSource.register(SyntheticDocsDataSource)
     docs = (
         spark.read.format("synthetic_docs")

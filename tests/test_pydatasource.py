@@ -100,3 +100,34 @@ def test_streaming_source_replays_deterministically(registered, tmp_path):
     )
     want = sorted(tuple(r) for r in _read(registered, rows=200, partitions=4).collect())
     assert got == want
+
+
+def test_embeddings_source_determinism_and_near_dups(registered):
+    from bigdata_flightanalysis_spark.sources.pydatasource import (
+        SyntheticEmbeddingsDataSource,
+    )
+
+    registered.dataSource.register(SyntheticEmbeddingsDataSource)
+
+    def read(parts):
+        return (
+            registered.read.format("synthetic_embeddings")
+            .option("rows", 100)
+            .option("partitions", parts)
+            .load()
+        )
+
+    a = sorted((r["vec_id"], tuple(r["embedding"])) for r in read(3).collect())
+    b = sorted((r["vec_id"], tuple(r["embedding"])) for r in read(9).collect())
+    assert a == b
+    assert len(a) == 100
+    assert all(len(v) == 64 for _, v in a)
+    # injected near-dups: vec 9 is a tiny perturbation of vec 8
+    import math
+
+    v8, v9 = dict(a)[8], dict(a)[9]
+    dot = sum(x * y for x, y in zip(v8, v9))
+    cos = dot / (
+        math.sqrt(sum(x * x for x in v8)) * math.sqrt(sum(y * y for y in v9))
+    )
+    assert cos > 0.99
