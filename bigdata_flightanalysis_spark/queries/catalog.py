@@ -83,6 +83,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_type_trend",
     "events_type_transitions",
     "events_cumulative_new_users",
+    "doc_stopword_ratio",
     "doc_bm25_topk",
     "doc_duplicate_spans",
     "customer_snapshot_diff",
@@ -120,11 +121,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_hourly_anomalies",
     "status_first_last_orders",
     "max_order_per_status_argmax",
-    "order_price_percentile_rank",
-    # The 50-query window ends here (34 new + 16 stale). The entries
+    # The 50-query window ends here (35 new + 15 stale). The entries
     # below are the stale ones deliberately left outside: simple
     # single-table aggregates and window shapes, green r2/r3 rows plus
     # the local parity sweep — lowest re-check risk; r7 takes them first.
+    "order_price_percentile_rank",
     "customer_scd2_merge",
     "order_metrics_unpivot",
     "customer_order_recency",
