@@ -61,7 +61,8 @@ def register(
 # sampling, audio/image codec roundtrips, k-core, CDC compaction,
 # rollup cascade, HLL sketch rollup, text normalization, referential
 # integrity, table profiler, winsorization, MAD anomalies,
-# incremental-agg merge), the two forced-large-mode plan twins, and
+# incremental-agg merge, OLS trend, transition matrix, growth curve,
+# stopword ratio), the two forced-large-mode plan twins, and
 # the PageRank canonical query, which just left the rows-only list
 # (unrolled fixed-iteration SQL oracle);
 # (2) every query whose latest driver row is r2/r3 (the r5 verdict's

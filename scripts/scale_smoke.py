@@ -21,6 +21,12 @@ Reference run (local[32], 100k docs, 20x the sf0.1 corpus): signatures
 vocabulary makes LSH collisions far DENSER than a real corpus, so the
 pair/cluster stages are stress-tested above realistic load.
 
+At 500k docs (100x the sf0.1 corpus): signatures 14.7 s, 51 M pairs
+15.9 s, 340k docs clustered 79 s — every stage survives the synthetic
+vocabulary's adversarial pair density (25x pairs for 5x docs; real
+corpora collide orders of magnitude less) with no OOM and no
+quadratic stage.
+
 --mode embeddings runs the ANN near-dup chain over 100k generated
 64-dim vectors through the registry path (sign-LSH buckets, triangular
 blocking, exact-cosine confirm): generate 6.9 s, 110k confirmed pairs
