@@ -399,3 +399,23 @@ def test_incremental_agg_merge_stays_partial(spark, registry):
     plan = _plan(registry["events_incremental_agg_merge"].fn(spark, SF))
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_no_cartesian_product_in_any_registry_query(spark, registry):
+    """Registry-wide structural guard: no query may plan a
+    CartesianProduct — the unbounded-blowup operator that small-SF
+    correctness tests can't distinguish from a working join. (The
+    broadcast crossJoins in the similarity queries plan as
+    BroadcastNestedLoopJoin with a bounded build side, which is the
+    point of the check distinguishing them.)"""
+    offenders = []
+    for name, q in registry.items():
+        if q.oracle is None:
+            continue
+        try:
+            plan = _plan(q.fn(spark, "/root/testdata/sf0.001"))
+        except Exception:  # noqa: BLE001 — other tests own per-query failures
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
