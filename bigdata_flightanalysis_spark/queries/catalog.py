@@ -62,7 +62,8 @@ def register(
 # rollup cascade, HLL sketch rollup, text normalization, referential
 # integrity, table profiler, winsorization, MAD anomalies,
 # incremental-agg merge, OLS trend, transition matrix, growth curve,
-# stopword ratio), the two forced-large-mode plan twins, and
+# stopword ratio, RFM segmentation), the two forced-large-mode plan
+# twins, and
 # the PageRank canonical query, which just left the rows-only list
 # (unrolled fixed-iteration SQL oracle);
 # (2) every query whose latest driver row is r2/r3 (the r5 verdict's
@@ -85,6 +86,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_type_transitions",
     "events_cumulative_new_users",
     "doc_stopword_ratio",
+    "customer_rfm_segments",
     "doc_bm25_topk",
     "doc_duplicate_spans",
     "customer_snapshot_diff",
@@ -121,11 +123,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_cohort_retention",
     "events_hourly_anomalies",
     "status_first_last_orders",
-    "max_order_per_status_argmax",
-    # The 50-query window ends here (35 new + 15 stale). The entries
+    # The 50-query window ends here (36 new + 14 stale). The entries
     # below are the stale ones deliberately left outside: simple
     # single-table aggregates and window shapes, green r2/r3 rows plus
     # the local parity sweep — lowest re-check risk; r7 takes them first.
+    "max_order_per_status_argmax",
     "order_price_percentile_rank",
     "customer_scd2_merge",
     "order_metrics_unpivot",

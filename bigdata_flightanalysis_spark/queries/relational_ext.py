@@ -1724,3 +1724,88 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         read_table(spark, sf_dir, "orders"), approx=False
     ).orderBy("col_name")
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+        WITH rfm AS (
+            SELECT c_custkey,
+                   CAST(date_diff('day', MAX(o_orderdate),
+                        TIMESTAMP '2001-09-01 00:00:00') AS INT)
+                       AS recency_days,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS monetary
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        ), scored AS (
+            SELECT NTILE(5) OVER (ORDER BY recency_days DESC, c_custkey)
+                       AS r_q,
+                   NTILE(5) OVER (ORDER BY frequency ASC, c_custkey)
+                       AS f_q,
+                   NTILE(5) OVER (ORDER BY monetary ASC, c_custkey)
+                       AS m_q,
+                   monetary
+            FROM rfm
+        )
+        SELECT CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+        FROM scored
+        GROUP BY rfm_code
+        ORDER BY rfm_code
+    """,
+    description="Full RFM segmentation (completing the family "
+    "customer_order_recency started): per customer, recency / "
+    "frequency / monetary reduced in ONE aggregate, then three "
+    "NTILE(5) quintile scores (5 = best on every axis: most recent, "
+    "most frequent, highest spend — orientation set by the sort "
+    "direction, c_custkey tie-break makes every quintile boundary "
+    "deterministic) composed into the classic 3-digit segment code. "
+    "Monetary accumulates in DECIMAL(38,6) so quintile boundaries and "
+    "totals are engine-exact. The quintile windows are global but run "
+    "over the ALREADY-AGGREGATED one-row-per-customer frame — the "
+    "reduce-first-then-window ordering; at extreme customer counts "
+    "the documented swap is percentile_approx score boundaries under "
+    "the verified sketch contract.",
+    tags=("relational", "rfm", "window", "segmentation"),
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    rfm = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_custkey")
+        .agg(
+            F.datediff(
+                F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
+            )
+            .cast("int")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), "c_custkey")
+    f_w = Window.orderBy(F.col("frequency").asc(), "c_custkey")
+    m_w = Window.orderBy(F.col("monetary").asc(), "c_custkey")
+    scored = rfm.select(
+        F.ntile(5).over(r_w).alias("r_q"),
+        F.ntile(5).over(f_w).alias("f_q"),
+        F.ntile(5).over(m_w).alias("m_q"),
+        "monetary",
+    )
+    return (
+        scored.groupBy(
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+            .cast("int")
+            .alias("rfm_code")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+        )
+        .orderBy("rfm_code")
+    )
