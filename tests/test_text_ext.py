@@ -161,3 +161,52 @@ def test_clean_normalize_adversarial_inputs(spark, tmp_path):
     by_id = {r[0]: r for r in got}
     assert by_id[5][2] == 300  # hard cap applied
     assert by_id[4][2] == len("leading and trailing")  # trimmed+collapsed
+
+
+def test_clean_normalize_fuzzed_engine_parity(spark, tmp_path):
+    """Property fuzz of the regex-equivalence claim: random strings
+    over an alphabet chosen to probe exactly where Java regex and RE2
+    could diverge (shorthand-class members \\x0b/\\x0c, control chars,
+    tag fragments, non-ASCII, whitespace runs) must normalize
+    identically in both engines."""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+
+    alphabet = st.sampled_from(
+        list("abz <>/=\"'\t\n\r\x0b\x0c\x01\x08\x0e\x1f\x7f") + ["é", "中", "𝄞"]
+    )
+    texts = st.lists(
+        st.text(alphabet=alphabet, max_size=350), min_size=1, max_size=12
+    )
+    q = load_all()["doc_clean_normalize"]
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts)
+    def prop(batch):
+        rows = [
+            (i, t, "en", "s", len(t)) for i, t in enumerate(batch)
+        ]
+        d = f"{tmp_path}/fuzz"
+        spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = sorted(tuple(r) for r in q.fn(spark, d).collect())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{d}/documents.parquet/*.parquet'"
+        )
+        want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+        con.close()
+        assert got == want
+
+    prop()
