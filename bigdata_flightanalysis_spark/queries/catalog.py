@@ -126,7 +126,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # The 50-query window ends here (36 new + 14 stale). The entries
     # below are the stale ones deliberately left outside: simple
     # single-table aggregates and window shapes, green r2/r3 rows plus
-    # the local parity sweep — lowest re-check risk; r7 takes them first.
+    # the local parity sweep — lowest re-check risk; r7 takes them
+    # first. All ten were additionally run through
+    # scripts/verify_driver_surface.py at sf0.01 this round
+    # (mismatches: []), so only the driver's row DATE is stale, not
+    # the verification itself.
     "max_order_per_status_argmax",
     "order_price_percentile_rank",
     "customer_scd2_merge",
