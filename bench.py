@@ -1,15 +1,22 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-7 restructure — the driver's tail buffer
+truncated round 6's single ~5.5 KB line mid-JSON, destroying the
+headline metric): the FULL payload (per-query timings + the registry
+sweep) is printed FIRST on its own line, and the LAST line is a
+COMPACT headline object — metric/value/unit/sf/n_queries only, no
+per-query maps, well under any tail buffer. Parsers that want detail
+take the first `{"metric"` line; the driver's last-line parse always
+gets a complete object.
 
 Each query is forced with a count() action (no driver materialization
 of payloads); a warmup pass primes the JVM/codegen so the numbers
 measure the plans, not classloading.
 
-Besides the headline set (precise, first-class numbers) the run ends
-with a SWEEP: every remaining registry query once (n=1, coarse) under
+Besides the headline set (precise, first-class numbers) the run also
+does a SWEEP: every remaining registry query once (n=1, coarse) under
 the "sweep" key — a pathological plan in the unbenched tail can't
 hide.
 """
@@ -153,9 +160,10 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    payload: dict = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 4),
+    headline_total = round(sum(timings.values()), 4)
+    full: dict = {
+        "metric": "headline_queries_detail",
+        "value": headline_total,
         "unit": "sec",
         "queries": timings,
         "sweep": sweep,
@@ -163,8 +171,22 @@ def main() -> None:
         "sf": sf_val,
     }
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        full["errors"] = errors
+    # Detail line first; the compact headline object LAST so a
+    # tail-buffered reader parsing the final line always gets a
+    # complete (short) JSON object.
+    print(json.dumps(full))
+    compact: dict = {
+        "metric": "headline_queries_total",
+        "value": headline_total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_sweep": len(sweep),
+        "n_errors": len(errors),
+    }
+    print(json.dumps(compact))
+    sys.stdout.flush()
     spark.stop()
     if errors:
         sys.exit(1)

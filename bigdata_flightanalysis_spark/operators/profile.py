@@ -37,36 +37,55 @@ def _stringified(col: str, dt: T.DataType) -> F.Column:
 
 
 def profile_table(
-    df: DataFrame, columns: list[str] | None = None, *, approx: bool = True
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    approx: bool = True,
+    rsd: float | None = None,
 ) -> DataFrame:
     """Profile ``columns`` (default: all) of ``df`` in one aggregate
     pass; returns (col_name, n_rows, n_nulls, n_distinct, min_value,
-    max_value) with one row per profiled column."""
+    max_value) with one row per profiled column.
+
+    ``rsd`` (approx mode only) sets the HLL relative standard
+    deviation — default 0.05 like Spark's; the driver-facing bounds
+    contract (``orders_profile_approx``) uses 0.01 so its ±5 % check
+    sits at 5 sigma."""
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
-    for c in cols:
+    # Synthetic aliases are keyed by column INDEX, not name: the label
+    # string carries the (escaped) real name, so nothing is lost, and
+    # a source column containing a backtick — or literally named like
+    # a synthetic alias (`__min_x`) — can neither break the generated
+    # expr nor silently collide with it.
+    for i, c in enumerate(cols):
         dt = df.schema[c].dataType
         s = _stringified(c, dt)
         mn, mx = F.min(s), F.max(s)
         if isinstance(dt, T.TimestampType):
             mn = F.date_format(mn, _TS_FMT)
             mx = F.date_format(mx, _TS_FMT)
-        nd = (
-            F.approx_count_distinct(c) if approx else F.count_distinct(F.col(c))
-        )
+        if approx:
+            nd = (
+                F.approx_count_distinct(c, rsd)
+                if rsd is not None
+                else F.approx_count_distinct(c)
+            )
+        else:
+            nd = F.count_distinct(F.col(c))
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).cast("bigint").alias(f"__nulls_{c}"),
-            nd.cast("bigint").alias(f"__nd_{c}"),
-            mn.cast("string").alias(f"__min_{c}"),
-            mx.cast("string").alias(f"__max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).cast("bigint").alias(f"__nulls_{i}"),
+            nd.cast("bigint").alias(f"__nd_{i}"),
+            mn.cast("string").alias(f"__min_{i}"),
+            mx.cast("string").alias(f"__max_{i}"),
         ]
     wide = df.agg(*aggs)
-    # every generated reference backtick-quoted and the label escaped,
-    # so source column names with spaces/quotes can't break the expr
+    # labels escaped so source column names with quotes can't break
+    # the expr; the generated references are index-keyed (see above)
     stack_args = ", ".join(
-        f"'{c.replace(chr(39), chr(39) * 2)}', `__nulls_{c}`, `__nd_{c}`,"
-        f" `__min_{c}`, `__max_{c}`"
-        for c in cols
+        f"'{c.replace(chr(39), chr(39) * 2)}', `__nulls_{i}`, `__nd_{i}`,"
+        f" `__min_{i}`, `__max_{i}`"
+        for i, c in enumerate(cols)
     )
     return wide.select(
         F.expr(

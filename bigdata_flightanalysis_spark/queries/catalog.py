@@ -55,82 +55,22 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-6 rotation. Priority: (1) queries new or contract-changed this
-# round — the round-6 additions (BM25, span dedup, snapshot diff,
-# shard manifest, PIT lookup, split-leakage audit, winnowing, E-S
-# sampling, audio/image codec roundtrips, k-core, CDC compaction,
-# rollup cascade, HLL sketch rollup, text normalization, referential
-# integrity, table profiler, winsorization, MAD anomalies,
-# incremental-agg merge, OLS trend, transition matrix, growth curve,
-# stopword ratio, RFM segmentation), the two forced-large-mode plan
-# twins, and
-# the PageRank canonical query, which just left the rows-only list
-# (unrolled fixed-iteration SQL oracle);
-# (2) every query whose latest driver row is r2/r3 (the r5 verdict's
-# staleness list) so the whole registry ends the round with a row
-# dated r4 or later; (3) backfill with the oldest of the r4-dated
-# rows.
+# Round-7 rotation. Priority: (1) the ten queries whose newest driver
+# row is r3 (the r6 verdict's staleness list — front-loaded per its
+# ask #2; all ten were re-run through scripts/verify_driver_surface.py
+# at sf0.01 in rounds 6 AND 7 with zero mismatches, so only the row
+# DATE is stale); (2) queries new or contract-changed this round —
+# kmeans_embedding_clusters (just promoted off the rows-only list via
+# a contract oracle: 160/160 → every registry entry now hash-checked),
+# the two percentile_disc two-pass robust-stats twins, the HLL
+# profile-bounds contract, doc_dup_graph_kcore (max_iter now pinned
+# to the oracle's unrolled round count) and events_type_trend
+# (degenerate-group NULL guard); (3) backfill with the oldest
+# (r4-dated) rows — 34 of the 50 r4-only names fit this window; the
+# remaining 16 lead the backfill below the window cut and front-run
+# the r8 rotation.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) new / contract-changed this round
-    "doc_dup_graph_kcore",
-    "events_cdc_latest_state",
-    "events_rollup_cascade",
-    "events_distinct_rollup_sketch",
-    "doc_clean_normalize",
-    "referential_integrity_report",
-    "orders_profile",
-    "events_value_winsorized",
-    "events_mad_anomalies",
-    "events_incremental_agg_merge",
-    "events_type_trend",
-    "events_type_transitions",
-    "events_cumulative_new_users",
-    "doc_stopword_ratio",
-    "customer_rfm_segments",
-    "doc_bm25_topk",
-    "doc_duplicate_spans",
-    "customer_snapshot_diff",
-    "doc_shuffle_shards",
-    "orders_pit_customer_balance",
-    "doc_split_leakage_check",
-    "doc_winnow_fingerprints",
-    "doc_weighted_sample_es",
-    "multimodal_audio_stats",
-    "multimodal_image_stats",
-    "events_approx_quantile_contract",
-    "doc_dup_graph_triangles",
-    "events_activity_incident_overlap",
-    "doc_near_dup_candidates_largemode",
-    "embed_near_dup_pairs_largemode",
-    "doc_dup_canonical_pagerank",
-    "doc_near_dup_incremental",
-    "embed_pq_topk",
-    "doc_temperature_mixture_sample",
-    "doc_training_manifest",
-    "doc_bigram_nll_quality",
-    # (2) last driver-checked in r2/r3
-    "flagship_top_segments",
-    "multimodal_payload_stats",
-    "multimodal_feature_extract",
-    "multimodal_frame_sampling",
-    "doc_term_first_positions",
-    "events_funnel",
-    "events_user_activity_ranked",
-    "events_heavy_hitters_topk",
-    "events_key_skew_profile",
-    "events_monthly_active_users",
-    "events_load_heatmap",
-    "events_cohort_retention",
-    "events_hourly_anomalies",
-    "status_first_last_orders",
-    # The 50-query window ends here (36 new + 14 stale). The entries
-    # below are the stale ones deliberately left outside: simple
-    # single-table aggregates and window shapes, green r2/r3 rows plus
-    # the local parity sweep — lowest re-check risk; r7 takes them
-    # first. All ten were additionally run through
-    # scripts/verify_driver_surface.py at sf0.01 this round
-    # (mismatches: []), so only the driver's row DATE is stale, not
-    # the verification itself.
+    # (1) last driver-checked in r3
     "max_order_per_status_argmax",
     "order_price_percentile_rank",
     "customer_scd2_merge",
@@ -141,7 +81,14 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "supplier_trailing_week_quantity",
     "orders_quality_report",
     "status_priority_sets",
-    # (3) oldest r4-dated rows as backfill for the rest of the window
+    # (2) new / contract-changed this round
+    "kmeans_embedding_clusters",
+    "events_value_winsorized_twopass",
+    "events_mad_anomalies_twopass",
+    "orders_profile_approx",
+    "doc_dup_graph_kcore",
+    "events_type_trend",
+    # (3) oldest (r4-dated) rows — backfill to the 50-query window
     "cube_flag_status",
     "doc_bpe_token_stats",
     "doc_decontamination",
@@ -165,6 +112,36 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_dedup_first_per_user_type",
     "events_json_extract",
     "events_session_windows",
+    "events_sliding_hourly",
+    "events_tumbling_hourly",
+    "events_type_pivot",
+    "grouping_sets_order_stats",
+    "large_orders_q18",
+    "latest_order_per_customer_status",
+    "monthly_revenue_delta",
+    "nation_counts_full_outer",
+    "order_priority_count_exists",
+    "orders_above_customer_avg",
+    "price_stddev_by_status",
+    # The 50-query window ends here (10 r3-stale + 6 changed + 34
+    # r4-dated). The 16 r4-dated entries below are the only remaining
+    # rows older than r5 — they lead the r8 window.
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q1_pricing_summary",
+    "q20_heavy_flow_suppliers",
+    "q21_sole_late_supplier",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "quantity_percentiles_by_flag",
+    "rollup_revenue_region_nation",
+    "salted_user_event_counts",
+    "status_intersect_except",
 )
 
 

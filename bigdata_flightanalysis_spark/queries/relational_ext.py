@@ -1726,6 +1726,88 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+def _profile_contract_oracle() -> str:
+    """Oracle for the approx-profile CONTRACT row set: per orders
+    column the exactly-reproducible fields (rows, nulls, stringified
+    min/max with the operator's engine-portable renderings) plus
+    literal TRUE for the HLL bound — the hash matches iff every
+    column's approx distinct count lands within ±5 % of exact."""
+    specs = {
+        "o_orderkey": ("CAST(MIN({c}) AS VARCHAR)", "CAST(MAX({c}) AS VARCHAR)"),
+        "o_custkey": ("CAST(MIN({c}) AS VARCHAR)", "CAST(MAX({c}) AS VARCHAR)"),
+        "o_orderstatus": ("MIN({c})", "MAX({c})"),
+        "o_totalprice": (
+            "CAST(MIN(CAST({c} AS DECIMAL(38,6))) AS VARCHAR)",
+            "CAST(MAX(CAST({c} AS DECIMAL(38,6))) AS VARCHAR)",
+        ),
+        "o_orderdate": (
+            "strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')",
+            "strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')",
+        ),
+        "o_orderpriority": ("MIN({c})", "MAX({c})"),
+    }
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               {mn.format(c=c)} AS min_value, {mx.format(c=c)} AS max_value,
+               TRUE AS nd_within_5pct
+        FROM orders
+        """
+        for c, (mn, mx) in specs.items()
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@register(
+    "orders_profile_approx",
+    oracle=_profile_contract_oracle(),
+    description="The 100 TB-default profile path, driver-checked: "
+    "profile_table(approx=True) makes every distinct count an HLL "
+    "partial aggregate, so the whole profile is ONE map-side-combined "
+    "pass — no Catalyst Expand, no per-column scans (the exact mode "
+    "multiplies shuffled bytes by the column count). The HLL estimate "
+    "is not SQL-reproducible, so this entry emits the bounds CONTRACT "
+    "(the kmeans/PageRank/IVF trick): per column the exact fields "
+    "(rows, nulls, portable min/max) value-for-value plus "
+    "`nd_within_5pct` — |approx − exact| ≤ 5 % of exact, with "
+    "rsd=0.01 so the bound sits at 5 sigma — which the oracle expects "
+    "as literal TRUE. HLL hashing is deterministic per dataset, so "
+    "the row is stable, and the approx-vs-exact property is "
+    "additionally fuzz-tested in tests/test_profile.py.",
+    tags=("relational", "governance", "profiling", "sketch", "contract"),
+)
+def orders_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.profile import profile_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    ap = profile_table(orders, approx=True, rsd=0.01).withColumnRenamed(
+        "n_distinct", "nd_approx"
+    )
+    ex = profile_table(orders, approx=False).select(
+        "col_name", F.col("n_distinct").alias("nd_exact")
+    )
+    return (
+        ap.join(F.broadcast(ex), "col_name")
+        .select(
+            "col_name",
+            "n_rows",
+            "n_nulls",
+            "min_value",
+            "max_value",
+            (
+                F.abs(
+                    F.col("nd_approx").cast("double")
+                    - F.col("nd_exact").cast("double")
+                )
+                <= F.lit(0.05) * F.col("nd_exact").cast("double")
+            ).alias("nd_within_5pct"),
+        )
+        .orderBy("col_name")
+    )
+
+
 @register(
     "customer_rfm_segments",
     oracle="""

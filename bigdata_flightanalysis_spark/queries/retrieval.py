@@ -127,7 +127,15 @@ def _bm25_oracle() -> str:
     "in fixed term order; top-k is TakeOrderedAndProject.",
     tags=("text", "retrieval"),
 )
-def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_TERMS,
+) -> DataFrame:
+    """Registry entry pins ``terms`` to BM25_TERMS (closed oracle);
+    callers (e.g. scripts/scale_smoke.py) may pass any term list —
+    the plan shape (one broadcast stats row, pure-expression scores,
+    TakeOrderedAndProject) is term-independent."""
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -142,7 +150,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.array_contains("t", t).cast("int"))
             .cast("bigint")
             .alias(f"df{i}")
-            for i, t in enumerate(BM25_TERMS)
+            for i, t in enumerate(terms)
         ],
     )
 
@@ -156,13 +164,13 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dl",
         *[
             F.size(F.filter("t", _eq(t))).alias(f"tf{i}")
-            for i, t in enumerate(BM25_TERMS)
+            for i, t in enumerate(terms)
         ],
     )
 
     half = F.lit(0.5)
     score = None
-    for i in range(len(BM25_TERMS)):
+    for i in range(len(terms)):
         idf = ((F.col("n_docs") - F.col(f"df{i}")).cast("double") + half) / (
             F.col(f"df{i}").cast("double") + half
         )

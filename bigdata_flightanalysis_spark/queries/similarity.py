@@ -508,29 +508,87 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
-@register(
-    "kmeans_embedding_clusters",
-    oracle=None,
-    description="KMeans (k=8, seed=42, MLlib) over the embedding "
-    "column; returns cluster sizes. Iterative/driver-coordinated — "
-    "rows-only driver check; invariants tested in tests/test_ml.py. "
-    "Mirrors the reference's clustering stage "
-    "(Code/flight_analysis.py:135-141).",
-    tags=("similarity", "ml", "no-oracle"),
-)
-def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+_KMEANS_EMB_K = 8
+
+
+def kmeans_clusters_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detailed per-cluster sizes of KMeans(k=8, seed=42, MLlib) over
+    the embedding column — (cluster, n_vectors). Exposed for tests and
+    downstream use; the registered query wraps it in a contract summary
+    (the size vector depends on the iterative centroid fit, so it is
+    not SQL-reproducible). Mirrors the reference's clustering stage
+    (Code/flight_analysis.py:135-141)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
     )
-    model = KMeans(k=8, seed=42, featuresCol="features").fit(emb)
+    model = KMeans(k=_KMEANS_EMB_K, seed=42, featuresCol="features").fit(emb)
     pred = model.transform(emb)
     return (
         pred.groupBy(F.col("prediction").alias("cluster"))
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("cluster")
+    )
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=f"""
+        SELECT CAST({_KMEANS_EMB_K} AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               TRUE AS all_assigned,
+               TRUE AS nonempty_le_k,
+               TRUE AS nonempty_ge_2,
+               TRUE AS seed_stable
+        FROM embeddings
+    """,
+    description=f"KMeans (k={_KMEANS_EMB_K}, seed=42, MLlib) over the "
+    "embedding column, verified via the same contract trick that made "
+    "PageRank and IVF oracle-checkable: the cluster-size vector "
+    "depends on the iterative centroid fit (not SQL-reproducible), so "
+    "the query emits the clustering CONTRACT — k, corpus size, "
+    "all-rows-assigned (Σ cluster sizes == COUNT(*) embeddings), "
+    "non-empty cluster count within (2, k], and seed-stability (two "
+    "independent seed=42 fits produce the identical size multiset) — "
+    "as literal booleans the oracle expects TRUE; the hash matches iff "
+    "every invariant holds. Detailed sizes: kmeans_clusters_frame(), "
+    "seed-determinism tested in tests/test_ivf.py. "
+    "Mirrors the reference's clustering stage "
+    "(Code/flight_analysis.py:135-141).",
+    tags=("similarity", "ml", "contract"),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sizes = kmeans_clusters_frame(spark, sf_dir)
+    sizes2 = kmeans_clusters_frame(spark, sf_dir)
+    corpus_n = read_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )
+    s1 = sizes.agg(
+        F.sum("n_vectors").cast("bigint").alias("assigned"),
+        F.count(F.lit(1)).cast("bigint").alias("nonempty"),
+        F.sort_array(F.collect_list("n_vectors")).alias("size_multiset"),
+    )
+    s2 = sizes2.agg(
+        F.sort_array(F.collect_list("n_vectors")).alias("size_multiset_2")
+    )
+    return (
+        s1.crossJoin(s2)
+        .crossJoin(corpus_n)
+        .select(
+            F.lit(_KMEANS_EMB_K).cast("bigint").alias("k"),
+            "n_vectors",
+            (F.col("assigned") == F.col("n_vectors")).alias("all_assigned"),
+            (F.col("nonempty") <= F.lit(_KMEANS_EMB_K)).alias("nonempty_le_k"),
+            (F.col("nonempty") >= F.lit(2)).alias("nonempty_ge_2"),
+            (F.col("size_multiset") == F.col("size_multiset_2")).alias(
+                "seed_stable"
+            ),
+        )
     )
 
 

@@ -1337,6 +1337,16 @@ def _kcore_oracle() -> str:
 def doc_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_flightanalysis_spark.operators.graph import k_core
 
+    # max_iter is pinned to the oracle's unrolled round count: a graph
+    # converging in (rounds, default-max_iter] would pass Spark's
+    # convergence guard yet be checked against a half-peeled oracle —
+    # capping here makes Spark RAISE in exactly the window where the
+    # oracle could be unconverged, so a parity row can never compare
+    # against a wrong "truth".
     return k_core(
-        _candidate_pairs(spark, sf_dir), _KCORE_K, src="doc_a", dst="doc_b"
+        _candidate_pairs(spark, sf_dir),
+        _KCORE_K,
+        src="doc_a",
+        dst="doc_b",
+        max_iter=_KCORE_SQL_ROUNDS,
     ).orderBy("node")

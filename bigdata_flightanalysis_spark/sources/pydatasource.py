@@ -47,18 +47,33 @@ def _h(seed: int, doc_id: int, salt: int) -> int:
     return int.from_bytes(digest[:8], "big")
 
 
-def _doc_row(seed: int, doc_id: int) -> tuple:
-    n_words = 20 + _h(seed, doc_id, 0) % 80
-    words = [
-        _WORDS[_h(seed, doc_id, 1 + i) % len(_WORDS)] for i in range(n_words)
-    ]
-    # deterministic near-dup injection: every 10th doc clones doc_id-1's
-    # text so dedup operators have work to do on generated corpora too
-    if doc_id % 10 == 9:
-        words = [
-            _WORDS[_h(seed, doc_id - 1, 1 + i) % len(_WORDS)]
-            for i in range(20 + _h(seed, doc_id - 1, 0) % 80)
-        ]
+def _word(seed: int, doc_id: int, i: int, vocab: int) -> str:
+    h = _h(seed, doc_id, 1 + i)
+    # vocab=0 (default): the legacy 30-word list — ADVERSARIALLY dense
+    # for LSH (collision stress test). vocab=N>0: synthetic N-word
+    # vocabulary ("w0".."w{N-1}") — realistic web-corpus collision
+    # density, so the dup GRAPH stays proportional to the injected
+    # duplication instead of going corpus-quadratic; graph analytics
+    # (triangles/k-core) smoke at scale against this shape.
+    if vocab:
+        return f"w{h % vocab}"
+    return _WORDS[h % len(_WORDS)]
+
+
+def _doc_row(seed: int, doc_id: int, vocab: int = 0, clique: int = 0) -> tuple:
+    # deterministic near-dup injection: by default every 10th doc
+    # clones doc_id-1's text (isolated dup PAIRS). clique=m>=2 makes
+    # the last m docs of each 10-block clone the block head instead —
+    # an (m+1)-clique per block, so graph analytics (triangles,
+    # k-core) meet non-trivial dup-cluster structure at scale.
+    src = doc_id
+    if clique >= 2:
+        if doc_id % 10 >= 10 - clique:
+            src = doc_id - doc_id % 10
+    elif doc_id % 10 == 9:
+        src = doc_id - 1
+    n_words = 20 + _h(seed, src, 0) % 80
+    words = [_word(seed, src, i, vocab) for i in range(n_words)]
     text = " ".join(words)
     return (
         doc_id,
@@ -70,8 +85,11 @@ def _doc_row(seed: int, doc_id: int) -> tuple:
 
 
 class _RangePartition(InputPartition):
-    def __init__(self, start: int, end: int, seed: int):
+    def __init__(
+        self, start: int, end: int, seed: int, vocab: int = 0, clique: int = 0
+    ):
         self.start, self.end, self.seed = start, end, seed
+        self.vocab, self.clique = vocab, clique
 
 
 class SyntheticDocsReader(DataSourceReader):
@@ -79,17 +97,23 @@ class SyntheticDocsReader(DataSourceReader):
         self.rows = int(options.get("rows", 1000))
         self.n_partitions = max(1, int(options.get("partitions", 8)))
         self.seed = int(options.get("seed", 42))
+        self.vocab = int(options.get("vocab", 0))
+        self.clique = int(options.get("clique", 0))
 
     def partitions(self) -> list[InputPartition]:
         per = -(-self.rows // self.n_partitions)  # ceil
         return [
-            _RangePartition(lo, min(lo + per, self.rows), self.seed)
+            _RangePartition(
+                lo, min(lo + per, self.rows), self.seed, self.vocab, self.clique
+            )
             for lo in range(0, self.rows, per)
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for doc_id in range(partition.start, partition.end):
-            yield _doc_row(partition.seed, doc_id)
+            yield _doc_row(
+                partition.seed, doc_id, partition.vocab, partition.clique
+            )
 
 
 class SyntheticDocsDataSource(DataSource):

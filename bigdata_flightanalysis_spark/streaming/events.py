@@ -334,9 +334,8 @@ def upsert_foreach_batch(path: str, key_cols: list[str]):
     from pyspark.sql.window import Window
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        import shutil
-
         spark = batch_df.sparkSession
+        _recover_state_dir(path)
         new = batch_df.withColumn("_v", F.lit(batch_id).cast("long"))
         if os.path.exists(path):
             new = new.unionByName(spark.read.parquet(path))
@@ -346,16 +345,41 @@ def upsert_foreach_batch(path: str, key_cols: list[str]):
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        staging = path + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        old = path + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_state_dir(merged, path)
 
     return _apply
+
+
+def _recover_state_dir(path: str) -> None:
+    """Crash recovery for the two-rename state swap: a crash between
+    ``os.rename(path, old)`` and ``os.rename(staging, path)`` leaves no
+    live dir but a complete ``.old`` — without this check the next
+    micro-batch would silently rebuild state from only its own rows,
+    losing the compacted history (and with it the exactly-once
+    contract). Rename ``.old`` back BEFORE reading; replay idempotence
+    then converges the rolled-back batch."""
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
+def _swap_state_dir(merged: DataFrame, path: str) -> None:
+    """Write ``merged`` to ``path`` via staging-dir + rename swap.
+
+    POSIX/HDFS renames are atomic, but the SEQUENCE of two renames is
+    not — :func:`_recover_state_dir` (called before every read) closes
+    the crash window between them. Object stores need a table format
+    (Delta/Iceberg/Hudi) for the same guarantee."""
+    import shutil
+
+    staging = path + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def run_foreach_batch(
@@ -411,9 +435,8 @@ def cdc_upsert_foreach_batch(
     from pyspark.sql.window import Window
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        import shutil
-
         spark = batch_df.sparkSession
+        _recover_state_dir(path)
         new = batch_df.withColumn("_v", F.lit(batch_id).cast("long"))
         if os.path.exists(path):
             new = new.unionByName(spark.read.parquet(path))
@@ -424,14 +447,7 @@ def cdc_upsert_foreach_batch(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        staging = path + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        old = path + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_state_dir(merged, path)
 
     return _apply
 

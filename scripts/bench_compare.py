@@ -18,17 +18,37 @@ def _load(path: str) -> dict:
         d = json.load(f)
     if "queries" in d:
         return d
-    # driver wrapper: the payload is the last JSON object in "tail"
-    m = re.search(r'\{"metric".*', d.get("tail", ""))
-    if not m:
-        raise SystemExit(f"{path}: no bench payload found")
-    return json.loads(m.group(0))
+    # Driver wrapper: bench.py prints the detail payload (has
+    # "queries") first and a compact headline object last. Scan every
+    # payload line in the tail and take the LAST one carrying
+    # per-query detail; fall back to the last payload of any kind.
+    # (The old re.search took the FIRST match — wrong run when the
+    # tail held more than one.)
+    payloads = []
+    for m in re.findall(r'\{"metric".*', d.get("tail", "")):
+        try:
+            payloads.append(json.loads(m))
+        except json.JSONDecodeError:
+            continue  # truncated mid-line (the round-6 failure mode)
+    detailed = [p for p in payloads if "queries" in p]
+    if detailed:
+        return detailed[-1]
+    if payloads:
+        return payloads[-1]
+    raise SystemExit(f"{path}: no bench payload found")
 
 
 def main() -> None:
     if len(sys.argv) != 3:
         raise SystemExit(__doc__)
     a, b = _load(sys.argv[1]), _load(sys.argv[2])
+    if "queries" not in a or "queries" not in b:
+        # compact-only payload(s): totals are all there is to compare
+        print(
+            f"totals only (no per-query detail): {a['value']}s -> "
+            f"{b['value']}s"
+        )
+        return
     qa, qb = a["queries"], b["queries"]
     common = sorted(set(qa) & set(qb))
     if not common:

@@ -93,17 +93,91 @@ def _smoke_embeddings(spark, args, out: dict) -> None:
     out["t_emb_near_dup_s"] = round(time.perf_counter() - t0, 2)
 
 
+def _smoke_analytics(spark, args, out: dict) -> None:
+    """Round-6 operator smoke at >=1M docs: winnowing, duplicate
+    spans, BM25 over the generated corpus, and triangles + k-core over
+    its LSH dup graph.
+
+    Uses --vocab (default 10000 here) for a REALISTIC collision
+    density: the legacy 30-word vocabulary is the right stress test
+    for the banded self-join itself (every band bucket collides), but
+    it makes the dup GRAPH corpus-quadratic — real web corpora don't.
+    With a 10k-word vocabulary the graph stays proportional to the
+    injected 10% duplication (plus residual MinHash collisions), which
+    is the shape triangles/k-core meet in production; the docs-mode
+    run keeps covering the adversarial-density path."""
+    import tempfile
+
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        doc_bm25_topk,
+        doc_duplicate_spans,
+        doc_winnow_fingerprints,
+    )
+    from bigdata_flightanalysis_spark.queries.text import (
+        doc_dup_graph_kcore,
+        doc_dup_graph_triangles,
+    )
+
+    vocab = args.vocab if args.vocab else 10_000
+    out["vocab"] = vocab
+    out["clique"] = 3  # 4-cliques per 10-block: real triangle/k-core load
+    spark.dataSource.register(SyntheticDocsDataSource)
+    docs = (
+        spark.read.format("synthetic_docs")
+        .option("rows", args.rows)
+        .option("partitions", args.partitions)
+        .option("seed", args.seed)
+        .option("vocab", vocab)
+        .option("clique", 3)
+        .load()
+    )
+    tmp = tempfile.mkdtemp(prefix="scale_docs_")
+    t0 = time.perf_counter()
+    docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out["t_generate_s"] = round(time.perf_counter() - t0, 2)
+
+    # query terms drawn from the synthetic vocabulary so BM25 scores
+    # real postings (the registry's pinned terms live in the legacy list)
+    def _bm25(spark_, dir_):
+        return doc_bm25_topk(spark_, dir_, terms=("w1", "w17", "w4242"))
+
+    for key, fn in (
+        ("winnow_fingerprints", doc_winnow_fingerprints),
+        ("duplicate_spans", doc_duplicate_spans),
+        ("bm25_topk", _bm25),
+        ("dup_graph_triangles", doc_dup_graph_triangles),
+        ("dup_graph_kcore", doc_dup_graph_kcore),
+    ):
+        t0 = time.perf_counter()
+        out[f"n_{key}"] = fn(spark, tmp).count()
+        out[f"t_{key}_s"] = round(time.perf_counter() - t0, 2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument(
-        "--mode", choices=["docs", "embeddings", "both"], default="docs"
+        "--vocab",
+        type=int,
+        default=0,
+        help="synthetic vocabulary size (0 = legacy adversarial 30-word list)",
+    )
+    ap.add_argument(
+        "--mode",
+        choices=["docs", "embeddings", "both", "analytics"],
+        default="docs",
     )
     args = ap.parse_args()
 
     spark = get_session("scale-smoke")
+    if args.mode == "analytics":
+        out_a: dict = {"rows": args.rows, "partitions": args.partitions}
+        _smoke_analytics(spark, args, out_a)
+        print(json.dumps(out_a))
+        spark.stop()
+        return
     if args.mode in ("embeddings", "both"):
         out_e: dict = {"rows": args.rows, "partitions": args.partitions}
         _smoke_embeddings(spark, args, out_e)

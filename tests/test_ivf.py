@@ -123,3 +123,34 @@ def test_pq_index_roundtrip_matches_inline(spark, tmp_path):
     served = sorted(map(tuple, pq_index_topk(spark, SF, idx).collect()))
     inline = sorted(map(tuple, pq_topk_frame(spark, SF).collect()))
     assert served == inline
+
+
+def test_kmeans_embedding_contract_all_true(spark):
+    """kmeans_embedding_clusters emits its clustering contract (the
+    oracle expects literal TRUE per boolean): all rows assigned, 2..k
+    non-empty clusters, and two seed=42 fits size-multiset-identical."""
+    reg = load_all()
+    for sf in ("/root/testdata/sf0.001", SF):
+        rows = reg["kmeans_embedding_clusters"].fn(spark, sf).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["k"] == 8
+        assert r["n_vectors"] > 0
+        assert r["all_assigned"] and r["nonempty_le_k"], (sf, r)
+        assert r["nonempty_ge_2"] and r["seed_stable"], (sf, r)
+
+
+def test_kmeans_clusters_frame_detail(spark):
+    """The detail helper: cluster ids within [0, k), sizes positive,
+    total == corpus, and deterministic across fits."""
+    from bigdata_flightanalysis_spark.queries.similarity import (
+        kmeans_clusters_frame,
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    a = sorted(map(tuple, kmeans_clusters_frame(spark, SF).collect()))
+    b = sorted(map(tuple, kmeans_clusters_frame(spark, SF).collect()))
+    assert a == b  # seeded fit is bit-deterministic
+    n_total = read_table(spark, SF, "embeddings").count()
+    assert sum(n for _, n in a) == n_total
+    assert all(0 <= c < 8 and n > 0 for c, n in a)

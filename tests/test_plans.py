@@ -419,3 +419,39 @@ def test_no_cartesian_product_in_any_registry_query(spark, registry):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_twopass_robust_stats_have_no_window(spark, registry):
+    """The percentile_disc two-pass winsorize/MAD twins exist to remove
+    the per-key ordered window (the round-6 straggler caveat): their
+    plans must contain NO Window node — thresholds come from
+    map-side-combined aggregates — while still hash-matching the
+    window forms' oracle."""
+    for name in ("events_value_winsorized_twopass", "events_mad_anomalies_twopass"):
+        plan = _plan(registry[name].fn(spark, SF))
+        assert "Window" not in plan, f"{name} still has a window:\n{plan}"
+        assert "partial_percentile_disc" in plan or "percentile_disc" in plan, name
+
+
+def test_twopass_equals_window_form(spark, registry):
+    """Spark-vs-Spark equivalence of the two winsorize/MAD forms at
+    sf0.01 (both also hash-match the same DuckDB oracle — this pins
+    the equivalence inside one engine, independent of the harness)."""
+    for a, b in (
+        ("events_value_winsorized", "events_value_winsorized_twopass"),
+        ("events_mad_anomalies", "events_mad_anomalies_twopass"),
+    ):
+        ra = sorted(map(tuple, registry[a].fn(spark, SF).collect()))
+        rb = sorted(map(tuple, registry[b].fn(spark, SF).collect()))
+        assert ra == rb, (a, b)
+
+
+def test_profile_approx_is_single_pass_no_expand(spark, registry):
+    """approx=True profiling is the 100 TB default BECAUSE it avoids
+    Catalyst's Expand (N rows per input row for N distinct aggs): the
+    HLL profile of orders must plan with no Expand node; the exact
+    twin (orders_profile) is allowed its documented Expand."""
+    from bigdata_flightanalysis_spark.operators.profile import profile_table
+
+    approx_plan = _plan(profile_table(read_table(spark, SF, "orders"), rsd=0.01))
+    assert "Expand" not in approx_plan

@@ -131,3 +131,31 @@ def test_embeddings_source_determinism_and_near_dups(registered):
         math.sqrt(sum(x * x for x in v8)) * math.sqrt(sum(y * y for y in v9))
     )
     assert cos > 0.99
+
+
+def test_vocab_option_realistic_density(registered):
+    """vocab=N swaps the adversarial 30-word list for a synthetic
+    N-word vocabulary ("w0".."w{N-1}") — realistic collision density
+    for graph-analytics smokes. Same determinism contract; the
+    near-dup injection (every 10th doc clones its predecessor) must
+    survive the vocabulary switch."""
+    a = sorted(
+        tuple(r)
+        for r in _read(registered, rows=200, partitions=3, vocab=5000).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in _read(registered, rows=200, partitions=9, vocab=5000).collect()
+    )
+    assert a == b  # partition-independent under vocab too
+    rows = {r[0]: r[1] for r in a}
+    assert rows[9] == rows[8] and rows[199] == rows[198]  # clones intact
+    words = set(rows[0].split()) | set(rows[7].split())
+    assert all(w.startswith("w") and w[1:].isdigit() for w in words)
+    # default (vocab absent) is unchanged — legacy wordlist
+    legacy = _read(registered, rows=10, partitions=2).collect()
+    assert any(
+        not w[1:].isdigit() or not w.startswith("w")
+        for r in legacy
+        for w in r["text"].split()
+    )

@@ -228,3 +228,67 @@ def test_cdc_sink_tombstone_blocks_late_stale_upsert(spark, tmp_path):
     )
     live = cdc_snapshot(spark, state, "event_type", "error")
     assert live.count() == 0  # tombstone still wins; key stays deleted
+
+
+def test_upsert_sink_recovers_from_crash_between_renames(spark, tmp_path):
+    """The staging swap is two renames; a crash between them leaves no
+    live state dir but a complete '.old'. The next micro-batch must
+    rename '.old' back and merge against the FULL history — without
+    recovery it would silently rebuild state from only its own rows
+    (total-state loss, the round-6 advisor finding)."""
+    state = str(tmp_path / "state")
+    sink = upsert_foreach_batch(state, ["user_id"])
+    b0 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "user_id bigint, v double"
+    )
+    sink(b0, 0)
+    # simulate the crash window: path renamed away, staging never landed
+    os.rename(state, state + ".old")
+    assert not os.path.exists(state)
+    b1 = spark.createDataFrame([(3, 30.0)], "user_id bigint, v double")
+    sink(b1, 1)
+    got = sorted(
+        (r["user_id"], r["v"]) for r in spark.read.parquet(state).collect()
+    )
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0)]  # history survived
+    assert not os.path.exists(state + ".old")
+
+
+def test_cdc_sink_recovers_from_crash_between_renames(spark, tmp_path):
+    """Same crash-window recovery for the CDC sink: a tombstone written
+    before the crash must still block resurrection after it."""
+    from datetime import datetime
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        cdc_snapshot,
+        cdc_upsert_foreach_batch,
+    )
+
+    state = str(tmp_path / "state")
+    sink = cdc_upsert_foreach_batch(
+        state,
+        ["user_id"],
+        order_cols=["ts", "event_id"],
+        tombstone_col="event_type",
+        tombstone_value="error",
+    )
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    sink(
+        spark.createDataFrame(
+            [(2, t.replace(minute=5), 1, "error", 0.0, "{}")], schema
+        ),
+        0,
+    )
+    os.rename(state, state + ".old")  # crash between the two renames
+    sink(
+        spark.createDataFrame(
+            [(1, t.replace(minute=1), 1, "click", 1.0, "{}")], schema
+        ),
+        1,
+    )
+    # tombstone from the pre-crash history still wins over the late upsert
+    assert cdc_snapshot(spark, state, "event_type", "error").count() == 0
