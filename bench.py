@@ -109,6 +109,17 @@ HEADLINE += [
     "doc_clean_normalize",
 ]
 
+# Round-7 additions: the scalable (window-free) robust-stats twins and
+# the HLL profile contract — benched against their exact counterparts
+# above so the scale path's cost is a tracked number.
+HEADLINE += [
+    "events_value_winsorized_twopass",
+    "events_mad_anomalies_twopass",
+    "orders_profile_approx",
+    "embed_standardize",
+    "embed_near_dup_incremental",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -61,14 +61,16 @@ def register(
 # at sf0.01 in rounds 6 AND 7 with zero mismatches, so only the row
 # DATE is stale); (2) queries new or contract-changed this round —
 # kmeans_embedding_clusters (just promoted off the rows-only list via
-# a contract oracle: 160/160 → every registry entry now hash-checked),
-# the two percentile_disc two-pass robust-stats twins, the HLL
-# profile-bounds contract, doc_dup_graph_kcore (max_iter now pinned
-# to the oracle's unrolled round count) and events_type_trend
-# (degenerate-group NULL guard); (3) backfill with the oldest
-# (r4-dated) rows — 34 of the 50 r4-only names fit this window; the
-# remaining 16 lead the backfill below the window cut and front-run
-# the r8 rotation.
+# a contract oracle: every registry entry now hash-checked — the
+# rows-only list is empty), the two percentile_disc two-pass
+# robust-stats twins, the HLL profile-bounds contract, the new
+# embed_standardize feature-scaling pass, the new
+# embed_near_dup_incremental ANN-ingest twin, doc_dup_graph_kcore
+# (max_iter now pinned to the oracle's unrolled round count) and
+# events_type_trend (degenerate-group NULL guard); (3) backfill with
+# the oldest (r4-dated) rows — 33 of the 50 r4-only names fit this
+# window; the remaining 17 lead the backfill below the window cut and
+# front-run the r8 rotation.
 _VERIFY_FIRST: tuple[str, ...] = (
     # (1) last driver-checked in r3
     "max_order_per_status_argmax",
@@ -86,6 +88,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_value_winsorized_twopass",
     "events_mad_anomalies_twopass",
     "orders_profile_approx",
+    "embed_standardize",
+    "embed_near_dup_incremental",
     "doc_dup_graph_kcore",
     "events_type_trend",
     # (3) oldest (r4-dated) rows — backfill to the 50-query window
@@ -121,11 +125,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "monthly_revenue_delta",
     "nation_counts_full_outer",
     "order_priority_count_exists",
+    # The 50-query window ends here (10 r3-stale + 8 new/changed + 32
+    # r4-dated). The 18 r4-dated entries below are the only remaining
+    # rows older than r5 — they lead the r8 window.
     "orders_above_customer_avg",
     "price_stddev_by_status",
-    # The 50-query window ends here (10 r3-stale + 6 changed + 34
-    # r4-dated). The 16 r4-dated entries below are the only remaining
-    # rows older than r5 — they lead the r8 window.
     "q10_returned_items",
     "q13_customer_distribution",
     "q15_top_supplier",

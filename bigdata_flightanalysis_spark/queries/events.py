@@ -1237,14 +1237,14 @@ _WINSORIZED_ORACLE = f"""
     "the chosen threshold is an actual data value, so the comparison "
     "and the clipped decimal sum are bit-identical by construction. "
     "Shape: one window shuffle on event_type, thresholds broadcast "
-    "back (5 rows), one aggregate. Scale note, stated honestly: a "
-    "per-key cume_dist still funnels each key's rows through one task "
-    "(fine for bounded per-key volumes; the window never goes "
-    "UNpartitioned) — at 100 TB with huge keys the production swap is "
-    "percentile_approx thresholds (one mergeable sketch, no ordered "
-    "pass), whose error contract `events_approx_quantile_contract` "
-    "already verifies; this exact form pins the semantics the approx "
-    "path approximates.",
+    "back (5 rows), one aggregate. Scale note: the per-key cume_dist "
+    "funnels each key's rows through one task — fine at bounded "
+    "per-key volumes; the 100 TB path is the REGISTERED twin "
+    "`events_value_winsorized_twopass` (percentile_disc aggregates, "
+    "no window, same oracle) or, beyond exactness needs, "
+    "percentile_approx under the `events_approx_quantile_contract` "
+    "error bound. This window form pins the semantics both "
+    "approximate.",
     tags=("events", "window", "quality", "percentile"),
 )
 def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1422,9 +1422,10 @@ _MAD_ORACLE = """
     "across engines. Shape: two cume_dist windows on the SAME "
     "partitioning key (the second reuses the first's hash exchange "
     "under AQE) + two broadcast-back joins of 5-row threshold frames. "
-    "Same scale caveat as `events_value_winsorized`: per-key ordered "
-    "passes bound parallelism by key count — the 100 TB swap is "
-    "percentile_approx medians under the verified sketch contract.",
+    "Scale: per-key ordered passes bound parallelism by key count — "
+    "the 100 TB path is the REGISTERED twin "
+    "`events_mad_anomalies_twopass` (percentile_disc aggregates, no "
+    "window, same oracle).",
     tags=("events", "anomaly", "quality", "window"),
 )
 def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:

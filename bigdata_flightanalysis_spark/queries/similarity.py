@@ -332,6 +332,75 @@ def embed_near_dup_pairs_largemode(
     return embed_near_dup_pairs(spark, sf_dir, n_blocks=8)
 
 
+#: Every 5th vector plays the "incoming batch" — same convention as
+#: doc_near_dup_incremental (queries/text.py) so the two incremental
+#: paths are tested against the same ingest split.
+_EMB_INCR_MOD, _EMB_INCR_REM = 5, 4
+
+
+@register(
+    "embed_near_dup_incremental",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {_sql_bucket("embedding", NEAR_DUP_PLANES)} AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_sql_cosine("a.embedding", "b.embedding")} AS cosine
+        FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE (a.vec_id % {_EMB_INCR_MOD} = {_EMB_INCR_REM}
+               OR b.vec_id % {_EMB_INCR_MOD} = {_EMB_INCR_REM})
+          AND {_sql_cosine("a.embedding", "b.embedding")} >= {NEAR_DUP_TAU}
+        ORDER BY vec_a, vec_b
+    """,
+    description="INCREMENTAL embedding near-dedup — the ANN twin of "
+    "`doc_near_dup_incremental`: an incoming batch (vec_id % 5 == 4) "
+    "is bucketed once and probed against the persisted "
+    "(vec_id, bucket, embedding) store of the already-ingested corpus; "
+    "only the batch is re-bucketed, and with the store "
+    "hash/partition-laid-out by bucket the probe join touches only the "
+    "batch's buckets, never the whole history. Exact cosine ≥ τ "
+    "confirms (symmetric fold — orientation-independent, so "
+    "batch-vs-batch pairs dedup exactly). The oracle is the "
+    "full-corpus bucketed pair set restricted to pairs touching the "
+    "batch: hash-matching proves incremental ingest finds EXACTLY the "
+    "pairs a full recompute would.",
+    tags=("similarity", "dedup", "lsh", "incremental"),
+)
+def embed_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    pre = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding"), NEAR_DUP_PLANES).alias("bucket"),
+    )
+    is_new = (F.col("vec_id") % _EMB_INCR_MOD) == _EMB_INCR_REM
+    # In production the store is a maintained bucket-partitioned table
+    # (append the batch after each ingest); derived here from the "old"
+    # slice so the query is self-contained on driver testdata.
+    store = pre.filter(~is_new)
+    batch = pre.filter(is_new)
+    probe_side = store.unionByName(batch)  # batch-vs-store AND batch-vs-batch
+    a, b = batch.alias("a"), probe_side.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
+            _pair_cosine("a", "b").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_TAU)
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @register(
     "embed_label_centroids",
     oracle=f"""
@@ -589,6 +658,105 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "seed_stable"
             ),
         )
+    )
+
+
+@register(
+    "embed_standardize",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+        ),
+        dims AS (
+            SELECT vec_id, t.i AS pos, t.x AS x FROM (
+                SELECT vec_id,
+                       unnest(list_transform(range(1, {DIM} + 1),
+                              i -> {{'i': i, 'x': ev[i]}})) AS t
+                FROM e
+            )
+        ),
+        st AS (
+            SELECT pos,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(x * x AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+            FROM dims GROUP BY pos
+        ),
+        ms AS (
+            SELECT pos, sx / n AS mean,
+                   sqrt(sxx / n - (sx / n) * (sx / n)) AS std
+            FROM st
+        )
+        SELECT d.vec_id,
+               string_agg(
+                   CAST(CAST(floor(
+                       CASE WHEN m.std <> 0
+                            THEN (d.x - m.mean) / m.std ELSE 0.0 END
+                       * 1000.0 + 0.5) AS BIGINT) AS VARCHAR),
+                   ',' ORDER BY d.pos) AS z_milli
+        FROM dims d JOIN ms m USING (pos)
+        GROUP BY d.vec_id
+        ORDER BY vec_id
+    """,
+    description="Per-dimension z-score standardization of the "
+    "embedding column (the feature-scaling pass ANN quantizers and "
+    "clustering run on so no dimension dominates the metric): "
+    "population mean/std per dimension from ONE posexplode + "
+    "map-side-combined aggregate (DIM rows cross the shuffle, decimal "
+    "accumulation for engine-exact moments), packed into two "
+    "DIM-length arrays on a single broadcast row, then applied with "
+    "zip_with — the corpus is touched in one narrow pass and never "
+    "shuffles. Zero-variance dimensions standardize to 0 (guarded in "
+    "both engines). Output z-scores are quantized to 1e-3 and emitted "
+    "as an int CSV string: double→string rendering differs across "
+    "engines, floor(z·1000+0.5) of the identical expression tree does "
+    "not.",
+    tags=("similarity", "ml", "scaling"),
+)
+def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dims = emb.select(F.posexplode("e").alias("pos", "x"))
+    mean = F.col("sx") / F.col("n")
+    stats = (
+        dims.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(38,9)")).cast("double").alias("sx"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,9)"))
+            .cast("double")
+            .alias("sxx"),
+        )
+        .select(
+            "pos",
+            mean.alias("mean"),
+            F.sqrt(F.col("sxx") / F.col("n") - mean * mean).alias("std"),
+        )
+    )
+    packed = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+            lambda s: s["mean"],
+        ).alias("means"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "std"))),
+            lambda s: s["std"],
+        ).alias("stds"),
+    )
+    centered = F.zip_with("e", F.col("means"), lambda x, m: x - m)
+    z = F.zip_with(
+        centered,
+        F.col("stds"),
+        lambda d, s: F.when(s != 0, d / s).otherwise(F.lit(0.0)),
+    )
+    q = F.transform(z, lambda v: F.floor(v * 1000.0 + F.lit(0.5)).cast("long"))
+    return (
+        emb.crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id", F.array_join(q.cast("array<string>"), ",").alias("z_milli")
+        )
+        .orderBy("vec_id")
     )
 
 

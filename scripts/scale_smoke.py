@@ -32,6 +32,14 @@ quadratic stage.
 blocking, exact-cosine confirm): generate 6.9 s, 110k confirmed pairs
 in 10.8 s at 10 planes — and 174 s at the fixture-sized 4-plane
 default, the measurement behind embed_near_dup_pairs' n_planes lever.
+
+--mode analytics smokes the round-6 operators (winnowing, duplicate
+spans, BM25, dup-graph triangles + k-core) at >=1M docs with a
+realistic 10k-word vocabulary and 4-clique dup groups. Reference run
+(local[32], 1M docs): generate 9.2 s, 22.4 M winnow fingerprints
+16.5 s, span scores for all docs 17.1 s, BM25 top-10 7.0 s,
+triangles 14.6 s, k-core (400k clique members) 15.5 s — 50x the
+20k-doc corpus costs 4-14x the time, fixed overhead still dominant.
 """
 
 from __future__ import annotations
