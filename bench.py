@@ -118,6 +118,7 @@ HEADLINE += [
     "orders_profile_approx",
     "embed_standardize",
     "embed_near_dup_incremental",
+    "embed_decontamination",
 ]
 
 

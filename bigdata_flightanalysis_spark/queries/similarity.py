@@ -332,6 +332,70 @@ def embed_near_dup_pairs_largemode(
     return embed_near_dup_pairs(spark, sf_dir, n_blocks=8)
 
 
+#: vec_id % 10 == 8 plays the held-out eval benchmark (~10 % of the
+#: corpus — large enough that the driver fixtures yield non-empty
+#: contamination at every SF, so the check never passes vacuously).
+_DECON_MOD, _DECON_REM = 10, 8
+
+
+@register(
+    "embed_decontamination",
+    oracle=f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {_sql_bucket("embedding", NEAR_DUP_PLANES)} AS bucket
+            FROM embeddings
+        ),
+        bench AS (SELECT * FROM b WHERE vec_id % {_DECON_MOD} = {_DECON_REM}),
+        train AS (SELECT * FROM b WHERE vec_id % {_DECON_MOD} <> {_DECON_REM})
+        SELECT t.vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+               MAX({_sql_cosine("t.embedding", "q.embedding")}) AS max_cosine
+        FROM train t JOIN bench q ON t.bucket = q.bucket
+        WHERE {_sql_cosine("t.embedding", "q.embedding")} >= {NEAR_DUP_TAU}
+        GROUP BY t.vec_id
+        ORDER BY t.vec_id
+    """,
+    description="SEMANTIC decontamination — the embedding-similarity "
+    "twin of the n-gram `doc_decontamination`: training vectors whose "
+    "cosine against any held-out benchmark vector (vec_id % 10 == 8 "
+    "stands in for the eval set) reaches the near-dup threshold are "
+    "flagged with hit count and max similarity, the paraphrase-level "
+    "test-set leakage n-gram overlap misses. Scale shape: the "
+    "benchmark side is eval-set-sized (small) and BROADCAST; "
+    "candidates are sign-LSH bucket-local, so the corpus is scanned "
+    "once and never shuffled, and the exact-cosine confirm pays only "
+    "bucket-colliding pairs. Same deterministic fold arithmetic as "
+    "the ANN family — MAX over an identical pair set is engine-exact.",
+    tags=("similarity", "decontamination", "lsh", "governance"),
+)
+def embed_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    pre = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding"), NEAR_DUP_PLANES).alias("bucket"),
+    )
+    is_bench = (F.col("vec_id") % _DECON_MOD) == _DECON_REM
+    t = pre.filter(~is_bench).alias("t")
+    q = pre.filter(is_bench).alias("q")
+    return (
+        t.join(F.broadcast(q), F.col("t.bucket") == F.col("q.bucket"))
+        .select(
+            F.col("t.vec_id").alias("vec_id"),
+            _pair_cosine("t", "q").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bench_hits"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 #: Every 5th vector plays the "incoming batch" — same convention as
 #: doc_near_dup_incremental (queries/text.py) so the two incremental
 #: paths are tested against the same ingest split.
