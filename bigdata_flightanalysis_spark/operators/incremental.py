@@ -141,6 +141,75 @@ def incremental_near_dup_pairs(
     return pairs
 
 
+def incremental_embed_near_dup_pairs(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    store_path: str,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs of a NEW vector batch against the
+    accumulated bucket store, extending the store with the batch — the
+    ANN twin of :func:`incremental_near_dup_pairs` and the maintained-
+    store form of the registry's ``embed_near_dup_incremental``.
+
+    The store holds (vec_id, bucket, e, nrm): unlike the MinHash band
+    store, the exact-cosine confirm needs the historical VECTORS, so
+    the store is the embedding relation laid out by bucket — at scale
+    partitioned on bucket, so a batch's probe scan touches only its
+    buckets (partition pruning), never the whole history. Each batch
+    pays one bucketing pass over ITS OWN vectors plus the bucket
+    equi-join. Returns distinct (vec_a, vec_b, cosine) pairs with
+    cosine ≥ NEAR_DUP_TAU involving at least one batch vector.
+
+    Replay safety mirrors the MinHash form: the batch's bucketed rows
+    are materialized before the append (pairs pinned to the pre-append
+    snapshot), and the append anti-joins the store on vec_id, so a
+    crash-replayed batch neither duplicates store rows nor changes the
+    emitted pair set.
+    """
+    from bigdata_flightanalysis_spark.functions.vector import l2_norm
+    from bigdata_flightanalysis_spark.queries.similarity import (
+        NEAR_DUP_PLANES,
+        NEAR_DUP_TAU,
+        _pair_cosine,
+        _spark_bucket,
+    )
+
+    batch = new_vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).cast("array<double>").alias("e"),
+        l2_norm(F.col(emb_col)).alias("nrm"),
+        _spark_bucket(F.col(emb_col), NEAR_DUP_PLANES).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    if os.path.exists(store_path):
+        store = spark.read.parquet(store_path)
+        probe = store.unionByName(batch)
+        to_append = batch.join(store, ["vec_id"], "left_anti")
+    else:
+        probe = batch
+        to_append = batch
+    a, b = batch.alias("a"), probe.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.least("a.vec_id", "b.vec_id").alias("vec_a"),
+            F.greatest("a.vec_id", "b.vec_id").alias("vec_b"),
+            _pair_cosine("a", "b").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_TAU)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    to_append.write.mode("append").parquet(store_path)
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # Incremental aggregate maintenance (the materialized-view counterpart
 # of the dedup stores above): keep ONE mergeable state row per key and

@@ -429,7 +429,10 @@ _EMB_INCR_MOD, _EMB_INCR_REM = 5, 4
     "batch-vs-batch pairs dedup exactly). The oracle is the "
     "full-corpus bucketed pair set restricted to pairs touching the "
     "batch: hash-matching proves incremental ingest finds EXACTLY the "
-    "pairs a full recompute would.",
+    "pairs a full recompute would. The maintained-store form is "
+    "operators/incremental.py:incremental_embed_near_dup_pairs "
+    "(replay-safe append; streaming-ingest E2E in "
+    "tests/test_incremental.py proves emitted pairs == one-shot set).",
     tags=("similarity", "dedup", "lsh", "incremental"),
 )
 def embed_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -273,3 +273,73 @@ def test_aggregate_state_split_and_order_invariant(spark, sf_dir):
     assert final_rows(3, [0, 1, 2]) == one_shot
     assert final_rows(3, [2, 0, 1]) == one_shot
     assert final_rows(5, [4, 1, 3, 0, 2]) == one_shot
+
+
+def test_streaming_ingest_with_incremental_embed_near_dup(spark, tmp_path):
+    """E2E embedding-ingest: a vector stream lands in micro-batches
+    (with re-ingested overlap); each batch is bucketed once inside
+    foreachBatch, probed against the accumulated (vec_id, bucket,
+    vector) store, emitted pairs accumulate, and the batch extends the
+    store. The union of emitted pairs must equal the one-shot
+    full-corpus embed_near_dup_pairs set — bit-exact cosines included
+    (the fold is orientation-independent)."""
+    import glob
+    import os as _os
+    import shutil
+    import time as _t
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_embed_near_dup_pairs,
+    )
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+    from bigdata_flightanalysis_spark.streaming.events import run_foreach_batch
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    cut1, cut2 = n * 2 // 5, n * 3 // 5
+    src = str(tmp_path / "src")
+    _os.makedirs(src, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, cut2), (cut1, n)]):  # overlap re-ingested
+        tmp = f"{src}/.tmp{i}"
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(
+            glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/f{i}.parquet"
+        )
+        shutil.rmtree(tmp)
+        _t.sleep(1.1)
+
+    store = str(tmp_path / "vec_store")
+    out = str(tmp_path / "pairs")
+
+    def ingest(batch_df, batch_id):
+        incremental_embed_near_dup_pairs(spark, batch_df, store).write.mode(
+            "append"
+        ).parquet(out)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_foreach_batch(
+        stream, ingest, checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out).distinct().collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            load_all()["embed_near_dup_pairs"].fn(spark, SF).collect(),
+        )
+    )
+    assert got == full
+    assert got, "fixture produced no near-dup pairs"
+    # the store holds each vector exactly once despite re-ingestion
+    store_df = spark.read.parquet(store)
+    assert store_df.count() == store_df.select("vec_id").distinct().count()
+    assert store_df.count() == n

@@ -455,3 +455,22 @@ def test_profile_approx_is_single_pass_no_expand(spark, registry):
 
     approx_plan = _plan(profile_table(read_table(spark, SF, "orders"), rsd=0.01))
     assert "Expand" not in approx_plan
+
+
+def test_embed_incremental_and_decontamination_plan_shapes(spark, registry):
+    """The round-7 embedding queries keep the ANN family's plan
+    contract: bucket equi-joins (never a quadratic join shape), the
+    small side broadcast in the decontamination probe, and — for
+    embed_standardize — a broadcast of the one-row stats frame with no
+    corpus shuffle beyond the DIM-row moments aggregate."""
+    for name in ("embed_near_dup_incremental", "embed_decontamination"):
+        plan = _plan(registry[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "BroadcastHashJoin" in _plan(
+        registry["embed_decontamination"].fn(spark, SF)
+    )
+    std_plan = _plan(registry["embed_standardize"].fn(spark, SF))
+    assert "CartesianProduct" not in std_plan
+    # the only exchanges: the 64-key moments aggregate + the final sort
+    assert "BroadcastExchange" in std_plan or "Broadcast" in std_plan
