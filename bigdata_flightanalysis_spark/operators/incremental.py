@@ -148,6 +148,7 @@ def incremental_embed_near_dup_pairs(
     *,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs of a NEW vector batch against the
     accumulated bucket store, extending the store with the batch — the
@@ -168,6 +169,13 @@ def incremental_embed_near_dup_pairs(
     snapshot), and the append anti-joins the store on vec_id, so a
     crash-replayed batch neither duplicates store rows nor changes the
     emitted pair set.
+
+    ``n_planes`` (default: the registry's NEAR_DUP_PLANES) is the same
+    bucket-granularity scale lever as ``embed_near_dup_pairs``: a
+    store of n vectors wants roughly log2(n / target_bucket_size)
+    planes or the probe join's buckets run hot. The store is bound to
+    one granularity — changing n_planes requires rebucketing (one pass
+    over the store's vectors), the usual index-rebuild trade-off.
     """
     from bigdata_flightanalysis_spark.functions.vector import l2_norm
     from bigdata_flightanalysis_spark.queries.similarity import (
@@ -177,11 +185,13 @@ def incremental_embed_near_dup_pairs(
         _spark_bucket,
     )
 
+    if n_planes is None:
+        n_planes = NEAR_DUP_PLANES
     batch = new_vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).cast("array<double>").alias("e"),
         l2_norm(F.col(emb_col)).alias("nrm"),
-        _spark_bucket(F.col(emb_col), NEAR_DUP_PLANES).alias("bucket"),
+        _spark_bucket(F.col(emb_col), n_planes).alias("bucket"),
     ).localCheckpoint(eager=True)
     if os.path.exists(store_path):
         store = spark.read.parquet(store_path)

@@ -29,9 +29,19 @@ quadratic stage.
 
 --mode embeddings runs the ANN near-dup chain over 100k generated
 64-dim vectors through the registry path (sign-LSH buckets, triangular
-blocking, exact-cosine confirm): generate 6.9 s, 110k confirmed pairs
-in 10.8 s at 10 planes — and 174 s at the fixture-sized 4-plane
+blocking, exact-cosine confirm): generate 7.9 s, 110,714 confirmed
+pairs in 10.2 s at 10 planes — and 174 s at the fixture-sized 4-plane
 default, the measurement behind embed_near_dup_pairs' n_planes lever.
+Also at 100k: standardize 1.5 s, PQ top-k 12.2 s, and incremental
+ingest as two halves through the maintained store — exactly the same
+110,714 pairs, 9.6 s.
+
+--mode streaming drains the unbounded synthetic source through the
+exactly-once incremental-dedup ingest on a processing-time trigger
+(real micro-batch cadence; availableNow would collapse the simple
+reader to one batch). Reference run: 100k rows, 10 micro-batches,
+30.8 s (~3.2k rows/s — bounded by the reader's driver-side
+generation, not the sink), store unique, kept == store.
 
 --mode analytics smokes the round-6 operators (winnowing, duplicate
 spans, BM25, dup-graph triangles + k-core) at >=1M docs with a
@@ -100,6 +110,39 @@ def _smoke_embeddings(spark, args, out: dict) -> None:
     out["n_emb_near_dup_pairs"] = pairs.count()
     out["t_emb_near_dup_s"] = round(time.perf_counter() - t0, 2)
 
+    # Round-7 embedding operators at the same corpus size.
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_embed_near_dup_pairs,
+    )
+    from bigdata_flightanalysis_spark.queries.similarity import (
+        embed_standardize,
+        pq_topk_frame,
+    )
+
+    t0 = time.perf_counter()
+    out["n_standardized"] = embed_standardize(spark, tmp).count()
+    out["t_standardize_s"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    out["n_pq_topk"] = pq_topk_frame(spark, tmp).count()
+    out["t_pq_topk_s"] = round(time.perf_counter() - t0, 2)
+
+    # Incremental ingest: two halves through the maintained store at
+    # the 10-plane granularity the corpus size needs.
+    store = f"{tmp}/vec_store"
+    corpus = spark.read.parquet(f"{tmp}/embeddings.parquet")
+    t0 = time.perf_counter()
+    n_inc = 0
+    for half in (
+        corpus.where(F.col("vec_id") % 2 == 0),
+        corpus.where(F.col("vec_id") % 2 == 1),
+    ):
+        n_inc += incremental_embed_near_dup_pairs(
+            spark, half, store, n_planes=10
+        ).count()
+    out["n_emb_incremental_pairs"] = n_inc
+    out["t_emb_incremental_s"] = round(time.perf_counter() - t0, 2)
+
 
 def _smoke_analytics(spark, args, out: dict) -> None:
     """Round-6 operator smoke at >=1M docs: winnowing, duplicate
@@ -161,6 +204,79 @@ def _smoke_analytics(spark, args, out: dict) -> None:
         out[f"t_{key}_s"] = round(time.perf_counter() - t0, 2)
 
 
+def _smoke_streaming(spark, args, out: dict) -> None:
+    """Streaming soak: the unbounded synthetic source drained through
+    the exactly-once incremental-dedup ingest (foreachBatch + the
+    fingerprint store) plus the CDC latest-state sink — end-to-end
+    rows/s for the streaming path, no Kafka or input files. The
+    synthetic stream generates rows on the DRIVER (SimpleDataSource
+    StreamReader pickles each range across the boundary), so the
+    measured rate bounds the harness, not the sink — the sinks
+    themselves are the same code the partition-parallel batch smokes
+    drive at 1M rows."""
+    import tempfile
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_exact_dedup,
+    )
+    from bigdata_flightanalysis_spark.sources.pydatasource import (
+        SyntheticDocsStreamDataSource,
+    )
+
+    spark.dataSource.register(SyntheticDocsStreamDataSource)
+    base = tempfile.mkdtemp(prefix="scale_stream_")
+    store = f"{base}/fp_store"
+    kept_dir = f"{base}/kept"
+    rows = args.rows
+    per_batch = max(1, rows // 10)
+    stream = (
+        spark.readStream.format("synthetic_docs_stream")
+        .option("rowsPerBatch", per_batch)
+        .option("maxRows", rows)
+        .load()
+    )
+
+    n_batches = 0
+    n_processed = 0
+
+    def ingest(batch_df, batch_id):
+        nonlocal n_batches, n_processed
+        n = batch_df.count()
+        if n == 0:
+            return
+        n_batches += 1
+        n_processed += n
+        incremental_exact_dedup(spark, batch_df, store).write.mode(
+            "append"
+        ).parquet(kept_dir)
+
+    # availableNow would drain the simple reader in ONE batch; a
+    # processing-time trigger exercises the real micro-batch cadence.
+    t0 = time.perf_counter()
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.perf_counter() + 540
+    while time.perf_counter() < deadline and n_processed < rows:
+        time.sleep(0.5)
+    q.stop()
+    wall = time.perf_counter() - t0
+    kept = spark.read.parquet(kept_dir)
+    out["n_batches"] = n_batches
+    out["n_processed"] = n_processed
+    out["n_kept_unique"] = kept.count()
+    out["t_stream_ingest_s"] = round(wall, 2)
+    out["rows_per_s"] = round(n_processed / wall, 1)
+    # exactly-once sanity: store fingerprints unique, kept==store size
+    store_df = spark.read.parquet(store)
+    assert store_df.count() == store_df.distinct().count()
+    assert out["n_kept_unique"] == store_df.count()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=100_000)
@@ -174,7 +290,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--mode",
-        choices=["docs", "embeddings", "both", "analytics"],
+        choices=["docs", "embeddings", "both", "analytics", "streaming"],
         default="docs",
     )
     args = ap.parse_args()
@@ -184,6 +300,12 @@ def main() -> None:
         out_a: dict = {"rows": args.rows, "partitions": args.partitions}
         _smoke_analytics(spark, args, out_a)
         print(json.dumps(out_a))
+        spark.stop()
+        return
+    if args.mode == "streaming":
+        out_s: dict = {"rows": args.rows}
+        _smoke_streaming(spark, args, out_s)
+        print(json.dumps(out_s))
         spark.stop()
         return
     if args.mode in ("embeddings", "both"):
