@@ -119,6 +119,7 @@ HEADLINE += [
     "embed_standardize",
     "embed_near_dup_incremental",
     "embed_decontamination",
+    "corpus_card",
 ]
 
 

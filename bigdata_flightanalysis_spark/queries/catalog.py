@@ -66,8 +66,8 @@ def register(
 # robust-stats twins, the HLL profile-bounds contract, the new
 # embed_standardize feature-scaling pass, the new
 # embed_near_dup_incremental ANN-ingest twin, the new
-# embed_decontamination semantic test-set-leakage audit,
-# doc_dup_graph_kcore
+# embed_decontamination semantic test-set-leakage audit, the new
+# corpus_card dataset report, doc_dup_graph_kcore
 # (max_iter now pinned to the oracle's unrolled round count) and
 # events_type_trend (degenerate-group NULL guard); (3) backfill with
 # the oldest (r4-dated) rows — 33 of the 50 r4-only names fit this
@@ -93,6 +93,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embed_standardize",
     "embed_near_dup_incremental",
     "embed_decontamination",
+    "corpus_card",
     "doc_dup_graph_kcore",
     "events_type_trend",
     # (3) oldest (r4-dated) rows — backfill to the 50-query window
@@ -126,10 +127,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "large_orders_q18",
     "latest_order_per_customer_status",
     "monthly_revenue_delta",
-    "nation_counts_full_outer",
-    # The 50-query window ends here (10 r3-stale + 9 new/changed + 31
-    # r4-dated). The 19 r4-dated entries below are the only remaining
+    # The 50-query window ends here (10 r3-stale + 10 new/changed + 30
+    # r4-dated). The 20 r4-dated entries below are the only remaining
     # rows older than r5 — they lead the r8 window.
+    "nation_counts_full_outer",
     "order_priority_count_exists",
     "orders_above_customer_avg",
     "price_stddev_by_status",

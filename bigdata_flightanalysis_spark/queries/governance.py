@@ -185,3 +185,108 @@ def doc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_urls").desc(), "domain")
         .limit(15)
     )
+
+
+_CARD_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_CARD_SQL_FP = (
+    "CAST(('0x' || substr(md5("
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    "), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "corpus_card",
+    oracle=f"""
+        WITH t AS (
+            SELECT lang, source, n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len({_CARD_SQL_TOKENS}) END AS n_tokens,
+                   {_CARD_SQL_FP} AS fp
+            FROM documents
+        ),
+        cd AS (
+            SELECT n_tokens, cume_dist() OVER (ORDER BY n_tokens) AS cd
+            FROM t
+        ),
+        p50 AS (SELECT MIN(CASE WHEN cd >= 0.5 THEN n_tokens END) AS v FROM cd),
+        a AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   CAST(SUM(n_chars) AS DOUBLE) AS total_chars,
+                   CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens,
+                   CAST(COUNT(DISTINCT lang) AS DOUBLE) AS n_langs,
+                   CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources,
+                   CAST(COUNT(DISTINCT fp) AS DOUBLE) AS n_fp,
+                   CAST(SUM(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS n_short
+            FROM t
+        )
+        SELECT 'exact_dup_ratio' AS metric, 1.0 - n_fp / n_docs AS value FROM a
+        UNION ALL SELECT 'mean_doc_tokens', total_tokens / n_docs FROM a
+        UNION ALL SELECT 'n_docs', n_docs FROM a
+        UNION ALL SELECT 'n_langs', n_langs FROM a
+        UNION ALL SELECT 'n_sources', n_sources FROM a
+        UNION ALL SELECT 'p50_doc_tokens', CAST(v AS DOUBLE) FROM p50
+        UNION ALL SELECT 'short_doc_ratio', n_short / n_docs FROM a
+        UNION ALL SELECT 'total_chars', total_chars FROM a
+        UNION ALL SELECT 'total_tokens', total_tokens FROM a
+        ORDER BY metric
+    """,
+    description="Dataset card for the documents corpus — the one-stop "
+    "summary a training run records before consuming a snapshot: doc/"
+    "char/token volumes, language and source diversity, exact-dup "
+    "ratio (via the same md5 fingerprint the dedup store keys on), "
+    "short-doc ratio, and the DISCRETE median tokens-per-doc "
+    "(percentile_disc — the engine-exact form the robust-stats twins "
+    "pinned). Long (metric, value) format so the card is schema-stable "
+    "as metrics are added. Shape: ONE corpus scan into one aggregate; "
+    "the three exact distinct counts expand the aggregate 3x "
+    "(dimension-bounded — lang/source/fingerprint), the documented "
+    "exactness trade-off, with profile_table(approx=True)'s HLL path "
+    "as the 100 TB swap.",
+    tags=("governance", "text", "report", "card"),
+)
+def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.functions.text import (
+        md5_long,
+        normalize_text,
+        tokenize,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokenize("text")).cast("long").alias("n_tokens"),
+        md5_long(normalize_text("text")).alias("fp"),
+    )
+    a = t.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.count_distinct("lang").cast("double").alias("n_langs"),
+        F.count_distinct("source").cast("double").alias("n_sources"),
+        F.count_distinct("fp").cast("double").alias("n_fp"),
+        F.sum((F.col("n_tokens") < 20).cast("long"))
+        .cast("double")
+        .alias("n_short"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)")
+        .cast("double")
+        .alias("p50"),
+    )
+    return a.select(
+        F.expr(
+            "stack(9, "
+            "'exact_dup_ratio', 1.0 - n_fp / n_docs, "
+            "'mean_doc_tokens', total_tokens / n_docs, "
+            "'n_docs', n_docs, "
+            "'n_langs', n_langs, "
+            "'n_sources', n_sources, "
+            "'p50_doc_tokens', p50, "
+            "'short_doc_ratio', n_short / n_docs, "
+            "'total_chars', total_chars, "
+            "'total_tokens', total_tokens"
+            ") AS (metric, value)"
+        )
+    ).orderBy("metric")
