@@ -216,7 +216,12 @@ def incremental_embed_near_dup_pairs(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    to_append.write.mode("append").parquet(store_path)
+    # The store is LAID OUT by bucket (hive-partitioned directories):
+    # the probe equi-joins on the partition column, so dynamic
+    # partition pruning can skip every bucket the batch doesn't touch
+    # — the disk-level realization of the "probe touches only the
+    # batch's buckets" contract in the docstring.
+    to_append.write.mode("append").partitionBy("bucket").parquet(store_path)
     return pairs
 
 

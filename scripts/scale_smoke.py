@@ -25,7 +25,11 @@ At 500k docs (100x the sf0.1 corpus): signatures 14.7 s, 51 M pairs
 15.9 s, 340k docs clustered 79 s — every stage survives the synthetic
 vocabulary's adversarial pair density (25x pairs for 5x docs; real
 corpora collide orders of magnitude less) with no OOM and no
-quadratic stage.
+quadratic stage. At 1M docs (SPARK_GRAFT_DRIVER_MEM=48g — the
+single-JVM heap lever; the default 8g OOMs under 204 M materialized
+pairs): signatures 45 s, 204 M pairs 119 s, 737k docs into 105k
+components 212 s — per-stage throughput holds while the pair count
+grows quadratically by construction.
 
 --mode embeddings runs the ANN near-dup chain over 100k generated
 64-dim vectors through the registry path (sign-LSH buckets, triangular

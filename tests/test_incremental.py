@@ -343,3 +343,25 @@ def test_streaming_ingest_with_incremental_embed_near_dup(spark, tmp_path):
     store_df = spark.read.parquet(store)
     assert store_df.count() == store_df.select("vec_id").distinct().count()
     assert store_df.count() == n
+
+
+def test_embed_store_is_bucket_partitioned_on_disk(spark, tmp_path):
+    """The vector store lands hive-partitioned by bucket, so the probe
+    join's equi-key is the partition column and pruning (static or
+    dynamic) can skip every bucket a batch doesn't touch."""
+    import os as _os
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_embed_near_dup_pairs,
+    )
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    store = str(tmp_path / "vec_store")
+    incremental_embed_near_dup_pairs(
+        spark, emb.where(F.col("vec_id") % 2 == 0), store
+    )
+    dirs = [d for d in _os.listdir(store) if d.startswith("bucket=")]
+    assert len(dirs) > 1  # real partition layout
+    pruned = spark.read.parquet(store).where(F.col("bucket") == int(dirs[0].split("=")[1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
