@@ -96,3 +96,17 @@ def profile_table(
     ).select(
         "col_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
     )
+
+
+# MEASURED PITFALL — do NOT fuse exact count_distinct and a
+# high-precision approx_count_distinct into one aggregate: Catalyst's
+# Expand rewrite for multi-distinct aggregates makes the PARTIAL
+# aggregate's groups (gid, distinct-value) pairs, and every group's
+# buffer allocates slots for ALL aggregates — including an initialized
+# dense HLL++ sketch (~16 KB at rsd=0.01) per non-distinct aggregate.
+# At sf0.1 that is ~450k groups x 6 sketches ≈ tens of GB of buffers:
+# a fused formulation verified green at sf0.01 and OOMed a default
+# heap at sf0.1. The bounds contract (`orders_profile_approx`)
+# therefore deliberately runs TWO single-mode profile passes joined on
+# col_name — each pass has a sane memory profile (exact: Expand with
+# scalar buffers; approx: one flat pass, no Expand).

@@ -1781,6 +1781,12 @@ def _profile_contract_oracle() -> str:
 def orders_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_flightanalysis_spark.operators.profile import profile_table
 
+    # Two single-mode passes joined on col_name — DELIBERATELY not a
+    # fused aggregate: mixing exact count_distinct with rsd=0.01 HLL in
+    # one agg makes Catalyst's Expand carry an initialized ~16 KB HLL
+    # buffer per (gid, distinct-value) partial-aggregate group, which
+    # OOMs at sf0.1 despite verifying green at sf0.01 (measured; see
+    # the pitfall note in operators/profile.py).
     orders = read_table(spark, sf_dir, "orders")
     ap = profile_table(orders, approx=True, rsd=0.01).withColumnRenamed(
         "n_distinct", "nd_approx"
