@@ -282,6 +282,12 @@ def pagerank(
             .distinct()
         )
         n = nodes.count()
+        if n == 0:
+            # empty graph → empty ranks, not a ZeroDivisionError: an
+            # upstream filter legitimately produces zero dup edges
+            return nodes.select(
+                "node", F.lit(0.0).alias("rank")
+            )
         out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
         e_deg = ck(e.join(out_deg, "src"))  # (src, dst, deg)
 

@@ -221,13 +221,16 @@ _CARD_SQL_FP = (
                         AS DOUBLE) AS n_short
             FROM t
         )
-        SELECT 'exact_dup_ratio' AS metric, 1.0 - n_fp / n_docs AS value FROM a
-        UNION ALL SELECT 'mean_doc_tokens', total_tokens / n_docs FROM a
+        SELECT 'exact_dup_ratio' AS metric,
+               1.0 - n_fp / NULLIF(n_docs, 0) AS value FROM a
+        UNION ALL SELECT 'mean_doc_tokens',
+               total_tokens / NULLIF(n_docs, 0) FROM a
         UNION ALL SELECT 'n_docs', n_docs FROM a
         UNION ALL SELECT 'n_langs', n_langs FROM a
         UNION ALL SELECT 'n_sources', n_sources FROM a
         UNION ALL SELECT 'p50_doc_tokens', CAST(v AS DOUBLE) FROM p50
-        UNION ALL SELECT 'short_doc_ratio', n_short / n_docs FROM a
+        UNION ALL SELECT 'short_doc_ratio',
+               n_short / NULLIF(n_docs, 0) FROM a
         UNION ALL SELECT 'total_chars', total_chars FROM a
         UNION ALL SELECT 'total_tokens', total_tokens FROM a
         ORDER BY metric
@@ -275,16 +278,19 @@ def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("p50"),
     )
+    # nullif guards: on an EMPTY corpus the ratio divisions would
+    # THROW under Spark 4's default ANSI mode (and diverge NULL-vs-NaN
+    # across engines without it) — both sides emit NULL instead.
     return a.select(
         F.expr(
             "stack(9, "
-            "'exact_dup_ratio', 1.0 - n_fp / n_docs, "
-            "'mean_doc_tokens', total_tokens / n_docs, "
+            "'exact_dup_ratio', 1.0 - n_fp / nullif(n_docs, 0), "
+            "'mean_doc_tokens', total_tokens / nullif(n_docs, 0), "
             "'n_docs', n_docs, "
             "'n_langs', n_langs, "
             "'n_sources', n_sources, "
             "'p50_doc_tokens', p50, "
-            "'short_doc_ratio', n_short / n_docs, "
+            "'short_doc_ratio', n_short / nullif(n_docs, 0), "
             "'total_chars', total_chars, "
             "'total_tokens', total_tokens"
             ") AS (metric, value)"

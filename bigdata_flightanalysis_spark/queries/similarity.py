@@ -528,6 +528,8 @@ def ivf_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
+    if feat.isEmpty():  # clear error beats MLlib's opaque stage failure
+        raise ValueError("IVF index build requires a non-empty embeddings table")
     model = KMeans(k=IVF_K, seed=42, featuresCol="features").fit(feat)
     assigned = model.transform(feat).select(
         "vec_id", "embedding", F.col("prediction").alias("list_id")
@@ -663,6 +665,8 @@ def kmeans_clusters_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "features"
         ),
     )
+    if emb.isEmpty():  # clear error beats MLlib's opaque stage failure
+        raise ValueError("KMeans clustering requires a non-empty embeddings table")
     model = KMeans(k=_KMEANS_EMB_K, seed=42, featuresCol="features").fit(emb)
     pred = model.transform(emb)
     return (
@@ -1019,7 +1023,12 @@ def _pq_codebooks(train: list[list[float]]) -> list[list[list[float]]]:
     for m in range(PQ_M):
         sub = x[:, m * PQ_SUB_DIM : (m + 1) * PQ_SUB_DIM]
         rng = np.random.default_rng(42 + m)
-        centers = sub[rng.choice(len(sub), PQ_CODEBOOK_K, replace=False)]
+        # replace=True only when the sample is smaller than K (tiny
+        # corpora) — without-replacement is impossible there and the
+        # duplicate seeds collapse via Lloyd's mean step
+        centers = sub[
+            rng.choice(len(sub), PQ_CODEBOOK_K, replace=len(sub) < PQ_CODEBOOK_K)
+        ]
         for _ in range(15):
             d = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
             assign = d.argmin(axis=1)
@@ -1044,6 +1053,11 @@ def pq_codebook_frame(spark: SparkSession, emb: DataFrame) -> DataFrame:
         r["e"]
         for r in emb.orderBy("vec_id").limit(PQ_TRAIN_N).select("e").collect()
     ]
+    if not train:
+        # empty corpus → empty codebooks → every downstream PQ join is
+        # empty; an upstream filter legitimately yields zero vectors
+        # and must not crash numpy training with an IndexError
+        return spark.createDataFrame([], "m int, c int, center array<double>")
     codebooks = _pq_codebooks(train)
     return spark.createDataFrame(
         [
