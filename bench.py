@@ -120,6 +120,7 @@ HEADLINE += [
     "embed_near_dup_incremental",
     "embed_decontamination",
     "corpus_card",
+    "doc_bm25_index_topk",
 ]
 
 

@@ -359,3 +359,165 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id", "fp_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized inverted index: the build-once/serve-many lifecycle of a
+# real retrieval engine (the text twin of build_pq_index/pq_index_topk).
+# ---------------------------------------------------------------------------
+
+INDEX_TERM_BUCKETS = 64  # term-hash partition count of the postings store
+
+
+def build_text_index(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> None:
+    """Materialize the BM25 inverted index: a postings relation
+    (term, doc_id, tf) hive-partitioned by ``bucket =
+    pmod(xxhash64(term), INDEX_TERM_BUCKETS)`` — a query's terms prune
+    to at most |terms| partitions on disk — plus per-doc lengths and
+    the corpus totals (stored as exact LONGS so the serve path can
+    recompute avgdl with the identical double division the inline
+    query uses). ONE corpus scan builds all three relations."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        tokenize("text").alias("t"),
+        F.size(tokenize("text")).cast("bigint").alias("dl"),
+    )
+    doc_stats = toks.select("doc_id", "dl")
+    doc_stats.write.mode("overwrite").parquet(f"{index_path}/doc_stats")
+    corpus = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    corpus.write.mode("overwrite").parquet(f"{index_path}/corpus_stats")
+    postings = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(INDEX_TERM_BUCKETS)).cast("int"),
+        )
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{index_path}/postings"
+    )
+
+
+def bm25_index_topk(
+    spark: SparkSession,
+    index_path: str,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """BM25 top-k served from the MATERIALIZED index — bit-identical
+    to the inline ``doc_bm25_topk`` (asserted in
+    tests/test_retrieval.py): per-term tfs pivot into fixed columns by
+    conditional aggregation so the score is the SAME fixed-order
+    expression tree, not an order-nondeterministic float sum; df per
+    term is the postings row count (== the inline array_contains
+    count); avgdl recomputes from the stored exact longs with the
+    identical double division. The corpus text is never touched: the
+    scan reads ≤ |terms| postings partitions (bucket pruning) plus the
+    narrow doc-length relation."""
+    postings = spark.read.parquet(f"{index_path}/postings")
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(INDEX_TERM_BUCKETS))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()
+        }
+    )
+    hits = postings.where(
+        F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+    )
+    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    df_row = dfs.groupBy().pivot("term", list(terms)).agg(F.first("df"))
+    # docs containing >=1 query term, with each term's tf as a column
+    cand = hits.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    doc_stats = spark.read.parquet(f"{index_path}/doc_stats")
+    cand = cand.join(doc_stats, "doc_id")
+    corpus = spark.read.parquet(f"{index_path}/corpus_stats").select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    stats = corpus.crossJoin(
+        F.broadcast(df_row).select(
+            *[
+                F.coalesce(F.col(f"`{t}`"), F.lit(0))
+                .cast("bigint")
+                .alias(f"df{i}")
+                for i, t in enumerate(terms)
+            ]
+        )
+    )
+
+    half = F.lit(0.5)
+    score = None
+    for i in range(len(terms)):
+        idf = ((F.col("n_docs") - F.col(f"df{i}")).cast("double") + half) / (
+            F.col(f"df{i}").cast("double") + half
+        )
+        tf_d = F.col(f"tf{i}").cast("double")
+        tfpart = (tf_d * F.lit(_K1_PLUS_1)) / (
+            tf_d
+            + F.lit(BM25_K1)
+            * (
+                F.lit(_ONE_MINUS_B)
+                + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+        term_score = idf * tfpart
+        score = term_score if score is None else score + term_score
+
+    return (
+        cand.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("bm25_score"))
+        .where(F.col("bm25_score") > 0)
+        .orderBy(F.desc("bm25_score"), "doc_id")
+        .limit(k)
+    )
+
+
+@register(
+    "doc_bm25_index_topk",
+    oracle=_bm25_oracle(),
+    description="BM25 top-10 served from the MATERIALIZED inverted "
+    "index (build_text_index → bm25_index_topk): postings "
+    "hive-partitioned by pmod(xxhash64(term), 64) so a query reads at "
+    "most |terms| partitions — the build-once/serve-many lifecycle a "
+    "retrieval engine runs, with the corpus text never rescanned at "
+    "serve time. Same oracle as doc_bm25_topk because the served "
+    "scores are BIT-IDENTICAL to the inline form: tfs pivot into "
+    "fixed columns so the score is the same fixed-order expression "
+    "tree, df equals the postings row count, and avgdl recomputes "
+    "from stored exact longs with the identical division. The "
+    "registry entry builds the index into a session temp dir then "
+    "serves from it, so the driver exercises the full lifecycle; "
+    "production builds once and serves many.",
+    tags=("text", "retrieval", "index"),
+)
+def doc_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    index_path = tempfile.mkdtemp(prefix="bm25_index_")
+    build_text_index(spark, sf_dir, index_path)
+    return bm25_index_topk(spark, index_path)

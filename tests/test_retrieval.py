@@ -165,3 +165,32 @@ def test_winnowing_guarantee_and_density(spark, tmp_path):
         .collect()[0][0]
     )
     assert n_fp < 0.6 * n_grams
+
+
+def test_bm25_index_serves_bit_identical_to_inline(spark, tmp_path):
+    """build_text_index → bm25_index_topk must return EXACTLY what the
+    inline doc_bm25_topk computes — scores bit-identical (the pivoted
+    tf columns reproduce the same fixed-order expression tree), rows
+    and tie-breaks identical. The stored index loses nothing."""
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index,
+        doc_bm25_topk,
+    )
+
+    idx = str(tmp_path / "bm25_index")
+    build_text_index(spark, SF, idx)
+    served = [tuple(r) for r in bm25_index_topk(spark, idx).collect()]
+    inline = [tuple(r) for r in doc_bm25_topk(spark, SF).collect()]
+    assert served == inline
+    assert len(served) == 10
+
+    # the postings store is term-bucket partitioned on disk
+    import os
+
+    dirs = [
+        d
+        for d in os.listdir(f"{idx}/postings")
+        if d.startswith("bucket=")
+    ]
+    assert dirs, "postings not hive-partitioned by term bucket"
