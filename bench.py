@@ -121,6 +121,7 @@ HEADLINE += [
     "embed_decontamination",
     "corpus_card",
     "doc_bm25_index_topk",
+    "doc_bm25_refresh_topk",
 ]
 
 

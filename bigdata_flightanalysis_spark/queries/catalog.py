@@ -95,6 +95,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embed_decontamination",
     "corpus_card",
     "doc_bm25_index_topk",
+    "doc_bm25_refresh_topk",
     "doc_dup_graph_kcore",
     "events_type_trend",
     # (3) oldest (r4-dated) rows — backfill to the 50-query window
@@ -126,10 +127,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_type_pivot",
     "grouping_sets_order_stats",
     "large_orders_q18",
-    "latest_order_per_customer_status",
-    # The 50-query window ends here (10 r3-stale + 11 new/changed + 29
-    # r4-dated). The 21 r4-dated entries below are the only remaining
+    # The 50-query window ends here (10 r3-stale + 12 new/changed + 28
+    # r4-dated). The 22 r4-dated entries below are the only remaining
     # rows older than r5 — they lead the r8 window.
+    "latest_order_per_customer_status",
     "monthly_revenue_delta",
     "nation_counts_full_outer",
     "order_priority_count_exists",

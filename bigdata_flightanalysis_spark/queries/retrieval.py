@@ -379,30 +379,8 @@ def build_text_index(
     the corpus totals (stored as exact LONGS so the serve path can
     recompute avgdl with the identical double division the inline
     query uses). ONE corpus scan builds all three relations."""
-    docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        tokenize("text").alias("t"),
-        F.size(tokenize("text")).cast("bigint").alias("dl"),
-    )
-    doc_stats = toks.select("doc_id", "dl")
-    doc_stats.write.mode("overwrite").parquet(f"{index_path}/doc_stats")
-    corpus = toks.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sum_dl"),
-    )
-    corpus.write.mode("overwrite").parquet(f"{index_path}/corpus_stats")
-    postings = (
-        toks.select("doc_id", F.explode("t").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("term"), F.lit(INDEX_TERM_BUCKETS)).cast("int"),
-        )
-    )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{index_path}/postings"
+    build_text_index_from(
+        spark, read_table(spark, sf_dir, "documents"), index_path
     )
 
 
@@ -440,7 +418,12 @@ def bm25_index_topk(
     hits = postings.where(
         F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
     )
-    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    # df = DISTINCT docs per term (not row count): replay-duplicated
+    # postings rows from a crash-retried refresh are exact copies, and
+    # distinctness makes both df and the max-pivoted tfs immune to them
+    dfs = hits.groupBy("term").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
     df_row = dfs.groupBy().pivot("term", list(terms)).agg(F.first("df"))
     # docs containing >=1 query term, with each term's tf as a column
     cand = hits.groupBy("doc_id").agg(
@@ -521,3 +504,120 @@ def doc_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = tempfile.mkdtemp(prefix="bm25_index_")
     build_text_index(spark, sf_dir, index_path)
     return bm25_index_topk(spark, index_path)
+
+
+def refresh_text_index(
+    spark: SparkSession, new_docs: DataFrame, index_path: str
+) -> None:
+    """Incrementally extend a :func:`build_text_index` store with a
+    new document batch — the index-maintenance leg of the
+    build/serve/refresh lifecycle (the retrieval twin of the
+    incremental dedup stores): only the BATCH is tokenized; the
+    existing postings are never rescanned.
+
+    Replay safety without a transaction: freshness derives from the
+    doc_stats relation (anti-join on doc_id), postings append FIRST
+    and doc_stats second, so a crash-retried batch can at worst
+    re-append byte-identical postings rows — which the serve path is
+    immune to (df counts DISTINCT docs, tf pivots via max). The
+    corpus totals are recomputed from doc_stats (the narrow source of
+    truth) on every refresh, never incremented blindly.
+    """
+    toks = new_docs.select(
+        "doc_id",
+        tokenize("text").alias("t"),
+        F.size(tokenize("text")).cast("bigint").alias("dl"),
+    )
+    new_stats = toks.select("doc_id", "dl")
+    import os
+
+    if os.path.exists(f"{index_path}/doc_stats"):
+        seen = spark.read.parquet(f"{index_path}/doc_stats").select("doc_id")
+        fresh = new_stats.join(seen, "doc_id", "left_anti")
+    else:
+        fresh = new_stats
+    fresh = fresh.localCheckpoint(eager=True)  # pin pre-append snapshot
+    postings = (
+        toks.join(fresh.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", F.explode("t").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(INDEX_TERM_BUCKETS)).cast("int"),
+        )
+    )
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        f"{index_path}/postings"
+    )
+    fresh.write.mode("append").parquet(f"{index_path}/doc_stats")
+    corpus = spark.read.parquet(f"{index_path}/doc_stats").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    corpus.write.mode("overwrite").parquet(f"{index_path}/corpus_stats.new")
+    # atomic-enough swap for a tiny 1-row relation
+    import shutil
+
+    shutil.rmtree(f"{index_path}/corpus_stats", ignore_errors=True)
+    os.rename(f"{index_path}/corpus_stats.new", f"{index_path}/corpus_stats")
+
+
+@register(
+    "doc_bm25_refresh_topk",
+    oracle=_bm25_oracle(),
+    description="BM25 top-10 served from an index built on HALF the "
+    "corpus then incrementally REFRESHED with the other half plus an "
+    "overlapping replay (refresh_text_index: batch-only tokenization, "
+    "postings-first append order, distinct-doc df makes replay "
+    "duplicates harmless) — hash-matching the same full-corpus oracle "
+    "as doc_bm25_topk proves refresh converges to exactly the "
+    "built-once index. The driver row covers the index MAINTENANCE "
+    "path, not just build/serve.",
+    tags=("text", "retrieval", "index", "incremental"),
+)
+def doc_bm25_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    index_path = tempfile.mkdtemp(prefix="bm25_refresh_")
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    build_text_index_from(
+        spark, docs.where(F.col("doc_id") < n // 2), index_path
+    )
+    # refresh with the second half PLUS an overlapping slice (replay)
+    refresh_text_index(
+        spark, docs.where(F.col("doc_id") >= n // 3), index_path
+    )
+    return bm25_index_topk(spark, index_path)
+
+
+def build_text_index_from(
+    spark: SparkSession, docs: DataFrame, index_path: str
+) -> None:
+    """build_text_index over an explicit docs frame (the registry
+    builder reads the table itself)."""
+    toks = docs.select(
+        "doc_id",
+        tokenize("text").alias("t"),
+        F.size(tokenize("text")).cast("bigint").alias("dl"),
+    )
+    toks.select("doc_id", "dl").write.mode("overwrite").parquet(
+        f"{index_path}/doc_stats"
+    )
+    toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    ).write.mode("overwrite").parquet(f"{index_path}/corpus_stats")
+    (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(INDEX_TERM_BUCKETS)).cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_path}/postings")
+    )

@@ -194,3 +194,35 @@ def test_bm25_index_serves_bit_identical_to_inline(spark, tmp_path):
         if d.startswith("bucket=")
     ]
     assert dirs, "postings not hive-partitioned by term bucket"
+
+
+def test_bm25_index_refresh_converges_to_full_build(spark, tmp_path):
+    """build on half + refresh with the rest (overlap re-ingested,
+    then a full replay of the second batch) must serve EXACTLY what a
+    one-shot full build serves — including bit-identical scores. The
+    replay can only append byte-identical postings rows, which the
+    distinct-doc df and max-pivoted tfs are immune to."""
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index,
+        build_text_index_from,
+        refresh_text_index,
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    n = docs.count()
+    import pyspark.sql.functions as SF_
+
+    inc = str(tmp_path / "inc")
+    build_text_index_from(spark, docs.where(SF_.col("doc_id") < n // 2), inc)
+    batch2 = docs.where(SF_.col("doc_id") >= n // 3)  # overlapping
+    refresh_text_index(spark, batch2, inc)
+    refresh_text_index(spark, batch2, inc)  # crash-replay of the batch
+
+    full = str(tmp_path / "full")
+    build_text_index(spark, SF, full)
+    served_inc = [tuple(r) for r in bm25_index_topk(spark, inc).collect()]
+    served_full = [tuple(r) for r in bm25_index_topk(spark, full).collect()]
+    assert served_inc == served_full
+    assert len(served_inc) == 10
