@@ -425,9 +425,9 @@ def cdc_upsert_foreach_batch(
       retained tombstone keeps out-winning any late-arriving older
       upsert for the same key (dropping it would let stale changes
       resurrect deleted keys). Readers take the live view through
-      :func:`cdc_snapshot`, which filters tombstones out. Production
-      would add a retention-window compaction that finally drops
-      tombstones older than the max expected lateness.
+      :func:`cdc_snapshot`, which filters tombstones out;
+      :func:`cdc_compact_tombstones` is the retention-window GC that
+      finally drops tombstones older than the max expected lateness.
 
     Same atomic staging-dir swap and replay idempotence as the plain
     upsert sink.
@@ -462,6 +462,46 @@ def cdc_snapshot(
         .where(F.col(tombstone_col) != F.lit(tombstone_value))
         .drop("_v")
     )
+
+
+def cdc_compact_tombstones(
+    spark: SparkSession,
+    path: str,
+    *,
+    tombstone_col: str,
+    tombstone_value: str,
+    order_col: str,
+    older_than,
+) -> int:
+    """Retention-window compaction for a CDC state dir: finally drop
+    tombstone rows whose ``order_col`` is older than ``older_than``
+    — the garbage-collection step the sink docstring defers to
+    production. Returns the number of tombstones dropped.
+
+    Safety contract: a tombstone may be dropped only once no
+    out-of-order change older than it can still arrive, i.e.
+    ``older_than`` must trail the stream's maximum expected lateness
+    (the same reasoning as a watermark). Within the window, retained
+    tombstones keep out-winning late stale upserts; after compaction,
+    a replayed change older than the dropped tombstone WOULD resurrect
+    its key — that is the documented trade-off of any tombstone GC
+    (Cassandra's gc_grace_seconds, Kafka compaction's
+    delete.retention.ms), not a defect of this one.
+
+    The live view (:func:`cdc_snapshot`) is UNCHANGED by compaction —
+    tombstoned keys were already filtered out of it; only the state
+    dir shrinks. Uses the same crash-recovered staging-dir swap as the
+    sinks, so a crash mid-compaction loses nothing.
+    """
+    _recover_state_dir(path)
+    state = spark.read.parquet(path)
+    is_dead_tombstone = (
+        F.col(tombstone_col) == F.lit(tombstone_value)
+    ) & (F.col(order_col) < F.lit(older_than))
+    n_drop = state.where(is_dead_tombstone).count()
+    if n_drop:
+        _swap_state_dir(state.where(~is_dead_tombstone), path)
+    return n_drop
 
 
 def streaming_user_stats_tws(events: DataFrame) -> DataFrame:

@@ -292,3 +292,92 @@ def test_cdc_sink_recovers_from_crash_between_renames(spark, tmp_path):
     )
     # tombstone from the pre-crash history still wins over the late upsert
     assert cdc_snapshot(spark, state, "event_type", "error").count() == 0
+
+
+def test_cdc_tombstone_compaction(spark, tmp_path):
+    """Retention GC: tombstones older than the cutoff are finally
+    dropped, the live view is unchanged, within-window tombstones
+    stay (and keep blocking late stale upserts), and — the documented
+    trade-off — a replayed change older than a DROPPED tombstone
+    resurrects its key."""
+    from datetime import datetime
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        cdc_compact_tombstones,
+        cdc_snapshot,
+        cdc_upsert_foreach_batch,
+    )
+
+    state = str(tmp_path / "state")
+    sink = cdc_upsert_foreach_batch(
+        state,
+        ["user_id"],
+        order_cols=["ts", "event_id"],
+        tombstone_col="event_type",
+        tombstone_value="error",
+    )
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    sink(
+        spark.createDataFrame(
+            [
+                (1, t.replace(hour=1), 1, "error", 0.0, "{}"),   # old tombstone
+                (2, t.replace(hour=11), 2, "error", 0.0, "{}"),  # recent tombstone
+                (3, t.replace(hour=10), 3, "click", 3.0, "{}"),  # live row
+            ],
+            schema,
+        ),
+        0,
+    )
+    live_before = sorted(
+        tuple(r)
+        for r in cdc_snapshot(spark, state, "event_type", "error").collect()
+    )
+    cutoff = t.replace(hour=6)  # lateness horizon: drop tombstones < 06:00
+    n = cdc_compact_tombstones(
+        spark,
+        state,
+        tombstone_col="event_type",
+        tombstone_value="error",
+        order_col="ts",
+        older_than=cutoff,
+    )
+    assert n == 1  # only user 1's old tombstone dropped
+    live_after = sorted(
+        tuple(r)
+        for r in cdc_snapshot(spark, state, "event_type", "error").collect()
+    )
+    assert live_after == live_before  # live view unchanged by GC
+    users = {r["user_id"] for r in spark.read.parquet(state).collect()}
+    assert users == {2, 3}  # recent tombstone retained, old one gone
+
+    # within-window tombstone still blocks a late stale upsert...
+    sink(
+        spark.createDataFrame(
+            [(4, t.replace(hour=9), 2, "click", 2.0, "{}")], schema
+        ),
+        1,
+    )
+    assert (
+        cdc_snapshot(spark, state, "event_type", "error")
+        .where(F.col("user_id") == 2)
+        .count()
+        == 0
+    )
+    # ...while a replay OLDER than the dropped tombstone resurrects
+    # (the documented GC trade-off — lateness beyond the horizon)
+    sink(
+        spark.createDataFrame(
+            [(5, t.replace(hour=0, minute=30), 1, "click", 1.0, "{}")], schema
+        ),
+        2,
+    )
+    assert (
+        cdc_snapshot(spark, state, "event_type", "error")
+        .where(F.col("user_id") == 1)
+        .count()
+        == 1
+    )
