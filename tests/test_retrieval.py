@@ -226,3 +226,25 @@ def test_bm25_index_refresh_converges_to_full_build(spark, tmp_path):
     served_full = [tuple(r) for r in bm25_index_topk(spark, full).collect()]
     assert served_inc == served_full
     assert len(served_inc) == 10
+
+
+def test_bm25_index_serve_prunes_postings_partitions(spark, tmp_path):
+    """The serve scan must carry a PartitionFilter on the term-hash
+    bucket — the on-disk pruning that lets a 3-term query read ≤3 of
+    the postings store's partitions instead of the whole index."""
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index,
+    )
+
+    idx = str(tmp_path / "bm25_index")
+    build_text_index(spark, SF, idx)
+    plan = (
+        bm25_index_topk(spark, idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [bucket" in plan or (
+        "PartitionFilters" in plan and "bucket" in plan
+    ), plan
