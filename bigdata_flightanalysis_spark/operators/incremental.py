@@ -175,7 +175,11 @@ def incremental_embed_near_dup_pairs(
     store of n vectors wants roughly log2(n / target_bucket_size)
     planes or the probe join's buckets run hot. The store is bound to
     one granularity — changing n_planes requires rebucketing (one pass
-    over the store's vectors), the usual index-rebuild trade-off.
+    over the store's vectors), the usual index-rebuild trade-off. The
+    granularity is RECORDED in the store (``_store_meta.json``, an
+    underscore-prefixed sidecar Spark's parquet reader ignores) and
+    ENFORCED: probing with a different ``n_planes`` raises ValueError
+    instead of silently missing every cross-granularity pair.
     """
     from bigdata_flightanalysis_spark.functions.vector import l2_norm
     from bigdata_flightanalysis_spark.queries.similarity import (
@@ -187,6 +191,7 @@ def incremental_embed_near_dup_pairs(
 
     if n_planes is None:
         n_planes = NEAR_DUP_PLANES
+    _check_store_granularity(store_path, n_planes)
     batch = new_vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).cast("array<double>").alias("e"),
@@ -222,7 +227,48 @@ def incremental_embed_near_dup_pairs(
     # — the disk-level realization of the "probe touches only the
     # batch's buckets" contract in the docstring.
     to_append.write.mode("append").partitionBy("bucket").parquet(store_path)
+    _record_store_granularity(store_path, n_planes)
     return pairs
+
+
+def _meta_path(store_path: str) -> str:
+    # Underscore-prefixed so Spark's parquet file listing skips it
+    # (same convention as _SUCCESS); lives INSIDE the store dir so the
+    # store stays one self-describing unit.
+    return os.path.join(store_path, "_store_meta.json")
+
+
+def _check_store_granularity(store_path: str, n_planes: int) -> None:
+    """Raise if an existing store was bucketed at a different
+    ``n_planes`` — a mismatched probe compares sign-bits from
+    different hyperplane sets and silently misses pairs (the store's
+    buckets and the batch's buckets would never collide on the same
+    plane semantics). A store with no sidecar (pre-round-8) is
+    stamped on the next append instead."""
+    import json
+
+    if not os.path.exists(store_path):
+        return
+    meta = _meta_path(store_path)
+    if os.path.exists(meta):
+        with open(meta, encoding="utf-8") as f:
+            recorded = json.load(f)["n_planes"]
+        if recorded != n_planes:
+            raise ValueError(
+                f"embedding store at {store_path} was bucketed with "
+                f"n_planes={recorded}; probing with n_planes={n_planes} "
+                "would silently miss pairs — rebuild (rebucket) the "
+                "store to change granularity"
+            )
+
+
+def _record_store_granularity(store_path: str, n_planes: int) -> None:
+    import json
+
+    meta = _meta_path(store_path)
+    if not os.path.exists(meta):
+        with open(meta, "w", encoding="utf-8") as f:
+            json.dump({"n_planes": n_planes}, f)
 
 
 # ---------------------------------------------------------------------------

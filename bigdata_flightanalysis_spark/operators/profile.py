@@ -50,7 +50,15 @@ def profile_table(
     ``rsd`` (approx mode only) sets the HLL relative standard
     deviation — default 0.05 like Spark's; the driver-facing bounds
     contract (``orders_profile_approx``) uses 0.01 so its ±5 % check
-    sits at 5 sigma."""
+    sits at 5 sigma. Passing ``rsd`` with ``approx=False`` raises:
+    silently ignoring it would mask a caller that believes it is
+    running a tightened approx profile while actually paying the
+    exact Expand-based pass."""
+    if rsd is not None and not approx:
+        raise ValueError(
+            "rsd only applies to approx=True profiles; "
+            "exact count_distinct has no precision knob"
+        )
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
     # Synthetic aliases are keyed by column INDEX, not name: the label

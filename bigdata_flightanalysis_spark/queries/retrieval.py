@@ -395,11 +395,14 @@ def bm25_index_topk(
     tests/test_retrieval.py): per-term tfs pivot into fixed columns by
     conditional aggregation so the score is the SAME fixed-order
     expression tree, not an order-nondeterministic float sum; df per
-    term is the postings row count (== the inline array_contains
-    count); avgdl recomputes from the stored exact longs with the
-    identical double division. The corpus text is never touched: the
-    scan reads ≤ |terms| postings partitions (bucket pruning) plus the
-    narrow doc-length relation."""
+    term is the DISTINCT-doc count over its postings (== the inline
+    array_contains count on a clean index, and immune to the
+    byte-identical duplicate rows a crash-retried refresh can append);
+    avgdl recomputes from the stored exact longs with the identical
+    double division. The corpus text is never touched: the scan reads
+    ≤ |terms| postings partitions (bucket pruning) plus the narrow
+    doc-length relation."""
+    _recover_corpus_stats(index_path)
     postings = spark.read.parquet(f"{index_path}/postings")
     buckets = sorted(
         {
@@ -491,19 +494,28 @@ def bm25_index_topk(
     "serve time. Same oracle as doc_bm25_topk because the served "
     "scores are BIT-IDENTICAL to the inline form: tfs pivot into "
     "fixed columns so the score is the same fixed-order expression "
-    "tree, df equals the postings row count, and avgdl recomputes "
+    "tree, df counts DISTINCT docs per term, and avgdl recomputes "
     "from stored exact longs with the identical division. The "
     "registry entry builds the index into a session temp dir then "
-    "serves from it, so the driver exercises the full lifecycle; "
-    "production builds once and serves many.",
+    "serves from it (and removes the dir after pinning the k-row "
+    "result), so the driver exercises the full lifecycle; production "
+    "builds once and serves many — doc_bm25_serve_topk is that "
+    "serve-only path.",
     tags=("text", "retrieval", "index"),
 )
 def doc_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     index_path = tempfile.mkdtemp(prefix="bm25_index_")
     build_text_index(spark, sf_dir, index_path)
-    return bm25_index_topk(spark, index_path)
+    # Pin the k-row result BEFORE removing the index: the returned
+    # frame otherwise lazily re-reads the parquet we are about to
+    # delete, and without the rmtree every driver/bench invocation
+    # leaks a corpus-sized index dir under /tmp.
+    result = bm25_index_topk(spark, index_path).localCheckpoint(eager=True)
+    shutil.rmtree(index_path, ignore_errors=True)
+    return result
 
 
 def refresh_text_index(
@@ -523,13 +535,15 @@ def refresh_text_index(
     corpus totals are recomputed from doc_stats (the narrow source of
     truth) on every refresh, never incremented blindly.
     """
+    import os
+
+    _recover_corpus_stats(index_path)
     toks = new_docs.select(
         "doc_id",
         tokenize("text").alias("t"),
         F.size(tokenize("text")).cast("bigint").alias("dl"),
     )
     new_stats = toks.select("doc_id", "dl")
-    import os
 
     if os.path.exists(f"{index_path}/doc_stats"):
         seen = spark.read.parquet(f"{index_path}/doc_stats").select("doc_id")
@@ -556,11 +570,37 @@ def refresh_text_index(
         F.sum("dl").cast("bigint").alias("sum_dl"),
     )
     corpus.write.mode("overwrite").parquet(f"{index_path}/corpus_stats.new")
-    # atomic-enough swap for a tiny 1-row relation
+    # Two-rename swap with .old recovery (same pattern as the
+    # streaming _swap_state_dir/_recover_state_dir pair): a plain
+    # rmtree-then-rename has a crash window that leaves the index with
+    # NO corpus_stats, failing every serve until a batch is replayed.
+    # Here a crash between the two renames leaves a complete .old that
+    # the next serve/refresh restores via _recover_corpus_stats.
     import shutil
 
-    shutil.rmtree(f"{index_path}/corpus_stats", ignore_errors=True)
-    os.rename(f"{index_path}/corpus_stats.new", f"{index_path}/corpus_stats")
+    live = f"{index_path}/corpus_stats"
+    old = live + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(f"{index_path}/corpus_stats.new", live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_corpus_stats(index_path: str) -> None:
+    """Close the crash window of :func:`refresh_text_index`'s
+    corpus_stats swap: if a crash between its two renames left no live
+    dir but a complete ``.old``, rename the old totals back before
+    reading. Called on every serve (:func:`bm25_index_topk`) and at
+    the top of every refresh; stale-by-one totals then converge on the
+    next refresh, which recomputes them from doc_stats
+    unconditionally."""
+    import os
+
+    live = f"{index_path}/corpus_stats"
+    old = live + ".old"
+    if not os.path.exists(live) and os.path.exists(old):
+        os.rename(old, live)
 
 
 @register(
@@ -577,6 +617,7 @@ def refresh_text_index(
     tags=("text", "retrieval", "index", "incremental"),
 )
 def doc_bm25_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     index_path = tempfile.mkdtemp(prefix="bm25_refresh_")
@@ -589,7 +630,50 @@ def doc_bm25_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     refresh_text_index(
         spark, docs.where(F.col("doc_id") >= n // 3), index_path
     )
-    return bm25_index_topk(spark, index_path)
+    # Pin the k rows, then drop the temp index (see doc_bm25_index_topk)
+    result = bm25_index_topk(spark, index_path).localCheckpoint(eager=True)
+    shutil.rmtree(index_path, ignore_errors=True)
+    return result
+
+
+# Session-scoped pre-built index for the serve-only driver row: built
+# ONCE per (process, sf_dir) on first use, removed at interpreter
+# exit. The two lifecycle entries above time build+serve (their cost
+# is ~80% build); this cache lets the driver/bench ALSO record the
+# pure serve latency a production deployment pays per query.
+_SERVE_INDEX_CACHE: dict[str, str] = {}
+
+
+def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    path = _SERVE_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="bm25_serve_")
+        build_text_index(spark, sf_dir, path)
+        _SERVE_INDEX_CACHE[sf_dir] = path
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+@register(
+    "doc_bm25_serve_topk",
+    oracle=_bm25_oracle(),
+    description="BM25 top-10 SERVE-ONLY path: the index is pre-built "
+    "once per session (cached per sf_dir, removed at exit) and the "
+    "query only serves from it — bucket-pruned postings scan (≤ "
+    "|terms| of 64 partitions), broadcast stats, "
+    "TakeOrderedAndProject; the corpus text is never scanned. Same "
+    "full-corpus oracle as doc_bm25_topk (served scores are "
+    "bit-identical). Unlike doc_bm25_index_topk (whose timing is "
+    "~80% build), this row measures what a production deployment pays "
+    "per query once the index exists.",
+    tags=("text", "retrieval", "index", "serve"),
+)
+def doc_bm25_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_index_topk(spark, _served_index_path(spark, sf_dir))
 
 
 def build_text_index_from(

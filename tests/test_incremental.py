@@ -365,3 +365,39 @@ def test_embed_store_is_bucket_partitioned_on_disk(spark, tmp_path):
     pruned = spark.read.parquet(store).where(F.col("bucket") == int(dirs[0].split("=")[1]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_embed_store_granularity_recorded_and_enforced(spark, tmp_path):
+    """The store records its n_planes at creation (_store_meta.json,
+    Spark-ignored sidecar); probing with a different n_planes must
+    raise instead of silently missing every cross-granularity pair
+    (round-7 advisory defect)."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_embed_near_dup_pairs,
+    )
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    store = str(tmp_path / "vec_store")
+    incremental_embed_near_dup_pairs(
+        spark, emb.where(F.col("vec_id") % 2 == 0), store, n_planes=12
+    )
+    meta = _os.path.join(store, "_store_meta.json")
+    assert _os.path.exists(meta)
+    with open(meta, encoding="utf-8") as f:
+        assert _json.load(f)["n_planes"] == 12
+    # the sidecar must not break Spark's parquet read of the store
+    assert spark.read.parquet(store).count() > 0
+
+    with _pytest.raises(ValueError, match="n_planes=12"):
+        incremental_embed_near_dup_pairs(
+            spark, emb.where(F.col("vec_id") % 2 == 1), store, n_planes=16
+        )
+    # matching granularity still works after the failed probe
+    incremental_embed_near_dup_pairs(
+        spark, emb.where(F.col("vec_id") % 2 == 1), store, n_planes=12
+    )

@@ -63,3 +63,14 @@ def test_profile_handles_awkward_column_names(spark):
     got = _profile_dict(df, approx=False)
     assert set(got) == {"a col", "b"}
     assert got["a col"]["n_distinct"] == 1
+
+
+def test_profile_rejects_rsd_with_exact_mode(spark):
+    """rsd with approx=False raises (round-7 advisory defect: silently
+    ignoring it masked callers who believed they were tightening an
+    approx profile while actually running the exact Expand pass)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "a bigint, b string")
+    with pytest.raises(ValueError, match="approx"):
+        profile_table(df, approx=False, rsd=0.01)

@@ -228,6 +228,86 @@ def test_bm25_index_refresh_converges_to_full_build(spark, tmp_path):
     assert len(served_inc) == 10
 
 
+def test_bm25_lifecycle_entries_leave_no_temp_index(spark):
+    """The two lifecycle registry entries build into tempfile.mkdtemp;
+    after returning (result pinned via localCheckpoint) the index dir
+    must be GONE — repeated driver/bench runs must not accumulate
+    corpus-sized index dirs under /tmp (round-7 defect)."""
+    import os
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+
+    def _index_dirs():
+        return {
+            d
+            for d in os.listdir(tmp)
+            if d.startswith(("bm25_index_", "bm25_refresh_"))
+        }
+
+    before = _index_dirs()
+    rows_idx = REG["doc_bm25_index_topk"].fn(spark, SF).collect()
+    rows_ref = REG["doc_bm25_refresh_topk"].fn(spark, SF).collect()
+    assert len(rows_idx) == 10 and len(rows_ref) == 10
+    assert _index_dirs() == before, "temp index dirs leaked"
+
+
+def test_corpus_stats_crash_window_recovers_on_serve_and_refresh(
+    spark, tmp_path
+):
+    """Kill between refresh_text_index's two renames: live corpus_stats
+    is gone, a complete .old remains. The next SERVE must restore and
+    answer correctly; the next REFRESH must restore then converge to
+    the full-build index (mirrors the streaming _recover_state_dir
+    contract)."""
+    import os
+
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index,
+        build_text_index_from,
+        refresh_text_index,
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    n = docs.count()
+
+    # -- serve-side recovery on a full index
+    idx = str(tmp_path / "crash_serve")
+    build_text_index(spark, SF, idx)
+    expect = [tuple(r) for r in bm25_index_topk(spark, idx).collect()]
+    os.rename(f"{idx}/corpus_stats", f"{idx}/corpus_stats.old")  # the window
+    assert [tuple(r) for r in bm25_index_topk(spark, idx).collect()] == expect
+    assert os.path.exists(f"{idx}/corpus_stats")  # restored, not bypassed
+
+    # -- refresh-side recovery on a half-built index
+    inc = str(tmp_path / "crash_refresh")
+    build_text_index_from(spark, docs.where(F.col("doc_id") < n // 2), inc)
+    os.rename(f"{inc}/corpus_stats", f"{inc}/corpus_stats.old")
+    refresh_text_index(spark, docs.where(F.col("doc_id") >= n // 2), inc)
+    full = str(tmp_path / "full")
+    build_text_index(spark, SF, full)
+    assert [tuple(r) for r in bm25_index_topk(spark, inc).collect()] == [
+        tuple(r) for r in bm25_index_topk(spark, full).collect()
+    ]
+
+
+def test_bm25_serve_only_entry_caches_index_and_matches_inline(spark):
+    """doc_bm25_serve_topk: first call builds the session index, later
+    calls serve from the SAME cached path (pure serve — what the bench
+    row measures after warmup), and the served rows equal the inline
+    doc_bm25_topk bit-for-bit."""
+    from bigdata_flightanalysis_spark.queries import retrieval as R
+
+    got1 = [tuple(r) for r in REG["doc_bm25_serve_topk"].fn(spark, SF).collect()]
+    path1 = R._SERVE_INDEX_CACHE[SF]
+    got2 = [tuple(r) for r in REG["doc_bm25_serve_topk"].fn(spark, SF).collect()]
+    assert R._SERVE_INDEX_CACHE[SF] == path1  # no rebuild
+    inline = [tuple(r) for r in REG["doc_bm25_topk"].fn(spark, SF).collect()]
+    assert got1 == got2 == inline
+
+
 def test_bm25_index_serve_prunes_postings_partitions(spark, tmp_path):
     """The serve scan must carry a PartitionFilter on the term-hash
     bucket — the on-disk pruning that lets a 3-term query read ≤3 of
