@@ -124,6 +124,14 @@ HEADLINE += [
     "doc_bm25_refresh_topk",
 ]
 
+# Round-8 addition: the serve-only BM25 path. The warmup below builds
+# the session index once, so this headline number is PURE serve — the
+# per-query cost a production deployment pays once the index exists
+# (the two lifecycle entries above remain ~80% build by design).
+HEADLINE += [
+    "doc_bm25_serve_topk",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,6 +146,9 @@ def main() -> None:
     for t in TABLE_NAMES:
         read_table(spark, sf_dir, t).count()
     registry["flagship_top_segments"].fn(spark, sf_dir).count()
+    # Build the session BM25 index outside the timed window so the
+    # doc_bm25_serve_topk headline number measures pure serve.
+    registry["doc_bm25_serve_topk"].fn(spark, sf_dir).count()
 
     # One query failing must never cost the whole run its numbers
     # (round 4 lost all perf signal to a single AnalysisException):

@@ -55,81 +55,19 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-7 rotation. Priority: (1) the ten queries whose newest driver
-# row is r3 (the r6 verdict's staleness list — front-loaded per its
-# ask #2; all ten were re-run through scripts/verify_driver_surface.py
-# at sf0.01 in rounds 6 AND 7 with zero mismatches, so only the row
-# DATE is stale); (2) queries new or contract-changed this round —
-# kmeans_embedding_clusters (just promoted off the rows-only list via
-# a contract oracle: every registry entry now hash-checked — the
-# rows-only list is empty), the two percentile_disc two-pass
-# robust-stats twins, the HLL profile-bounds contract, the new
-# embed_standardize feature-scaling pass, the new
-# embed_near_dup_incremental ANN-ingest twin, the new
-# embed_decontamination semantic test-set-leakage audit, the new
-# corpus_card dataset report, doc_dup_graph_kcore
-# (max_iter now pinned to the oracle's unrolled round count) and
-# events_type_trend (degenerate-group NULL guard); (3) backfill with
-# the oldest (r4-dated) rows — 33 of the 50 r4-only names fit this
-# window; the remaining 17 lead the backfill below the window cut and
-# front-run the r8 rotation.
+# Round-8 rotation. After r7, per-query newest-driver-row dates are:
+# 22 queries at r4 (all TPC-H/relational shapes — the r7 verdict's only
+# remaining staleness, staged to lead this window), 49 at r5, 48 at r6,
+# 50 at r7. Priority: (1) the 22 r4-dated rows; (2) queries new or
+# changed this round — doc_bm25_serve_topk (the serve-only index row
+# the r7 verdict asked for); (3) backfill with the ALPHABETICALLY FIRST
+# 27 of the 49 r5-dated rows. Window = 22 + 1 + 27 = 50. The remaining
+# 22 r5-dated names are listed below the cut and lead the r9 window;
+# once this window lands, no row is older than r5 and the steady-state
+# cap holds (170 queries / 50-row window => no row older than ~3
+# rounds).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) last driver-checked in r3
-    "max_order_per_status_argmax",
-    "order_price_percentile_rank",
-    "customer_scd2_merge",
-    "order_metrics_unpivot",
-    "customer_order_recency",
-    "brand_number_histogram",
-    "lineitem_safe_math",
-    "supplier_trailing_week_quantity",
-    "orders_quality_report",
-    "status_priority_sets",
-    # (2) new / contract-changed this round
-    "kmeans_embedding_clusters",
-    "events_value_winsorized_twopass",
-    "events_mad_anomalies_twopass",
-    "orders_profile_approx",
-    "embed_standardize",
-    "embed_near_dup_incremental",
-    "embed_decontamination",
-    "corpus_card",
-    "doc_bm25_index_topk",
-    "doc_bm25_refresh_topk",
-    "doc_dup_graph_kcore",
-    "events_type_trend",
-    # (3) oldest (r4-dated) rows — backfill to the 50-query window
-    "cube_flag_status",
-    "doc_bpe_token_stats",
-    "doc_decontamination",
-    "doc_dup_clusters",
-    "doc_exact_dedup",
-    "doc_fingerprints",
-    "doc_jaccard_pairs_sample",
-    "doc_langid",
-    "doc_minhash_signatures",
-    "doc_near_dup_candidates",
-    "doc_near_dup_edit_distance",
-    "doc_quality_scores",
-    "doc_simhash",
-    "doc_simhash_near_dup",
-    "doc_token_stats",
-    "embed_cosine_topk",
-    "embed_ivf_topk",
-    "embed_lsh_topk",
-    "embed_near_dup_pairs",
-    "embed_quantize_int8",
-    "events_dedup_first_per_user_type",
-    "events_json_extract",
-    "events_session_windows",
-    "events_sliding_hourly",
-    "events_tumbling_hourly",
-    "events_type_pivot",
-    "grouping_sets_order_stats",
-    "large_orders_q18",
-    # The 50-query window ends here (10 r3-stale + 12 new/changed + 28
-    # r4-dated). The 22 r4-dated entries below are the only remaining
-    # rows older than r5 — they lead the r8 window.
+    # (1) last driver-checked in r4 — the 22 stale rows
     "latest_order_per_customer_status",
     "monthly_revenue_delta",
     "nation_counts_full_outer",
@@ -152,6 +90,61 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "rollup_revenue_region_nation",
     "salted_user_event_counts",
     "status_intersect_except",
+    # (2) new this round
+    "doc_bm25_serve_topk",
+    # (3) r5-dated backfill to the 50-query window (alphabetical)
+    "approx_distinct_users_by_type",
+    "bloom_filtered_lineitem_revenue",
+    "count_distinct_parts",
+    "customer_value_deciles",
+    "delayed_order_label",
+    "distinct_flag_status",
+    "doc_boilerplate_density",
+    "doc_chunk_windows",
+    "doc_dedup_keep_best",
+    "doc_length_histogram",
+    "doc_minhash_estimate_vs_exact",
+    "doc_ngram_topk",
+    "doc_pack_sequences",
+    "doc_pii_redaction",
+    "doc_quality_weighted_sample",
+    "doc_repetition_scores",
+    "doc_salient_terms",
+    "doc_source_mixture_weights",
+    "doc_stratified_sample",
+    "doc_train_test_split",
+    "doc_url_domains",
+    "embed_label_centroids",
+    "embed_quantized_topk",
+    "events_asof_purchase_click",
+    "events_minutely_gapfill",
+    "events_range_join_error_context",
+    "events_sessionization_gaps",
+    # The 50-query window ends here (22 r4-stale + 1 new + 27 r5-dated).
+    # The 22 r5-dated entries below are the oldest remaining rows once
+    # this window lands — they lead the r9 window.
+    "events_sliding_distinct_users",
+    "nation_share_of_region_revenue",
+    "order_priority_tiers",
+    "order_value_quartiles",
+    "orderdate_parts",
+    "orders_anti_bloom_check",
+    "part_affinity_topk",
+    "parts_never_ordered",
+    "q11_important_parts",
+    "q12_priority_by_flag",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q8_market_share",
+    "returnflag_in_list",
+    "revenue_by_region",
+    "segments_of_open_order_customers",
+    "supplier_running_revenue",
+    "top_customers_per_segment",
+    "union_priority_extremes",
 )
 
 

@@ -328,3 +328,62 @@ def test_bm25_index_serve_prunes_postings_partitions(spark, tmp_path):
     assert "PartitionFilters: [bucket" in plan or (
         "PartitionFilters" in plan and "bucket" in plan
     ), plan
+
+
+def test_streaming_bm25_refresh_converges_to_batch_build(spark, tmp_path):
+    """Stream==batch for the index-maintenance path: a document stream
+    drained through a foreachBatch sink that refresh_text_index-es the
+    session index per micro-batch (overlapping files — crash-replayed
+    docs re-ingested) must serve EXACTLY what a one-shot full build
+    serves, bit-identical scores included."""
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index,
+        refresh_text_index,
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+    from bigdata_flightanalysis_spark.streaming.events import run_foreach_batch
+
+    docs = read_table(spark, SF, "documents")
+    n = docs.count()
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    # three OVERLAPPING slices covering the corpus (replay in flight)
+    slices = [(0, n // 2), (n // 3, 3 * n // 4), (n // 2, n)]
+    for i, (lo, hi) in enumerate(slices):
+        stage = f"{src}/.tmp{i}"
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.move(
+            glob.glob(f"{stage}/part-*.parquet")[0], f"{src}/f{i}.parquet"
+        )
+        shutil.rmtree(stage)
+        _t.sleep(1.1)
+
+    idx = str(tmp_path / "stream_index")
+
+    def refresh(batch_df, batch_id):
+        refresh_text_index(spark, batch_df, idx)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_foreach_batch(
+        stream, refresh, checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+
+    full = str(tmp_path / "full")
+    build_text_index(spark, SF, full)
+    served_stream = [tuple(r) for r in bm25_index_topk(spark, idx).collect()]
+    served_full = [tuple(r) for r in bm25_index_topk(spark, full).collect()]
+    assert served_stream == served_full
+    assert len(served_stream) == 10
