@@ -561,9 +561,12 @@ def refresh_text_index(
             F.pmod(F.xxhash64("term"), F.lit(INDEX_TERM_BUCKETS)).cast("int"),
         )
     )
-    postings.write.mode("append").partitionBy("bucket").parquet(
-        f"{index_path}/postings"
-    )
+    # one file per bucket per refresh (vs tasks × buckets without the
+    # repartition) — keeps the postings file count, and with it every
+    # later serve's file listing, proportional to refresh COUNT
+    postings.repartition("bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{index_path}/postings")
     fresh.write.mode("append").parquet(f"{index_path}/doc_stats")
     corpus = spark.read.parquet(f"{index_path}/doc_stats").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -701,6 +704,10 @@ def build_text_index_from(
             "bucket",
             F.pmod(F.xxhash64("term"), F.lit(INDEX_TERM_BUCKETS)).cast("int"),
         )
+        # one file per bucket (write parallelism == INDEX_TERM_BUCKETS,
+        # the knob to raise for a bigger cluster) instead of
+        # tasks × buckets small files
+        .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{index_path}/postings")
