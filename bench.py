@@ -124,12 +124,16 @@ HEADLINE += [
     "doc_bm25_refresh_topk",
 ]
 
-# Round-8 addition: the serve-only BM25 path. The warmup below builds
+# Round-8 additions: the serve-only BM25 path (the warmup below builds
 # the session index once, so this headline number is PURE serve — the
-# per-query cost a production deployment pays once the index exists
-# (the two lifecycle entries above remain ~80% build by design).
+# per-query cost a production deployment pays once the index exists;
+# the two lifecycle entries above remain ~80% build by design) and the
+# compaction lifecycle entry (build + refresh + torn-refresh replay +
+# compact + serve in one query — a lifecycle test like the refresh
+# entry, its cost is the lifecycle, not the serve plan).
 HEADLINE += [
     "doc_bm25_serve_topk",
+    "doc_bm25_compact_topk",
 ]
 
 

@@ -191,6 +191,7 @@ def incremental_embed_near_dup_pairs(
 
     if n_planes is None:
         n_planes = NEAR_DUP_PLANES
+    _recover_store_dir(store_path)
     _check_store_granularity(store_path, n_planes)
     batch = new_vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -277,6 +278,54 @@ def _record_store_granularity(store_path: str, n_planes: int) -> None:
     if not os.path.exists(meta):
         with open(meta, "w", encoding="utf-8") as f:
             json.dump({"n_planes": n_planes}, f)
+
+
+def _recover_store_dir(store_path: str) -> None:
+    """Close :func:`rebucket_embed_store`'s two-rename crash window:
+    a crash between its renames leaves no live store but a complete
+    ``.old`` — without this hook the next ingest would see "no store"
+    and silently restart history from its own batch. Rename the old
+    granularity back; a rebucket can then be re-run."""
+    old = store_path + ".old"
+    if not os.path.exists(store_path) and os.path.exists(old):
+        os.rename(old, store_path)
+
+
+def rebucket_embed_store(
+    spark: SparkSession, store_path: str, n_planes: int
+) -> None:
+    """Change the store's LSH granularity — the index rebuild
+    :func:`_check_store_granularity`'s error message points to: ONE
+    pass over the stored vectors recomputes every bucket at the new
+    plane count (float→double casting is exact, so buckets equal what
+    a from-scratch ingest at this granularity assigns), rewrites the
+    store hive-partitioned on the new bucket, and records the new
+    granularity. The swap is staging + two renames with ``.old``
+    recovery (:func:`_recover_store_dir`), so a crash at any point
+    leaves a usable store at ONE consistent granularity."""
+    import json
+    import shutil
+
+    from bigdata_flightanalysis_spark.queries.similarity import _spark_bucket
+
+    _recover_store_dir(store_path)
+    staging = store_path + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    store = spark.read.parquet(store_path)
+    (
+        store.drop("bucket")
+        .withColumn("bucket", _spark_bucket(F.col("e"), n_planes))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .parquet(staging)
+    )
+    with open(os.path.join(staging, "_store_meta.json"), "w", encoding="utf-8") as f:
+        json.dump({"n_planes": n_planes}, f)
+    old = store_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(store_path, old)
+    os.rename(staging, store_path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -538,11 +538,7 @@ def refresh_text_index(
     import os
 
     _recover_corpus_stats(index_path)
-    toks = new_docs.select(
-        "doc_id",
-        tokenize("text").alias("t"),
-        F.size(tokenize("text")).cast("bigint").alias("dl"),
-    )
+    toks = _toks_of(new_docs)
     new_stats = toks.select("doc_id", "dl")
 
     if os.path.exists(f"{index_path}/doc_stats"):
@@ -551,22 +547,10 @@ def refresh_text_index(
     else:
         fresh = new_stats
     fresh = fresh.localCheckpoint(eager=True)  # pin pre-append snapshot
-    postings = (
+    postings = _postings_of(
         toks.join(fresh.select("doc_id"), "doc_id", "left_semi")
-        .select("doc_id", F.explode("t").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("term"), F.lit(INDEX_TERM_BUCKETS)).cast("int"),
-        )
     )
-    # one file per bucket per refresh (vs tasks × buckets without the
-    # repartition) — keeps the postings file count, and with it every
-    # later serve's file listing, proportional to refresh COUNT
-    postings.repartition("bucket").write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(f"{index_path}/postings")
+    _write_postings(postings, index_path, mode="append")
     fresh.write.mode("append").parquet(f"{index_path}/doc_stats")
     corpus = spark.read.parquet(f"{index_path}/doc_stats").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -591,19 +575,83 @@ def refresh_text_index(
 
 
 def _recover_corpus_stats(index_path: str) -> None:
-    """Close the crash window of :func:`refresh_text_index`'s
-    corpus_stats swap: if a crash between its two renames left no live
-    dir but a complete ``.old``, rename the old totals back before
-    reading. Called on every serve (:func:`bm25_index_topk`) and at
-    the top of every refresh; stale-by-one totals then converge on the
-    next refresh, which recomputes them from doc_stats
-    unconditionally."""
+    """Close the crash window of the index's two-rename dir swaps
+    (:func:`refresh_text_index`'s corpus_stats, and since round 8
+    :func:`compact_text_index`'s postings/doc_stats rewrites): for
+    each swapped relation, if a crash between the two renames left no
+    live dir but a complete ``.old``, rename the old state back
+    before reading. Called on every serve (:func:`bm25_index_topk`)
+    and at the top of every refresh/compact; corpus totals stale by
+    one batch then converge on the next refresh, which recomputes
+    them from doc_stats unconditionally."""
     import os
 
-    live = f"{index_path}/corpus_stats"
+    for rel in ("corpus_stats", "postings", "doc_stats"):
+        live = f"{index_path}/{rel}"
+        old = live + ".old"
+        if not os.path.exists(live) and os.path.exists(old):
+            os.rename(old, live)
+
+
+def _swap_index_dir(staging: str, live: str) -> None:
+    """Promote a fully-written staging dir to the live path via the
+    two-rename pattern (.old kept across the window, removed on
+    success); :func:`_recover_corpus_stats` heals a crash between the
+    renames on the next serve/refresh/compact."""
+    import os
+    import shutil
+
     old = live + ".old"
-    if not os.path.exists(live) and os.path.exists(old):
-        os.rename(old, live)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(staging, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_text_index(spark: SparkSession, index_path: str) -> None:
+    """Compact a :func:`build_text_index` store in place: drop the
+    byte-identical postings rows crash-replayed refreshes can append
+    (the serve path is immune to them, but they cost postings bytes
+    and file count forever), deduplicate doc_stats defensively, and
+    rewrite each bucket to a single file — undoing the one-file-per-
+    bucket-per-refresh accumulation of long refresh streams. The
+    maintenance leg that completes build/refresh/serve, and the
+    retrieval twin of the CDC sink's tombstone compaction.
+
+    Serving results are IDENTICAL before and after (asserted in
+    tests/test_retrieval.py): tf dedup uses MAX over exact-copy rows
+    and df already counted distinct docs. Each rewrite lands via
+    staging + two-rename swap with .old recovery, so a crash at any
+    point leaves a servable index."""
+    import shutil
+
+    _recover_corpus_stats(index_path)
+    # staging lives INSIDE the index dir: os.rename must not cross a
+    # filesystem boundary, and the index's parent is the one mount we
+    # know holds it
+    postings = spark.read.parquet(f"{index_path}/postings")
+    compacted = (
+        postings.groupBy("term", "doc_id", "bucket")
+        .agg(F.max("tf").alias("tf"))
+        .select("term", "doc_id", "tf", "bucket")
+        .repartition("bucket")
+    )
+    p_staging = f"{index_path}/postings.staging"
+    shutil.rmtree(p_staging, ignore_errors=True)
+    compacted.write.partitionBy("bucket").parquet(p_staging)
+
+    d_staging = f"{index_path}/doc_stats.staging"
+    shutil.rmtree(d_staging, ignore_errors=True)
+    spark.read.parquet(f"{index_path}/doc_stats").dropDuplicates(
+        ["doc_id"]
+    ).coalesce(4).write.parquet(d_staging)
+
+    # postings first (the bigger win), then doc_stats — a crash
+    # between the swaps leaves a consistent, servable mix of
+    # compacted and uncompacted relations
+    _swap_index_dir(p_staging, f"{index_path}/postings")
+    _swap_index_dir(d_staging, f"{index_path}/doc_stats")
 
 
 @register(
@@ -639,6 +687,45 @@ def doc_bm25_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@register(
+    "doc_bm25_compact_topk",
+    oracle=_bm25_oracle(),
+    description="BM25 top-10 served AFTER compaction: build on half "
+    "the corpus, refresh with the rest plus a full replayed batch "
+    "(appending byte-identical duplicate postings rows), then "
+    "compact_text_index — replay rows dropped, every bucket rewritten "
+    "to one file via staging + two-rename swaps with .old recovery — "
+    "and serve. Hash-matching the same full-corpus oracle as "
+    "doc_bm25_topk proves compaction is a pure physical rewrite: "
+    "smaller and fewer files, identical answers. Completes the index "
+    "lifecycle (build/refresh/serve/compact), the retrieval twin of "
+    "the CDC sink's tombstone compaction.",
+    tags=("text", "retrieval", "index", "compaction"),
+)
+def doc_bm25_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    index_path = tempfile.mkdtemp(prefix="bm25_compact_")
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    build_text_index_from(
+        spark, docs.where(F.col("doc_id") < n // 2), index_path
+    )
+    batch2 = docs.where(F.col("doc_id") >= n // 2)
+    refresh_text_index(spark, batch2, index_path)
+    # Simulate the torn refresh that motivates compaction: a crash
+    # between the postings append and the doc_stats append, then a
+    # retry — the retry re-appends batch2's byte-identical postings
+    # rows (a plain second refresh_text_index call appends NOTHING,
+    # since its doc_stats anti-join sees batch2 as already ingested).
+    _write_postings(_postings_of(_toks_of(batch2)), index_path, mode="append")
+    compact_text_index(spark, index_path)
+    result = bm25_index_topk(spark, index_path).localCheckpoint(eager=True)
+    shutil.rmtree(index_path, ignore_errors=True)
+    return result
+
+
 # Session-scoped pre-built index for the serve-only driver row: built
 # ONCE per (process, sf_dir) on first use, removed at interpreter
 # exit. The two lifecycle entries above time build+serve (their cost
@@ -655,9 +742,11 @@ def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
     path = _SERVE_INDEX_CACHE.get(sf_dir)
     if path is None:
         path = tempfile.mkdtemp(prefix="bm25_serve_")
+        # register cleanup BEFORE the build so a mid-build failure
+        # can't strand a partial index dir past process exit
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         build_text_index(spark, sf_dir, path)
         _SERVE_INDEX_CACHE[sf_dir] = path
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
 
@@ -684,11 +773,7 @@ def build_text_index_from(
 ) -> None:
     """build_text_index over an explicit docs frame (the registry
     builder reads the table itself)."""
-    toks = docs.select(
-        "doc_id",
-        tokenize("text").alias("t"),
-        F.size(tokenize("text")).cast("bigint").alias("dl"),
-    )
+    toks = _toks_of(docs)
     toks.select("doc_id", "dl").write.mode("overwrite").parquet(
         f"{index_path}/doc_stats"
     )
@@ -696,7 +781,25 @@ def build_text_index_from(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{index_path}/corpus_stats")
-    (
+    _write_postings(_postings_of(toks), index_path, mode="overwrite")
+
+
+def _toks_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, t: token array, dl: token count) — the one tokenized
+    form every build/refresh leg derives from."""
+    return docs.select(
+        "doc_id",
+        tokenize("text").alias("t"),
+        F.size(tokenize("text")).cast("bigint").alias("dl"),
+    )
+
+
+def _postings_of(toks: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, bucket) postings rows for a tokenized frame
+    — shared by build, refresh, and the compaction entry's
+    torn-refresh simulation so all three produce byte-identical
+    rows."""
+    return (
         toks.select("doc_id", F.explode("t").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
@@ -704,11 +807,15 @@ def build_text_index_from(
             "bucket",
             F.pmod(F.xxhash64("term"), F.lit(INDEX_TERM_BUCKETS)).cast("int"),
         )
-        # one file per bucket (write parallelism == INDEX_TERM_BUCKETS,
-        # the knob to raise for a bigger cluster) instead of
-        # tasks × buckets small files
-        .repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{index_path}/postings")
     )
+
+
+def _write_postings(postings: DataFrame, index_path: str, mode: str) -> None:
+    """Partitioned postings write. Repartition on the partition column
+    first: one file per non-empty bucket per write (vs tasks × buckets
+    small files), so the store's file count — and every later serve's
+    file listing — grows with refresh COUNT, and write parallelism is
+    INDEX_TERM_BUCKETS (the knob to raise for a bigger cluster)."""
+    postings.repartition("bucket").write.mode(mode).partitionBy(
+        "bucket"
+    ).parquet(f"{index_path}/postings")

@@ -144,7 +144,21 @@ HYPERPLANES: list[list[float]] = [
 ]
 
 
+def _check_planes(n_planes: int) -> None:
+    """Silent-cap guard: HYPERPLANES[:n] quietly uses fewer planes
+    than asked once n exceeds the bank, which would hand a caller
+    2^16 buckets when they sized for 2^20 — refuse instead (the bank
+    size MAX_PLANES is the constant to grow)."""
+    if n_planes > len(HYPERPLANES):
+        raise ValueError(
+            f"n_planes={n_planes} exceeds the {len(HYPERPLANES)}-plane "
+            "hyperplane bank (MAX_PLANES); extend the bank rather than "
+            "silently bucketing coarser than requested"
+        )
+
+
 def _sql_bucket(col: str, n_planes: int = N_PLANES) -> str:
+    _check_planes(n_planes)
     bits = []
     for p, plane in enumerate(HYPERPLANES[:n_planes]):
         lits = "[" + ", ".join(f"{v!r}" for v in plane) + "]"
@@ -154,6 +168,7 @@ def _sql_bucket(col: str, n_planes: int = N_PLANES) -> str:
 
 
 def _spark_bucket(col: F.Column, n_planes: int = N_PLANES) -> F.Column:
+    _check_planes(n_planes)
     total = F.lit(0)
     for p, plane in enumerate(HYPERPLANES[:n_planes]):
         lits = F.array(*[F.lit(v) for v in plane])

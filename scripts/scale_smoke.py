@@ -329,7 +329,7 @@ def _smoke_embstore(spark, args, out: dict) -> None:
     # hive-partitioned store's directory count stays filesystem-sane
     # (a 15-plane/32k-dir first attempt spent its time in partition
     # discovery, not the join)
-    planes = max(10, (args.rows // 250).bit_length())
+    planes = min(16, max(10, (args.rows // 250).bit_length()))  # 16 = bank size
     out["n_planes"] = planes
     out["n_batches"] = args.batches
     store = f"{tmp}/vec_store"

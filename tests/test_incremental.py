@@ -401,3 +401,97 @@ def test_embed_store_granularity_recorded_and_enforced(spark, tmp_path):
     incremental_embed_near_dup_pairs(
         spark, emb.where(F.col("vec_id") % 2 == 1), store, n_planes=12
     )
+
+
+def test_rebucket_embed_store_changes_granularity_exactly(spark, tmp_path):
+    """rebucket_embed_store: after rebucketing a 10-plane store to 12
+    planes, probing a new batch emits EXACTLY the pairs a store built
+    from scratch at 12 planes (same contents) emits, the recorded
+    granularity is updated, and a 10-plane probe now raises."""
+    import pytest as _pytest
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_embed_near_dup_pairs,
+        rebucket_embed_store,
+    )
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    b1 = emb.where(F.col("vec_id") % 3 == 0)
+    b2 = emb.where(F.col("vec_id") % 3 == 1)
+    b3 = emb.where(F.col("vec_id") % 3 == 2)
+
+    store = str(tmp_path / "store10")
+    incremental_embed_near_dup_pairs(spark, b1, store, n_planes=10)
+    incremental_embed_near_dup_pairs(spark, b2, store, n_planes=10)
+    rebucket_embed_store(spark, store, 12)
+    with _pytest.raises(ValueError, match="n_planes=12"):
+        incremental_embed_near_dup_pairs(spark, b3, store, n_planes=10)
+    got = {
+        tuple(r)
+        for r in incremental_embed_near_dup_pairs(
+            spark, b3, store, n_planes=12
+        ).collect()
+    }
+
+    fresh = str(tmp_path / "fresh12")
+    incremental_embed_near_dup_pairs(spark, b1, fresh, n_planes=12)
+    incremental_embed_near_dup_pairs(spark, b2, fresh, n_planes=12)
+    expect = {
+        tuple(r)
+        for r in incremental_embed_near_dup_pairs(
+            spark, b3, fresh, n_planes=12
+        ).collect()
+    }
+    assert got == expect
+    # the strong equivalence (pair sets can legitimately be empty at
+    # 12 planes on the tiny fixture): every vector's recomputed bucket
+    # equals the bucket a from-scratch 12-plane ingest assigns
+    reb = {
+        (r["vec_id"], r["bucket"])
+        for r in spark.read.parquet(store).select("vec_id", "bucket").collect()
+    }
+    ref = {
+        (r["vec_id"], r["bucket"])
+        for r in spark.read.parquet(fresh).select("vec_id", "bucket").collect()
+    }
+    assert reb and {v for v, _ in reb} <= {v for v, _ in ref}
+    ref_by_id = dict(ref)
+    assert all(ref_by_id[v] == b for v, b in reb)
+
+
+def test_rebucket_crash_window_recovers(spark, tmp_path):
+    """A crash between rebucket's two renames (live store gone, .old
+    complete) must NOT make the next ingest restart history from its
+    own batch — the recovery hook renames the old store back."""
+    import os as _os
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_embed_near_dup_pairs,
+    )
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    store = str(tmp_path / "store")
+    incremental_embed_near_dup_pairs(
+        spark, emb.where(F.col("vec_id") % 2 == 0), store, n_planes=10
+    )
+    n_store = spark.read.parquet(store).count()
+    _os.rename(store, store + ".old")  # the crash window
+    incremental_embed_near_dup_pairs(
+        spark, emb.where(F.col("vec_id") % 2 == 1), store, n_planes=10
+    )
+    assert _os.path.exists(store) and not _os.path.exists(store + ".old")
+    assert spark.read.parquet(store).count() > n_store  # history kept
+
+
+def test_hyperplane_bank_overflow_raises(spark):
+    """Asking for more planes than the bank holds must raise, not
+    silently bucket coarser than requested."""
+    import pytest as _pytest
+
+    from bigdata_flightanalysis_spark.queries.similarity import (
+        HYPERPLANES,
+        _spark_bucket,
+    )
+
+    with _pytest.raises(ValueError, match="hyperplane bank"):
+        _spark_bucket(F.col("embedding"), len(HYPERPLANES) + 1)

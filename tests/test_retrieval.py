@@ -387,3 +387,73 @@ def test_streaming_bm25_refresh_converges_to_batch_build(spark, tmp_path):
     served_full = [tuple(r) for r in bm25_index_topk(spark, full).collect()]
     assert served_stream == served_full
     assert len(served_stream) == 10
+
+
+def test_compaction_drops_replay_rows_and_serves_identically(spark, tmp_path):
+    """Torn-refresh replay rows (byte-identical postings appended
+    twice) survive until compact_text_index rewrites the store:
+    afterwards postings rows == distinct rows, each bucket dir holds
+    ONE parquet file, and the served top-k still equals a one-shot
+    full build bit-for-bit."""
+    import glob
+    import os
+
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        _postings_of,
+        _toks_of,
+        _write_postings,
+        bm25_index_topk,
+        build_text_index,
+        build_text_index_from,
+        compact_text_index,
+        refresh_text_index,
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    n = docs.count()
+    idx = str(tmp_path / "compact_idx")
+    build_text_index_from(spark, docs.where(F.col("doc_id") < n // 2), idx)
+    batch2 = docs.where(F.col("doc_id") >= n // 2)
+    refresh_text_index(spark, batch2, idx)
+    # torn refresh: postings appended, doc_stats append crashed, retry
+    _write_postings(_postings_of(_toks_of(batch2)), idx, mode="append")
+
+    before = spark.read.parquet(f"{idx}/postings")
+    n_before, n_distinct = before.count(), before.distinct().count()
+    assert n_before > n_distinct  # replay rows really present
+
+    compact_text_index(spark, idx)
+    after = spark.read.parquet(f"{idx}/postings")
+    assert after.count() == n_distinct
+    for bucket_dir in glob.glob(f"{idx}/postings/bucket=*"):
+        files = [
+            f for f in os.listdir(bucket_dir) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, bucket_dir
+    assert not os.path.exists(f"{idx}/postings.staging")
+    assert not os.path.exists(f"{idx}/postings.old")
+
+    full = str(tmp_path / "full")
+    build_text_index(spark, SF, full)
+    assert [tuple(r) for r in bm25_index_topk(spark, idx).collect()] == [
+        tuple(r) for r in bm25_index_topk(spark, full).collect()
+    ]
+
+
+def test_compaction_crash_window_recovers(spark, tmp_path):
+    """A crash between compact_text_index's two renames (live postings
+    gone, .old complete) must heal on the next serve."""
+    import os
+
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index,
+    )
+
+    idx = str(tmp_path / "crash_compact")
+    build_text_index(spark, SF, idx)
+    expect = [tuple(r) for r in bm25_index_topk(spark, idx).collect()]
+    os.rename(f"{idx}/postings", f"{idx}/postings.old")
+    assert [tuple(r) for r in bm25_index_topk(spark, idx).collect()] == expect
+    assert os.path.exists(f"{idx}/postings")
