@@ -60,12 +60,12 @@ def register(
 # remaining staleness, staged to lead this window), 49 at r5, 48 at r6,
 # 50 at r7. Priority: (1) the 22 r4-dated rows; (2) queries new or
 # changed this round — doc_bm25_serve_topk (the serve-only index row
-# the r7 verdict asked for); (3) backfill with the ALPHABETICALLY FIRST
-# 27 of the 49 r5-dated rows. Window = 22 + 1 + 27 = 50. The remaining
-# 22 r5-dated names are listed below the cut and lead the r9 window;
-# once this window lands, no row is older than r5 and the steady-state
-# cap holds (170 queries / 50-row window => no row older than ~3
-# rounds).
+# the r7 verdict asked for) and doc_bm25_compact_topk (the compaction
+# lifecycle row); (3) backfill with the ALPHABETICALLY FIRST 26 of the
+# 49 r5-dated rows. Window = 22 + 2 + 26 = 50. The remaining 23
+# r5-dated names are listed below the cut and lead the r9 window; once
+# this window lands, no row is older than r5 and the steady-state cap
+# holds (171 queries / 50-row window => no row older than ~3 rounds).
 _VERIFY_FIRST: tuple[str, ...] = (
     # (1) last driver-checked in r4 — the 22 stale rows
     "latest_order_per_customer_status",
@@ -92,6 +92,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "status_intersect_except",
     # (2) new this round
     "doc_bm25_serve_topk",
+    "doc_bm25_compact_topk",
     # (3) r5-dated backfill to the 50-query window (alphabetical)
     "approx_distinct_users_by_type",
     "bloom_filtered_lineitem_revenue",
@@ -119,10 +120,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "events_asof_purchase_click",
     "events_minutely_gapfill",
     "events_range_join_error_context",
-    "events_sessionization_gaps",
-    # The 50-query window ends here (22 r4-stale + 1 new + 27 r5-dated).
-    # The 22 r5-dated entries below are the oldest remaining rows once
+    # The 50-query window ends here (22 r4-stale + 2 new + 26 r5-dated).
+    # The 23 r5-dated entries below are the oldest remaining rows once
     # this window lands — they lead the r9 window.
+    "events_sessionization_gaps",
     "events_sliding_distinct_users",
     "nation_share_of_region_revenue",
     "order_priority_tiers",
