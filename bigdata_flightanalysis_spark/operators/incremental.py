@@ -202,7 +202,14 @@ def incremental_embed_near_dup_pairs(
     if os.path.exists(store_path):
         store = spark.read.parquet(store_path)
         probe = store.unionByName(batch)
-        to_append = batch.join(store, ["vec_id"], "left_anti")
+        # bucket joins the replay anti-join's key: a replayed vec_id
+        # carries the identical embedding, hence the identical bucket
+        # (rebucket_embed_store rewrites store AND enforces the new
+        # n_planes on later batches, so granularity can't diverge) —
+        # and with the partition column in the equi-key this leg can
+        # partition-prune to the batch's buckets instead of scanning
+        # every bucket's vec_ids
+        to_append = batch.join(store, ["vec_id", "bucket"], "left_anti")
     else:
         probe = batch
         to_append = batch
