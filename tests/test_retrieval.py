@@ -440,6 +440,15 @@ def test_compaction_drops_replay_rows_and_serves_identically(spark, tmp_path):
         tuple(r) for r in bm25_index_topk(spark, full).collect()
     ]
 
+    # the rewrite must preserve the hive layout the serve path prunes on
+    plan = (
+        bm25_index_topk(spark, idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket" in plan
+
 
 def test_compaction_crash_window_recovers(spark, tmp_path):
     """A crash between compact_text_index's two renames (live postings
