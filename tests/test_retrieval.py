@@ -466,3 +466,44 @@ def test_compaction_crash_window_recovers(spark, tmp_path):
     os.rename(f"{idx}/postings", f"{idx}/postings.old")
     assert [tuple(r) for r in bm25_index_topk(spark, idx).collect()] == expect
     assert os.path.exists(f"{idx}/postings")
+
+
+def test_refresh_after_compaction_keeps_converging(spark, tmp_path):
+    """Realistic interleaving: build → refresh → COMPACT → refresh more
+    → serve. Compaction rewrites doc_stats (the freshness source the
+    next refresh anti-joins), so this pins that a mid-stream compact
+    neither re-ingests seen docs nor loses them: the final serve equals
+    a one-shot full build, and compacting twice is idempotent."""
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index,
+        build_text_index_from,
+        compact_text_index,
+        refresh_text_index,
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    n = docs.count()
+    idx = str(tmp_path / "interleaved")
+    build_text_index_from(spark, docs.where(F.col("doc_id") < n // 3), idx)
+    refresh_text_index(
+        spark,
+        docs.where((F.col("doc_id") >= n // 3) & (F.col("doc_id") < n // 2)),
+        idx,
+    )
+    compact_text_index(spark, idx)
+    # overlapping batch: the n//3..n//2 slice is already ingested and
+    # must be skipped by the post-compact doc_stats anti-join
+    refresh_text_index(spark, docs.where(F.col("doc_id") >= n // 3), idx)
+    compact_text_index(spark, idx)
+    compact_text_index(spark, idx)  # idempotent
+
+    full = str(tmp_path / "full")
+    build_text_index(spark, SF, full)
+    assert [tuple(r) for r in bm25_index_topk(spark, idx).collect()] == [
+        tuple(r) for r in bm25_index_topk(spark, full).collect()
+    ]
+    # post-compact doc_stats holds each doc exactly once
+    ds = spark.read.parquet(f"{idx}/doc_stats")
+    assert ds.count() == ds.select("doc_id").distinct().count() == n
