@@ -366,7 +366,38 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # real retrieval engine (the text twin of build_pq_index/pq_index_topk).
 # ---------------------------------------------------------------------------
 
-INDEX_TERM_BUCKETS = 64  # term-hash partition count of the postings store
+INDEX_TERM_BUCKETS = 64  # term-hash partition count for NEW index builds
+# The bucket count is a build/serve COMPATIBILITY CONTRACT: serving an
+# index with a different modulus than it was built with prunes to the
+# wrong partitions and silently drops terms. Every build therefore
+# records its count in the index (_index_meta.json at the index root),
+# and serve/refresh/compact use the STORED value — raising the
+# constant for a bigger cluster can never mis-serve an older index.
+# (Same defect class, same cure as the embedding store's n_planes.)
+
+
+def _record_index_buckets(index_path: str) -> None:
+    import json
+    import os
+
+    os.makedirs(index_path, exist_ok=True)
+    with open(
+        os.path.join(index_path, "_index_meta.json"), "w", encoding="utf-8"
+    ) as f:
+        json.dump({"n_buckets": INDEX_TERM_BUCKETS}, f)
+
+
+def _index_buckets(index_path: str) -> int:
+    """The bucket modulus this index was BUILT with (pre-round-8
+    indexes carry no meta file and used the then-constant 64)."""
+    import json
+    import os
+
+    meta = os.path.join(index_path, "_index_meta.json")
+    if os.path.exists(meta):
+        with open(meta, encoding="utf-8") as f:
+            return int(json.load(f)["n_buckets"])
+    return 64
 
 
 def build_text_index(
@@ -403,6 +434,7 @@ def bm25_index_topk(
     ≤ |terms| postings partitions (bucket pruning) plus the narrow
     doc-length relation."""
     _recover_corpus_stats(index_path)
+    n_buckets = _index_buckets(index_path)  # the modulus the index was BUILT with
     postings = spark.read.parquet(f"{index_path}/postings")
     buckets = sorted(
         {
@@ -411,7 +443,7 @@ def bm25_index_topk(
                 [(t,) for t in terms], "term string"
             )
             .select(
-                F.pmod(F.xxhash64("term"), F.lit(INDEX_TERM_BUCKETS))
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets))
                 .cast("int")
                 .alias("b")
             )
@@ -548,7 +580,8 @@ def refresh_text_index(
         fresh = new_stats
     fresh = fresh.localCheckpoint(eager=True)  # pin pre-append snapshot
     postings = _postings_of(
-        toks.join(fresh.select("doc_id"), "doc_id", "left_semi")
+        toks.join(fresh.select("doc_id"), "doc_id", "left_semi"),
+        _index_buckets(index_path),
     )
     _write_postings(postings, index_path, mode="append")
     fresh.write.mode("append").parquet(f"{index_path}/doc_stats")
@@ -719,7 +752,11 @@ def doc_bm25_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # retry — the retry re-appends batch2's byte-identical postings
     # rows (a plain second refresh_text_index call appends NOTHING,
     # since its doc_stats anti-join sees batch2 as already ingested).
-    _write_postings(_postings_of(_toks_of(batch2)), index_path, mode="append")
+    _write_postings(
+        _postings_of(_toks_of(batch2), _index_buckets(index_path)),
+        index_path,
+        mode="append",
+    )
     compact_text_index(spark, index_path)
     result = bm25_index_topk(spark, index_path).localCheckpoint(eager=True)
     shutil.rmtree(index_path, ignore_errors=True)
@@ -772,7 +809,10 @@ def build_text_index_from(
     spark: SparkSession, docs: DataFrame, index_path: str
 ) -> None:
     """build_text_index over an explicit docs frame (the registry
-    builder reads the table itself)."""
+    builder reads the table itself). Records the build's bucket
+    modulus in the index so later serve/refresh legs can never apply
+    a different one."""
+    _record_index_buckets(index_path)
     toks = _toks_of(docs)
     toks.select("doc_id", "dl").write.mode("overwrite").parquet(
         f"{index_path}/doc_stats"
@@ -781,7 +821,9 @@ def build_text_index_from(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("sum_dl"),
     ).write.mode("overwrite").parquet(f"{index_path}/corpus_stats")
-    _write_postings(_postings_of(toks), index_path, mode="overwrite")
+    _write_postings(
+        _postings_of(toks, INDEX_TERM_BUCKETS), index_path, mode="overwrite"
+    )
 
 
 def _toks_of(docs: DataFrame) -> DataFrame:
@@ -794,18 +836,19 @@ def _toks_of(docs: DataFrame) -> DataFrame:
     )
 
 
-def _postings_of(toks: DataFrame) -> DataFrame:
+def _postings_of(toks: DataFrame, n_buckets: int) -> DataFrame:
     """(term, doc_id, tf, bucket) postings rows for a tokenized frame
     — shared by build, refresh, and the compaction entry's
-    torn-refresh simulation so all three produce byte-identical
-    rows."""
+    torn-refresh simulation so all three produce byte-identical rows.
+    ``n_buckets`` must be the index's recorded modulus
+    (:func:`_index_buckets`) for anything but a fresh build."""
     return (
         toks.select("doc_id", F.explode("t").alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .withColumn(
             "bucket",
-            F.pmod(F.xxhash64("term"), F.lit(INDEX_TERM_BUCKETS)).cast("int"),
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
         )
     )
 

@@ -399,6 +399,7 @@ def test_compaction_drops_replay_rows_and_serves_identically(spark, tmp_path):
     import os
 
     from bigdata_flightanalysis_spark.queries.retrieval import (
+        _index_buckets,
         _postings_of,
         _toks_of,
         _write_postings,
@@ -417,7 +418,9 @@ def test_compaction_drops_replay_rows_and_serves_identically(spark, tmp_path):
     batch2 = docs.where(F.col("doc_id") >= n // 2)
     refresh_text_index(spark, batch2, idx)
     # torn refresh: postings appended, doc_stats append crashed, retry
-    _write_postings(_postings_of(_toks_of(batch2)), idx, mode="append")
+    _write_postings(
+        _postings_of(_toks_of(batch2), _index_buckets(idx)), idx, mode="append"
+    )
 
     before = spark.read.parquet(f"{idx}/postings")
     n_before, n_distinct = before.count(), before.distinct().count()
@@ -507,3 +510,41 @@ def test_refresh_after_compaction_keeps_converging(spark, tmp_path):
     # post-compact doc_stats holds each doc exactly once
     ds = spark.read.parquet(f"{idx}/doc_stats")
     assert ds.count() == ds.select("doc_id").distinct().count() == n
+
+
+def test_index_serves_with_its_recorded_bucket_modulus(spark, tmp_path, monkeypatch):
+    """The bucket count is a build/serve compatibility contract: an
+    index built when INDEX_TERM_BUCKETS was (say) 8 must keep serving
+    correctly after the constant is raised — the stored modulus wins,
+    so pruning can never select the wrong partitions and drop terms."""
+    import os
+
+    from bigdata_flightanalysis_spark.queries import retrieval as R
+
+    idx = str(tmp_path / "old_modulus")
+    monkeypatch.setattr(R, "INDEX_TERM_BUCKETS", 8)
+    R.build_text_index(spark, SF, idx)
+    monkeypatch.undo()  # "a later release" with the constant back at 64
+    assert R._index_buckets(idx) == 8
+    dirs = {d for d in os.listdir(f"{idx}/postings") if d.startswith("bucket=")}
+    assert len(dirs) <= 8  # really built at the old modulus
+
+    served = [tuple(r) for r in R.bm25_index_topk(spark, idx).collect()]
+    inline = [tuple(r) for r in R.doc_bm25_topk(spark, SF).collect()]
+    assert served == inline
+
+    # and a refresh against the old index keeps using its modulus
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    n = docs.count()
+    idx2 = str(tmp_path / "old_modulus_inc")
+    monkeypatch.setattr(R, "INDEX_TERM_BUCKETS", 8)
+    R.build_text_index_from(spark, docs.where(F.col("doc_id") < n // 2), idx2)
+    monkeypatch.undo()
+    R.refresh_text_index(spark, docs.where(F.col("doc_id") >= n // 2), idx2)
+    dirs2 = {
+        d for d in os.listdir(f"{idx2}/postings") if d.startswith("bucket=")
+    }
+    assert len(dirs2) <= 8  # refresh did NOT scatter into 64 buckets
+    assert [tuple(r) for r in R.bm25_index_topk(spark, idx2).collect()] == inline
