@@ -335,6 +335,7 @@ def upsert_foreach_batch(path: str, key_cols: list[str]):
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_state_contract(path, {"sink": "upsert", "key_cols": key_cols})
         _recover_state_dir(path)
         new = batch_df.withColumn("_v", F.lit(batch_id).cast("long"))
         if os.path.exists(path):
@@ -348,6 +349,34 @@ def upsert_foreach_batch(path: str, key_cols: list[str]):
         _swap_state_dir(merged, path)
 
     return _apply
+
+
+def _check_state_contract(path: str, contract: dict) -> None:
+    """The state dir is bound to the sink parameters that shaped it
+    (key columns; for CDC also changelog order and tombstone marker):
+    re-attaching a sink with different parameters would merge with the
+    wrong window partitioning and silently corrupt the state. The
+    contract is recorded in a sidecar NEXT to the dir (``.contract
+    .json`` — outside it, so the staging-dir swap never clobbers it)
+    on first use and enforced on every re-attach. Same defect class
+    and cure as the embedding store's n_planes and the BM25 index's
+    bucket modulus."""
+    import json
+
+    sidecar = path + ".contract.json"
+    if os.path.exists(sidecar):
+        with open(sidecar, encoding="utf-8") as f:
+            recorded = json.load(f)
+        if recorded != contract:
+            raise ValueError(
+                f"state dir {path} was written with sink contract "
+                f"{recorded}; re-attaching with {contract} would merge "
+                "on the wrong keys/order — use a new state path or "
+                "rebuild the state"
+            )
+    else:
+        with open(sidecar, "w", encoding="utf-8") as f:
+            json.dump(contract, f)
 
 
 def _recover_state_dir(path: str) -> None:
@@ -436,6 +465,16 @@ def cdc_upsert_foreach_batch(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_state_contract(
+            path,
+            {
+                "sink": "cdc_upsert",
+                "key_cols": key_cols,
+                "order_cols": order_cols,
+                "tombstone_col": tombstone_col,
+                "tombstone_value": tombstone_value,
+            },
+        )
         _recover_state_dir(path)
         new = batch_df.withColumn("_v", F.lit(batch_id).cast("long"))
         if os.path.exists(path):

@@ -381,3 +381,37 @@ def test_cdc_tombstone_compaction(spark, tmp_path):
         .count()
         == 1
     )
+
+
+def test_state_contract_rejects_mismatched_reattach(spark, tmp_path):
+    """A state dir is bound to the sink parameters that shaped it: a
+    sink re-attached with different key columns must raise on its
+    first micro-batch instead of silently merging on the wrong window
+    partitioning. Matching re-attach keeps working; the sidecar
+    survives the staging-dir swap."""
+    import os
+
+    import pytest
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        upsert_foreach_batch,
+    )
+
+    path = str(tmp_path / "state")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, v string"
+    )
+    upsert_foreach_batch(path, ["k"])(batch, 0)
+    assert os.path.exists(path + ".contract.json")
+
+    with pytest.raises(ValueError, match="contract"):
+        upsert_foreach_batch(path, ["v"])(batch, 1)
+
+    # matching contract still applies batches (the swap kept the sidecar)
+    upsert_foreach_batch(path, ["k"])(
+        spark.createDataFrame([(2, "b2")], "k bigint, v string"), 1
+    )
+    rows = {
+        r["k"]: r["v"] for r in spark.read.parquet(path).collect()
+    }
+    assert rows == {1: "a", 2: "b2"}
