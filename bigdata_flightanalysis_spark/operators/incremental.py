@@ -105,10 +105,19 @@ def incremental_near_dup_pairs(
     excluded by id).
     """
     from bigdata_flightanalysis_spark.queries.text import (
+        BAND_SIZE,
+        N_PERM,
         _band_frame,
         _signatures_of,
     )
 
+    # the store's buckets are a function of the signature scheme — a
+    # band store from a different (n_perm, band_size) release would
+    # probe on incomparable buckets and silently miss every pair
+    _check_store_meta(
+        store_path,
+        {"scheme": "minhash", "n_perm": N_PERM, "band_size": BAND_SIZE},
+    )
     docs = new_docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
@@ -138,6 +147,10 @@ def incremental_near_dup_pairs(
         .localCheckpoint(eager=True)
     )
     to_append.write.mode("append").parquet(store_path)
+    _record_store_meta(
+        store_path,
+        {"scheme": "minhash", "n_perm": N_PERM, "band_size": BAND_SIZE},
+    )
     return pairs
 
 
@@ -254,37 +267,45 @@ def _meta_path(store_path: str) -> str:
     return os.path.join(store_path, "_store_meta.json")
 
 
-def _check_store_granularity(store_path: str, n_planes: int) -> None:
-    """Raise if an existing store was bucketed at a different
-    ``n_planes`` — a mismatched probe compares sign-bits from
-    different hyperplane sets and silently misses pairs (the store's
-    buckets and the batch's buckets would never collide on the same
-    plane semantics). A store with no sidecar (pre-round-8) is
-    stamped on the next append instead."""
+def _check_store_meta(store_path: str, meta: dict) -> None:
+    """Raise if an existing store was built with different parameters
+    than this call is applying — a mismatched probe joins on keys
+    derived from a different scheme and silently MISSES pairs rather
+    than erroring. A store with no sidecar (pre-round-8) is stamped on
+    the next append instead."""
     import json
 
     if not os.path.exists(store_path):
         return
-    meta = _meta_path(store_path)
-    if os.path.exists(meta):
-        with open(meta, encoding="utf-8") as f:
-            recorded = json.load(f)["n_planes"]
-        if recorded != n_planes:
+    sidecar = _meta_path(store_path)
+    if os.path.exists(sidecar):
+        with open(sidecar, encoding="utf-8") as f:
+            recorded = json.load(f)
+        if recorded != meta:
+            fmt = lambda d: ", ".join(f"{k}={v}" for k, v in d.items())  # noqa: E731
             raise ValueError(
-                f"embedding store at {store_path} was bucketed with "
-                f"n_planes={recorded}; probing with n_planes={n_planes} "
-                "would silently miss pairs — rebuild (rebucket) the "
-                "store to change granularity"
+                f"store at {store_path} was built with {fmt(recorded)}; "
+                f"this call uses {fmt(meta)} — probing across schemes "
+                "silently misses pairs; rebuild (or rebucket) the store "
+                "to change parameters"
             )
 
 
-def _record_store_granularity(store_path: str, n_planes: int) -> None:
+def _record_store_meta(store_path: str, meta: dict) -> None:
     import json
 
-    meta = _meta_path(store_path)
-    if not os.path.exists(meta):
-        with open(meta, "w", encoding="utf-8") as f:
-            json.dump({"n_planes": n_planes}, f)
+    sidecar = _meta_path(store_path)
+    if not os.path.exists(sidecar):
+        with open(sidecar, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+
+
+def _check_store_granularity(store_path: str, n_planes: int) -> None:
+    _check_store_meta(store_path, {"n_planes": n_planes})
+
+
+def _record_store_granularity(store_path: str, n_planes: int) -> None:
+    _record_store_meta(store_path, {"n_planes": n_planes})
 
 
 def _recover_store_dir(store_path: str) -> None:

@@ -495,3 +495,34 @@ def test_hyperplane_bank_overflow_raises(spark):
 
     with _pytest.raises(ValueError, match="hyperplane bank"):
         _spark_bucket(F.col("embedding"), len(HYPERPLANES) + 1)
+
+
+def test_band_store_records_signature_scheme(spark, tmp_path):
+    """The MinHash band store stamps its signature scheme; a store
+    from a different (n_perm, band_size) release must be rejected
+    rather than probed on incomparable buckets."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_near_dup_pairs,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    store = str(tmp_path / "band_store")
+    incremental_near_dup_pairs(
+        spark, docs.where(F.col("doc_id") % 2 == 0), store
+    )
+    meta = _os.path.join(store, "_store_meta.json")
+    with open(meta, encoding="utf-8") as f:
+        recorded = _json.load(f)
+    assert recorded["scheme"] == "minhash" and recorded["n_perm"] == 16
+    # simulate a store written by a release with a different scheme
+    with open(meta, "w", encoding="utf-8") as f:
+        _json.dump({"scheme": "minhash", "n_perm": 32, "band_size": 4}, f)
+    with _pytest.raises(ValueError, match="n_perm=32"):
+        incremental_near_dup_pairs(
+            spark, docs.where(F.col("doc_id") % 2 == 1), store
+        )
