@@ -19,6 +19,12 @@ from pyspark.sql.window import Window
 from bigdata_flightanalysis_spark.functions.text import md5_long, normalize_text
 
 
+# What the exact-dedup fingerprint store's rows are a function of; a
+# release that changes the normalization or hash must bump this (and
+# rebuild stores) rather than silently probe incomparable fingerprints.
+_FP_SCHEME = {"scheme": "exact", "fp": "md5_60bit_normalized_ws"}
+
+
 def fingerprint_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fp): the 60-bit md5 fingerprint of normalized text — the
     same family the oracle-checked `doc_fingerprints` query uses."""
@@ -57,6 +63,12 @@ def incremental_exact_dedup(
     empty. After materialization the returned frame is pinned to the
     pre-append snapshot regardless of when the caller collects it.
     """
+    # the store's fingerprints are a function of the (normalize, hash)
+    # scheme — probing a store written by a release with a different
+    # scheme would treat every historical doc as unseen and silently
+    # re-admit duplicates, so the scheme is stamped and enforced like
+    # the band/embedding stores' bucket parameters
+    _check_store_meta(state_path, _FP_SCHEME)
     fps = fingerprint_docs(new_docs, id_col, text_col)
     w = Window.partitionBy("fp").orderBy("id")
     batch_unique = (
@@ -71,6 +83,7 @@ def incremental_exact_dedup(
         fresh = batch_unique
     fresh = fresh.localCheckpoint(eager=True)
     fresh.select("fp").write.mode("append").parquet(state_path)
+    _record_store_meta(state_path, _FP_SCHEME)
     return new_docs.join(
         fresh.select(F.col("id").alias(id_col)), id_col, "left_semi"
     )
@@ -292,12 +305,13 @@ def _check_store_meta(store_path: str, meta: dict) -> None:
 
 
 def _record_store_meta(store_path: str, meta: dict) -> None:
-    import json
+    from bigdata_flightanalysis_spark.util import atomic_write_json
 
     sidecar = _meta_path(store_path)
     if not os.path.exists(sidecar):
-        with open(sidecar, "w", encoding="utf-8") as f:
-            json.dump(meta, f)
+        # atomic: a crash mid-write must leave the sidecar absent (the
+        # defined pre-metadata state), never truncated
+        atomic_write_json(sidecar, meta)
 
 
 def _check_store_granularity(store_path: str, n_planes: int) -> None:
@@ -331,10 +345,10 @@ def rebucket_embed_store(
     granularity. The swap is staging + two renames with ``.old``
     recovery (:func:`_recover_store_dir`), so a crash at any point
     leaves a usable store at ONE consistent granularity."""
-    import json
     import shutil
 
     from bigdata_flightanalysis_spark.queries.similarity import _spark_bucket
+    from bigdata_flightanalysis_spark.util import atomic_write_json
 
     _recover_store_dir(store_path)
     staging = store_path + ".staging"
@@ -347,8 +361,9 @@ def rebucket_embed_store(
         .write.partitionBy("bucket")
         .parquet(staging)
     )
-    with open(os.path.join(staging, "_store_meta.json"), "w", encoding="utf-8") as f:
-        json.dump({"n_planes": n_planes}, f)
+    atomic_write_json(
+        os.path.join(staging, "_store_meta.json"), {"n_planes": n_planes}
+    )
     old = store_path + ".old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(store_path, old)

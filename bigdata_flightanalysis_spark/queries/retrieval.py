@@ -377,14 +377,19 @@ INDEX_TERM_BUCKETS = 64  # term-hash partition count for NEW index builds
 
 
 def _record_index_buckets(index_path: str) -> None:
-    import json
     import os
 
+    from bigdata_flightanalysis_spark.util import atomic_write_json
+
     os.makedirs(index_path, exist_ok=True)
-    with open(
-        os.path.join(index_path, "_index_meta.json"), "w", encoding="utf-8"
-    ) as f:
-        json.dump({"n_buckets": INDEX_TERM_BUCKETS}, f)
+    # atomic: a crash mid-write must leave the sidecar absent (the
+    # defined pre-metadata state, served with the legacy constant),
+    # never truncated — a truncated file would block every serve with
+    # a JSONDecodeError until hand-deleted
+    atomic_write_json(
+        os.path.join(index_path, "_index_meta.json"),
+        {"n_buckets": INDEX_TERM_BUCKETS},
+    )
 
 
 def _index_buckets(index_path: str) -> int:

@@ -375,8 +375,11 @@ def _check_state_contract(path: str, contract: dict) -> None:
                 "rebuild the state"
             )
     else:
-        with open(sidecar, "w", encoding="utf-8") as f:
-            json.dump(contract, f)
+        # atomic: a crash mid-write must leave the sidecar absent
+        # (stamped on next attach), never truncated
+        from bigdata_flightanalysis_spark.util import atomic_write_json
+
+        atomic_write_json(sidecar, contract)
 
 
 def _recover_state_dir(path: str) -> None:

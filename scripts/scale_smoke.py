@@ -57,13 +57,16 @@ triangles 14.6 s, k-core (400k clique members) 15.5 s — 50x the
 
 --mode index runs the BM25 inverted-index lifecycle with each leg
 timed separately: BUILD over 90% of the corpus, REFRESH with the held-
-out 10% plus an overlapping 5% replay, then SERVE top-k three times,
-plus the inline full-corpus-scan query for comparison. Reference run
-(local[32], 1M docs): build 75.3 s, refresh 5.7 s (batch-sized, the
-900k-doc postings never rescanned), serve 5.4/3.4/2.0 s steady ~2 s
-vs inline scan 10.0 s — at 20k docs steady serve was 1.4 s, so a 50x
-corpus grew serve only 1.4x (bucket-pruned postings reads) while the
-inline scan grew 9x.
+out 10% plus an overlapping 5% replay, SERVE top-k three times,
+COMPACT the replay duplicates away, re-serve, plus the inline
+full-corpus-scan query for comparison. Reference run (local[32], 1M
+docs, idle machine): build 34.0 s, refresh 6.2 s (batch-sized, the
+900k-doc postings never rescanned), serve 5.7/1.8/1.8 s (first serve
+pays file listing, steady ~1.8 s) vs inline scan 5.1 s; compact
+12.7 s (~1/3 of build — index bytes, not corpus text), post-compact
+serve 2.1/1.9 s with identical rows. At 20k docs steady serve was
+1.4 s, so a 50x corpus grew serve only ~1.3x (bucket-pruned postings
+reads) while the inline scan grew with the corpus.
 
 --mode embstore pushes --rows vectors through the maintained
 bucket-partitioned embedding near-dup store in --batches equal
@@ -237,16 +240,19 @@ def _smoke_analytics(spark, args, out: dict) -> None:
 def _smoke_index(spark, args, out: dict) -> None:
     """BM25 index lifecycle at scale: BUILD the inverted index over
     90% of the generated corpus, REFRESH it with the remaining 10%
-    (re-sending an overlapping slice to exercise replay), then SERVE
-    top-k repeatedly — each leg timed separately, plus the inline
-    full-corpus-scan query for comparison. The money shape: serve cost
-    is bucket-pruned postings reads, independent of a corpus rescan;
-    refresh cost tracks the BATCH, not the accumulated index."""
+    (re-sending an overlapping slice to exercise replay), SERVE top-k
+    repeatedly, COMPACT the replayed duplicates away, and re-serve —
+    each leg timed separately, plus the inline full-corpus-scan query
+    for comparison. The money shape: serve cost is bucket-pruned
+    postings reads, independent of a corpus rescan; refresh cost
+    tracks the BATCH, not the accumulated index; compaction cost
+    tracks index bytes, never the corpus text."""
     import tempfile
 
     from bigdata_flightanalysis_spark.queries.retrieval import (
         bm25_index_topk,
         build_text_index_from,
+        compact_text_index,
         doc_bm25_topk,
         refresh_text_index,
     )
@@ -290,6 +296,22 @@ def _smoke_index(spark, args, out: dict) -> None:
         out["n_serve_topk"] = bm25_index_topk(spark, idx, terms=terms).count()
         serve_times.append(round(time.perf_counter() - t0, 2))
     out["t_serve_each_s"] = serve_times
+
+    # COMPACT: fold the replayed duplicate postings away and rewrite
+    # each bucket to one file (a long refresh stream accumulates one
+    # file per bucket per refresh), then re-serve — compaction cost
+    # scales with index bytes (never the corpus text), and the
+    # post-compaction serve shows the file-count win.
+    t0 = time.perf_counter()
+    compact_text_index(spark, idx)
+    out["t_index_compact_s"] = round(time.perf_counter() - t0, 2)
+    post_times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n = bm25_index_topk(spark, idx, terms=terms).count()
+        post_times.append(round(time.perf_counter() - t0, 2))
+    assert n == out["n_serve_topk"], "compaction changed the served rows"
+    out["t_serve_post_compact_each_s"] = post_times
 
     t0 = time.perf_counter()
     out["n_inline_topk"] = doc_bm25_topk(spark, tmp, terms=terms).count()

@@ -526,3 +526,26 @@ def test_band_store_records_signature_scheme(spark, tmp_path):
         incremental_near_dup_pairs(
             spark, docs.where(F.col("doc_id") % 2 == 1), store
         )
+
+
+def test_exact_store_records_fingerprint_scheme(spark, tmp_path):
+    """The fingerprint store stamps its (normalize, hash) scheme; a
+    store from a release with a different scheme must be rejected —
+    probing it would treat all history as unseen and re-admit dups."""
+    import json as _json
+    import os as _os
+
+    import pytest as _pytest
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    store = str(tmp_path / "fp_store")
+    incremental_exact_dedup(spark, docs.where(F.col("doc_id") < 40), store)
+    meta = _os.path.join(store, "_store_meta.json")
+    with open(meta, encoding="utf-8") as f:
+        assert _json.load(f)["scheme"] == "exact"
+    with open(meta, "w", encoding="utf-8") as f:
+        _json.dump({"scheme": "exact", "fp": "xxhash64_raw"}, f)
+    with _pytest.raises(ValueError, match="xxhash64_raw"):
+        incremental_exact_dedup(
+            spark, docs.where(F.col("doc_id") >= 40), store
+        )
