@@ -14,7 +14,9 @@ swapping ``stream_events``; everything downstream is source-agnostic.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 from collections.abc import Iterable, Iterator
@@ -71,6 +73,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the testdata dir mixes all ten tables, so stage a dir containing
     # just the events file (symlink — no data copy).
     stage = tempfile.mkdtemp(prefix="events_stream_")
+    # the stage must outlive the (lazy) stream, so defer cleanup to
+    # interpreter exit — it holds one symlink, never data
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
     os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
     raw = spark.readStream.schema(schema).parquet(stage)
     return normalize_event_ts(raw)
@@ -422,17 +427,27 @@ def run_foreach_batch(
     output_mode: str = "update",
 ) -> None:
     """Drive a streaming frame through a ``foreachBatch`` sink to
-    completion (AvailableNow)."""
+    completion (AvailableNow).
+
+    Pass ``checkpoint_dir`` to make the run resumable (crash-replay
+    tests do); without it an anonymous temp checkpoint is used and
+    removed afterwards — the caller never learns its path, so it can
+    never be resumed and keeping it would only leak a dir per run.
+    """
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="fb_ckpt_")
-    q = (
-        stream.writeStream.foreachBatch(sink_fn)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    q.stop()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sink_fn)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        if checkpoint_dir is None:
+            shutil.rmtree(checkpoint, ignore_errors=True)
 
 
 def cdc_upsert_foreach_batch(

@@ -415,3 +415,34 @@ def test_state_contract_rejects_mismatched_reattach(spark, tmp_path):
         r["k"]: r["v"] for r in spark.read.parquet(path).collect()
     }
     assert rows == {1: "a", 2: "b2"}
+
+
+def test_anonymous_checkpoint_is_removed(spark, tmp_path, monkeypatch):
+    """run_foreach_batch without a checkpoint_dir must remove its
+    anonymous temp checkpoint — the caller never learns the path, so
+    it can never be resumed and keeping it leaks a dir per run."""
+    import tempfile
+
+    made: list[str] = []
+    real_mkdtemp = tempfile.mkdtemp
+
+    def tracking_mkdtemp(*a, **kw):
+        p = real_mkdtemp(*a, **kw)
+        if kw.get("prefix", "").startswith("fb_ckpt_"):
+            made.append(p)
+        return p
+
+    monkeypatch.setattr(tempfile, "mkdtemp", tracking_mkdtemp)
+
+    src_dir = _write_events_files(spark, str(tmp_path / "src"))
+    state = str(tmp_path / "state")
+    src = (
+        spark.readStream.schema(read_table(spark, SF_DIR, "events").schema)
+        .parquet(src_dir)
+    )
+    per_user = src.groupBy("user_id").agg(F.count("*").alias("n"))
+    run_foreach_batch(
+        per_user, upsert_foreach_batch(state, ["user_id"])
+    )
+    assert made, "the anonymous checkpoint path was not created"
+    assert not os.path.exists(made[0])
