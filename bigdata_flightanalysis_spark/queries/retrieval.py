@@ -374,6 +374,16 @@ INDEX_TERM_BUCKETS = 64  # term-hash partition count for NEW index builds
 # and serve/refresh/compact use the STORED value — raising the
 # constant for a bigger cluster can never mis-serve an older index.
 # (Same defect class, same cure as the embedding store's n_planes.)
+#
+# The TOKENIZER is the same kind of contract: postings are a function
+# of how documents were split into terms, so refreshing an index built
+# by a release with different tokenization would mix incompatible
+# postings (and a serve's terms would partially miss) — silently wrong
+# scores, not an error. The build stamps its scheme and refresh/serve
+# verify it; changing `tokenize` requires bumping this tag (and
+# rebuilding indexes). Pre-stamp indexes (no meta / no tokenizer key)
+# predate the tag and are accepted as legacy.
+_INDEX_TOKENIZER = "ws_split_trim_v1"  # functions.text.tokenize
 
 
 def _record_index_buckets(index_path: str) -> None:
@@ -388,21 +398,40 @@ def _record_index_buckets(index_path: str) -> None:
     # a JSONDecodeError until hand-deleted
     atomic_write_json(
         os.path.join(index_path, "_index_meta.json"),
-        {"n_buckets": INDEX_TERM_BUCKETS},
+        {"n_buckets": INDEX_TERM_BUCKETS, "tokenizer": _INDEX_TOKENIZER},
     )
 
 
-def _index_buckets(index_path: str) -> int:
-    """The bucket modulus this index was BUILT with (pre-round-8
-    indexes carry no meta file and used the then-constant 64)."""
+def _index_meta(index_path: str) -> dict:
     import json
     import os
 
     meta = os.path.join(index_path, "_index_meta.json")
     if os.path.exists(meta):
         with open(meta, encoding="utf-8") as f:
-            return int(json.load(f)["n_buckets"])
-    return 64
+            return json.load(f)
+    return {}
+
+
+def _index_buckets(index_path: str) -> int:
+    """The bucket modulus this index was BUILT with (pre-round-8
+    indexes carry no meta file and used the then-constant 64)."""
+    return int(_index_meta(index_path).get("n_buckets", 64))
+
+
+def _check_index_tokenizer(index_path: str) -> None:
+    """Raise if the index was built with a DIFFERENT tokenization
+    scheme than this release's `tokenize` — refreshing would mix
+    incompatible postings and serving would partially miss terms,
+    both silently. Absent stamp = pre-tag legacy index, accepted."""
+    recorded = _index_meta(index_path).get("tokenizer")
+    if recorded is not None and recorded != _INDEX_TOKENIZER:
+        raise ValueError(
+            f"index at {index_path} was built with tokenizer "
+            f"{recorded!r}; this release tokenizes with "
+            f"{_INDEX_TOKENIZER!r} — refreshing or serving across "
+            "schemes is silently wrong; rebuild the index"
+        )
 
 
 def build_text_index(
@@ -438,6 +467,7 @@ def bm25_index_topk(
     double division. The corpus text is never touched: the scan reads
     ≤ |terms| postings partitions (bucket pruning) plus the narrow
     doc-length relation."""
+    _check_index_tokenizer(index_path)
     _recover_corpus_stats(index_path)
     n_buckets = _index_buckets(index_path)  # the modulus the index was BUILT with
     postings = spark.read.parquet(f"{index_path}/postings")
@@ -574,6 +604,7 @@ def refresh_text_index(
     """
     import os
 
+    _check_index_tokenizer(index_path)
     _recover_corpus_stats(index_path)
     toks = _toks_of(new_docs)
     new_stats = toks.select("doc_id", "dl")
@@ -664,6 +695,7 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
     point leaves a servable index."""
     import shutil
 
+    _check_index_tokenizer(index_path)
     _recover_corpus_stats(index_path)
     # staging lives INSIDE the index dir: os.rename must not cross a
     # filesystem boundary, and the index's parent is the one mount we

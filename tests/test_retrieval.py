@@ -548,3 +548,45 @@ def test_index_serves_with_its_recorded_bucket_modulus(spark, tmp_path, monkeypa
     }
     assert len(dirs2) <= 8  # refresh did NOT scatter into 64 buckets
     assert [tuple(r) for r in R.bm25_index_topk(spark, idx2).collect()] == inline
+
+
+def test_index_rejects_foreign_tokenizer_scheme(spark, tmp_path):
+    """The index stamps the tokenization scheme postings were derived
+    with; refresh/serve against an index built by a release with a
+    different tokenizer must raise — mixing postings across schemes
+    (or probing terms the other scheme never produced) is silently
+    wrong, not an error. An index with no stamp (pre-tag legacy) must
+    still serve."""
+    import json
+    import os
+
+    import pytest
+
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index_from,
+        refresh_text_index,
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    build_text_index_from(spark, docs.where(F.col("doc_id") < 40), idx)
+
+    meta_path = os.path.join(idx, "_index_meta.json")
+    with open(meta_path, encoding="utf-8") as f:
+        meta = json.load(f)
+    assert meta["tokenizer"] == "ws_split_trim_v1"
+
+    # legacy index: bucket modulus but no tokenizer stamp → accepted
+    with open(meta_path, "w", encoding="utf-8") as f:
+        json.dump({"n_buckets": meta["n_buckets"]}, f)
+    assert bm25_index_topk(spark, idx).count() > 0
+
+    # foreign scheme → refresh AND serve both refuse
+    with open(meta_path, "w", encoding="utf-8") as f:
+        json.dump({**meta, "tokenizer": "bpe_32k_v2"}, f)
+    with pytest.raises(ValueError, match="bpe_32k_v2"):
+        refresh_text_index(spark, docs.where(F.col("doc_id") >= 40), idx)
+    with pytest.raises(ValueError, match="bpe_32k_v2"):
+        bm25_index_topk(spark, idx)
