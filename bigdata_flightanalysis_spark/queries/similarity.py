@@ -1167,9 +1167,16 @@ def pq_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage 1: ADC scores — M lookup rows per (query, candidate),
     # summed with map-side combine
     adc = (
-        codes.join(
-            F.broadcast(qtables),
-            (codes["m"] == qtables["m"]) & (codes["code"] == qtables["c"]),
+        # string aliases, not codes["m"] == qtables["m"]: both frames
+        # descend from the same emb scan, so the df["col"] form compares
+        # identical expression ids (Spark warns "trivially true" and
+        # falls back to its self-join disambiguation) — the aliased form
+        # states the join condition unambiguously
+        codes.alias("cd")
+        .join(
+            F.broadcast(qtables.alias("qt")),
+            (F.col("cd.m") == F.col("qt.m"))
+            & (F.col("cd.code") == F.col("qt.c")),
         )
         .filter(F.col("query_id") != F.col("vec_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -1293,9 +1300,16 @@ def pq_index_topk(
         pq_subspace_rows(emb.filter(F.col("vec_id") < N_QUERIES)), cb
     )
     adc = (
-        codes.join(
-            F.broadcast(qtables),
-            (codes["m"] == qtables["m"]) & (codes["code"] == qtables["c"]),
+        # string aliases, not codes["m"] == qtables["m"]: both frames
+        # descend from the same emb scan, so the df["col"] form compares
+        # identical expression ids (Spark warns "trivially true" and
+        # falls back to its self-join disambiguation) — the aliased form
+        # states the join condition unambiguously
+        codes.alias("cd")
+        .join(
+            F.broadcast(qtables.alias("qt")),
+            (F.col("cd.m") == F.col("qt.m"))
+            & (F.col("cd.code") == F.col("qt.c")),
         )
         .filter(F.col("query_id") != F.col("vec_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
