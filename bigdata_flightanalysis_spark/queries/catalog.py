@@ -93,6 +93,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # (2) new this round
     "doc_bm25_serve_topk",
     "doc_bm25_compact_topk",
+    "customer_value_deciles_twopass",
+    "customer_rfm_segments_twopass",
+    "events_user_activity_ranked",  # changed: top-k via TakeOrdered
     # (3) r5-dated backfill to the 50-query window (alphabetical)
     "approx_distinct_users_by_type",
     "bloom_filtered_lineitem_revenue",
@@ -117,12 +120,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_url_domains",
     "embed_label_centroids",
     "embed_quantized_topk",
+    # The 50-query window ends here (22 r4-stale + 5 new/changed + 23
+    # r5-dated backfill). The r5-dated entries below are the oldest
+    # remaining rows once this window lands — they lead the r9 window.
     "events_asof_purchase_click",
     "events_minutely_gapfill",
     "events_range_join_error_context",
-    # The 50-query window ends here (22 r4-stale + 2 new + 26 r5-dated).
-    # The 23 r5-dated entries below are the oldest remaining rows once
-    # this window lands — they lead the r9 window.
     "events_sessionization_gaps",
     "events_sliding_distinct_users",
     "nation_share_of_region_revenue",

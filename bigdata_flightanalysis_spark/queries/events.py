@@ -262,18 +262,24 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY rnk
     """,
     description="Global rank over grouped counts with deterministic "
-    "tie-break — top-10 most active users.",
+    "tie-break — top-10 most active users. The ordering tuple is "
+    "TOTAL (user_id is unique), so RANK ≡ ROW_NUMBER and 'rank ≤ 10' "
+    "≡ top-10 — computed as TakeOrderedAndProject over the per-user "
+    "counts instead of a global window over every user (which would "
+    "sort all users in ONE task at scale); the rank column is then a "
+    "window over just the 10 surviving rows.",
     tags=("events", "window", "topk"),
 )
 def events_user_activity_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    # rank()<=10 over ALL users == orderBy().limit(10): the order-by
+    # tuple is total, so no rank ties can straddle the cut. limit
+    # plans as TakeOrderedAndProject (per-partition top-10, merged) —
+    # no single-task sort of the full per-user frame.
+    top = counts.orderBy(F.col("n_events").desc(), F.col("user_id").asc()).limit(10)
     w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
-    return (
-        counts.withColumn("rnk", F.rank().over(w))
-        .filter(F.col("rnk") <= 10)
-        .orderBy("rnk")
-    )
+    return top.withColumn("rnk", F.rank().over(w)).orderBy("rnk")
 
 
 # --------------------------------------------------------------------------

@@ -1331,8 +1331,9 @@ def part_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs over the ALREADY-AGGREGATED frame — one row per customer, "
     "not per order), deciles via ntile with a total-order tie-break, "
     "per-decile stats after. The global ntile is a single-partition "
-    "sort over customers only; at true scale swap it for "
-    "approx-percentile boundary buckets, same output contract.",
+    "sort over customers only; at true scale use the window-free "
+    "customer_value_deciles_twopass twin (percentile_disc boundary "
+    "buckets), same output contract.",
     tags=("relational", "window", "segmentation"),
 )
 def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1347,6 +1348,96 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_cust.withColumn("decile", F.ntile(10).over(w).cast("long"))
     return (
         ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("total_orders"),
+            dsum("spend", "total_spend"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _decile_bounds_sql() -> str:
+    return ",\n                   ".join(
+        f"percentile_disc({i / 10!r}) WITHIN GROUP (ORDER BY spend) AS p{i}"
+        for i in range(1, 10)
+    )
+
+
+def _decile_case_sql() -> str:
+    return " + ".join(
+        f"(CASE WHEN spend < p{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+    )
+
+
+@register(
+    "customer_value_deciles_twopass",
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                       AS spend
+            FROM orders GROUP BY o_custkey
+        ), bounds AS (
+            SELECT {_decile_bounds_sql()}
+            FROM per_cust
+        ), assigned AS (
+            SELECT n_orders, spend,
+                   CAST(1 + {_decile_case_sql()} AS BIGINT) AS decile
+            FROM per_cust CROSS JOIN bounds
+        )
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+               {dsum_sql("spend", "total_spend")},
+               MIN(spend) AS min_spend,
+               MAX(spend) AS max_spend
+        FROM assigned
+        GROUP BY decile
+        ORDER BY decile
+    """,
+    description="Window-free twin of customer_value_deciles — the "
+    "documented at-scale swap, implemented (the same arc as the "
+    "winsorize/MAD two-pass twins): decile BOUNDARIES come from nine "
+    "percentile_disc aggregates over the per-customer spend (one "
+    "map-side-combinable pass, one 1-row result broadcast back), and "
+    "each customer's decile is 1 + the count of boundaries its spend "
+    "falls below — no global NTILE sort in a single task. Semantics "
+    "are value buckets (ties share a decile) rather than NTILE's "
+    "equal-count buckets, hence the separate oracle; percentile_disc "
+    "returns an actual data value, so the boundary comparisons are "
+    "engine-exact with no interpolation arithmetic.",
+    tags=("relational", "window", "segmentation", "scale-twin"),
+)
+def customer_value_deciles_twopass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("spend"),
+    )
+    bounds = per_cust.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / 10!r}) WITHIN GROUP (ORDER BY spend)"
+            ).alias(f"p{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + (F.col("spend") < F.col(f"p{i}")).cast("int")
+    assigned = per_cust.crossJoin(F.broadcast(bounds)).select(
+        "n_orders", "spend", decile.cast("long").alias("decile")
+    )
+    return (
+        assigned.groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
             F.sum("n_orders").cast("long").alias("total_orders"),
@@ -1854,8 +1945,8 @@ def orders_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "totals are engine-exact. The quintile windows are global but run "
     "over the ALREADY-AGGREGATED one-row-per-customer frame — the "
     "reduce-first-then-window ordering; at extreme customer counts "
-    "the documented swap is percentile_approx score boundaries under "
-    "the verified sketch contract.",
+    "use the window-free customer_rfm_segments_twopass twin "
+    "(percentile_disc boundary buckets).",
     tags=("relational", "rfm", "window", "segmentation"),
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1894,6 +1985,133 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
             F.sum("monetary").cast("double").alias("total_monetary"),
+        )
+        .orderBy("rfm_code")
+    )
+
+
+def _quintile_bounds_sql(col: str, prefix: str) -> str:
+    return ",\n                   ".join(
+        f"percentile_disc({i / 5!r}) WITHIN GROUP (ORDER BY {col})"
+        f" AS {prefix}{i}"
+        for i in range(1, 5)
+    )
+
+
+def _quintile_case_sql(col: str, prefix: str, op: str) -> str:
+    cases = " + ".join(
+        f"(CASE WHEN {col} {op} {prefix}{i} THEN 1 ELSE 0 END)"
+        for i in range(1, 5)
+    )
+    return f"1 + {cases}"
+
+
+@register(
+    "customer_rfm_segments_twopass",
+    oracle=f"""
+        WITH rfm AS (
+            SELECT c_custkey,
+                   CAST(date_diff('day', MAX(o_orderdate),
+                        TIMESTAMP '2001-09-01 00:00:00') AS INT)
+                       AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                        AS DOUBLE) AS monetary
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey
+        ), bounds AS (
+            SELECT {_quintile_bounds_sql("recency_days", "rp")},
+                   {_quintile_bounds_sql("frequency", "fp")},
+                   {_quintile_bounds_sql("monetary", "mp")}
+            FROM rfm
+        ), scored AS (
+            SELECT ({_quintile_case_sql("recency_days", "rp", "<")}) * 100
+                   + ({_quintile_case_sql("frequency", "fp", ">")}) * 10
+                   + ({_quintile_case_sql("monetary", "mp", ">")})
+                       AS rfm_code,
+                   monetary
+            FROM rfm CROSS JOIN bounds
+        )
+        SELECT CAST(rfm_code AS INT) AS rfm_code,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               {dsum_sql("monetary", "total_monetary")}
+        FROM scored
+        GROUP BY rfm_code
+        ORDER BY rfm_code
+    """,
+    description="Window-free twin of customer_rfm_segments — the "
+    "documented at-scale swap, implemented: each axis's quintile "
+    "BOUNDARIES come from four percentile_disc aggregates (all twelve "
+    "in ONE map-side-combinable pass over the per-customer frame, one "
+    "1-row result broadcast back), and each score counts the "
+    "boundaries the customer is on the good side of (recency: below "
+    "= more recent = better; frequency/monetary: above = better — "
+    "the same orientations as the NTILE sort directions). Semantics "
+    "are value buckets (ties share a quintile) rather than NTILE's "
+    "equal-count buckets, hence the separate oracle; monetary is "
+    "compared as the decimal-exact sum cast once to double, "
+    "identically on both engines.",
+    tags=("relational", "rfm", "segmentation", "scale-twin"),
+)
+def customer_rfm_segments_twopass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    rfm = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_custkey")
+        .agg(
+            F.datediff(
+                F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
+            )
+            .cast("int")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    bounds = rfm.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / 5!r}) WITHIN GROUP (ORDER BY {col})"
+            ).alias(f"{prefix}{i}")
+            for col, prefix in (
+                ("recency_days", "rp"),
+                ("frequency", "fp"),
+                ("monetary", "mp"),
+            )
+            for i in range(1, 5)
+        ]
+    )
+
+    def _score(col: str, prefix: str, better):
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + better(F.col(col), F.col(f"{prefix}{i}")).cast("int")
+        return s
+
+    below = lambda x, b: x < b  # noqa: E731 — recency: smaller = better
+    above = lambda x, b: x > b  # noqa: E731 — freq/monetary: bigger = better
+    scored = rfm.crossJoin(F.broadcast(bounds)).select(
+        (
+            _score("recency_days", "rp", below) * 100
+            + _score("frequency", "fp", above) * 10
+            + _score("monetary", "mp", above)
+        )
+        .cast("int")
+        .alias("rfm_code"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("rfm_code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            dsum("monetary", "total_monetary"),
         )
         .orderBy("rfm_code")
     )

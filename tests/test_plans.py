@@ -474,3 +474,34 @@ def test_embed_incremental_and_decontamination_plan_shapes(spark, registry):
     assert "CartesianProduct" not in std_plan
     # the only exchanges: the 64-key moments aggregate + the final sort
     assert "BroadcastExchange" in std_plan or "Broadcast" in std_plan
+
+
+def test_segmentation_twopass_twins_have_no_window(spark, registry):
+    """The percentile_disc boundary-bucket twins of the NTILE
+    segmentation queries exist to remove the single-task global sort
+    (the same straggler class the winsorize twins closed): their
+    plans must contain NO Window node, and assignment must be a
+    broadcast of the one-row bounds frame, never a shuffle of the
+    per-customer frame against it."""
+    for name in (
+        "customer_value_deciles_twopass",
+        "customer_rfm_segments_twopass",
+    ):
+        plan = _plan(registry[name].fn(spark, SF))
+        assert "Window" not in plan, f"{name} still has a window:\n{plan}"
+        assert "percentile_disc" in plan, name
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_activity_ranked_topk_is_take_ordered(spark, registry):
+    """events_user_activity_ranked's 'rank <= 10' is equivalent to
+    top-10 because the ordering tuple is total; the plan must realize
+    it as TakeOrderedAndProject (per-partition top-k, merged) with any
+    Window running AFTER the limit — never a global-sort window over
+    the full per-user frame."""
+    plan = _plan(registry["events_user_activity_ranked"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    win = plan.index("Window")
+    top = plan.index("TakeOrderedAndProject")
+    assert win < top, "window must consume the limited frame, not feed it"
