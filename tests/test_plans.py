@@ -505,3 +505,43 @@ def test_activity_ranked_topk_is_take_ordered(spark, registry):
     win = plan.index("Window")
     top = plan.index("TakeOrderedAndProject")
     assert win < top, "window must consume the limited frame, not feed it"
+
+
+def test_no_full_width_scan_in_any_registry_query(spark, registry):
+    """Registry-wide structural guard (the 100 TB I/O tax): no query
+    may scan EVERY column of a wide table — column pruning must reach
+    the parquet scan. The only allowed full-width readers are the
+    table profilers, whose job is every column by definition. Narrow
+    tables (≤4 columns: region, nation, embeddings) are exempt —
+    full-width there is usually the query's real projection."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    widths = {
+        t: len(pq.read_schema(f"{sf}/{t}.parquet").names)
+        for t in (
+            "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents",
+        )
+    }
+    allowed = {"orders_profile", "orders_profile_approx"}
+    pat = re.compile(r"FileScan parquet \[([^\]]*)\].*?/(\w+)\.parquet")
+    offenders = []
+    for name, q in registry.items():
+        if name in allowed:
+            continue
+        try:
+            plan = q.fn(spark, sf)._jdf.queryExecution().executedPlan().treeString()
+        except Exception:  # noqa: BLE001 — other tests own per-query failures
+            continue
+        for line in plan.splitlines():
+            m = pat.search(line)
+            if not m:
+                continue
+            ncols = len([c for c in m.group(1).split(",") if c.strip()])
+            tbl = m.group(2)
+            if tbl in widths and widths[tbl] > 4 and ncols >= widths[tbl]:
+                offenders.append((name, tbl))
+    assert offenders == []
