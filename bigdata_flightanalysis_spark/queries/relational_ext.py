@@ -1402,19 +1402,37 @@ def _decile_case_sql() -> str:
     description="Window-free twin of customer_value_deciles — the "
     "documented at-scale swap, implemented (the same arc as the "
     "winsorize/MAD two-pass twins): decile BOUNDARIES come from nine "
-    "percentile_disc aggregates over the per-customer spend (one "
-    "map-side-combinable pass, one 1-row result broadcast back), and "
-    "each customer's decile is 1 + the count of boundaries its spend "
-    "falls below — no global NTILE sort in a single task. Semantics "
-    "are value buckets (ties share a decile) rather than NTILE's "
+    "percentile_disc aggregates over the per-customer spend, "
+    "broadcast back as one row, and each customer's decile is 1 + "
+    "the count of boundaries its spend falls below — no global NTILE "
+    "sort in a single task (the window form sorts EVERY customer in "
+    "one task; here the percentile merge task handles per-partition "
+    "value-count sketches, O(distinct spends), and every other task "
+    "is bounded). An exchange-reuse pin keeps the bounds and "
+    "assignment branches canonically identical so the orders scan + "
+    "per-customer shuffle run ONCE (plan-asserted). Semantics are "
+    "value buckets (ties share a decile) rather than NTILE's "
     "equal-count buckets, hence the separate oracle; percentile_disc "
     "returns an actual data value, so the boundary comparisons are "
     "engine-exact with no interpolation arithmetic.",
     tags=("relational", "window", "segmentation", "scale-twin"),
 )
 def customer_value_deciles_twopass(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
+    """``approx=False`` (the registry/oracle form) takes boundaries
+    from nine exact percentile_disc aggregates — engine-reproducible,
+    but each buffers the full spend multiset, so the merge task holds
+    O(distinct spends) state nine times over. ``approx=True`` is the
+    EXTREME-scale form (the profile_table approx= pattern): ONE shared
+    percentile_approx sketch yields all nine boundaries with bounded
+    memory at any customer count; boundaries may be off by up to
+    1/accuracy in rank, every customer still lands in exactly one
+    bucket, and no SQL engine reproduces the sketch — so the smoke
+    checks its invariants, not a hash."""
     orders = read_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
@@ -1422,19 +1440,46 @@ def customer_value_deciles_twopass(
         .cast("double")
         .alias("spend"),
     )
-    bounds = per_cust.agg(
-        *[
+    if approx:
+        bound_cols = [
+            F.percentile_approx(
+                "spend", [i / 10 for i in range(1, 10)], accuracy
+            ).alias("ps"),
+        ]
+    else:
+        bound_cols = [
             F.expr(
                 f"percentile_disc({i / 10!r}) WITHIN GROUP (ORDER BY spend)"
             ).alias(f"p{i}")
             for i in range(1, 10)
         ]
+    bounds = per_cust.agg(
+        *bound_cols,
+        # EXCHANGE-REUSE PIN: the boundaries only need `spend`, so
+        # column pruning would narrow this branch's per_cust subtree
+        # below the main branch's (which also needs n_orders) and the
+        # two per-customer shuffles would no longer canonicalize equal
+        # — Spark would scan and shuffle orders TWICE. Aggregating
+        # n_orders here and consuming it in the always-true filter
+        # below keeps both subtrees identical, so ReuseExchange runs
+        # the scan + shuffle ONCE (plan-asserted in tests/test_plans).
+        F.max("n_orders").alias("_pin_n_orders"),
     )
+    if approx:
+        bounds = bounds.select(
+            *[F.col("ps")[i - 1].alias(f"p{i}") for i in range(1, 10)],
+            "_pin_n_orders",
+        )
     decile = F.lit(1)
     for i in range(1, 10):
         decile = decile + (F.col("spend") < F.col(f"p{i}")).cast("int")
-    assigned = per_cust.crossJoin(F.broadcast(bounds)).select(
-        "n_orders", "spend", decile.cast("long").alias("decile")
+    assigned = (
+        per_cust.crossJoin(F.broadcast(bounds))
+        # always true (per-customer counts are >= 1): exists only to
+        # reference the pin so pruning can't drop it — semantic no-op,
+        # absent from the oracle by design
+        .where(F.col("_pin_n_orders") >= 0)
+        .select("n_orders", "spend", decile.cast("long").alias("decile"))
     )
     return (
         assigned.groupBy("decile")
@@ -2054,8 +2099,15 @@ def _quintile_case_sql(col: str, prefix: str, op: str) -> str:
     tags=("relational", "rfm", "segmentation", "scale-twin"),
 )
 def customer_rfm_segments_twopass(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
+    """``approx=False`` (the registry/oracle form): twelve exact
+    percentile_disc boundaries. ``approx=True``: ONE shared
+    percentile_approx sketch per axis (three total) — the bounded-
+    memory extreme-scale form; see customer_value_deciles_twopass."""
     customer = read_table(spark, sf_dir, "customer").select("c_custkey")
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
@@ -2075,19 +2127,32 @@ def customer_rfm_segments_twopass(
             .alias("monetary"),
         )
     )
-    bounds = rfm.agg(
-        *[
-            F.expr(
-                f"percentile_disc({i / 5!r}) WITHIN GROUP (ORDER BY {col})"
-            ).alias(f"{prefix}{i}")
-            for col, prefix in (
-                ("recency_days", "rp"),
-                ("frequency", "fp"),
-                ("monetary", "mp"),
-            )
-            for i in range(1, 5)
-        ]
-    )
+    axes = (("recency_days", "rp"), ("frequency", "fp"), ("monetary", "mp"))
+    if approx:
+        bounds = rfm.agg(
+            *[
+                F.percentile_approx(
+                    col, [i / 5 for i in range(1, 5)], accuracy
+                ).alias(f"_{prefix}s")
+                for col, prefix in axes
+            ]
+        ).select(
+            *[
+                F.col(f"_{prefix}s")[i - 1].alias(f"{prefix}{i}")
+                for _, prefix in axes
+                for i in range(1, 5)
+            ]
+        )
+    else:
+        bounds = rfm.agg(
+            *[
+                F.expr(
+                    f"percentile_disc({i / 5!r}) WITHIN GROUP (ORDER BY {col})"
+                ).alias(f"{prefix}{i}")
+                for col, prefix in axes
+                for i in range(1, 5)
+            ]
+        )
 
     def _score(col: str, prefix: str, better):
         s = F.lit(1)

@@ -68,6 +68,19 @@ serve 2.1/1.9 s with identical rows. At 20k docs steady serve was
 1.4 s, so a 50x corpus grew serve only ~1.3x (bucket-pruned postings
 reads) while the inline scan grew with the corpus.
 
+--mode segmentation races the NTILE window segmentation queries
+against their percentile boundary-bucket twins at --rows orders over
+rows/5 customers, and checks every form partitions ALL customers with
+identical spend mass. Reference run (local[32], 10M orders / 2M
+customers): deciles — window 10.6 s, exact percentile_disc twopass
+17.3 s, approx=True twopass 3.2 s; RFM — window 13.7 s, exact twopass
+12.2 s, approx 6.6 s. The shape: the window form's tail is ONE task
+sorting every customer; the exact twopass swaps that for a percentile
+merge task buffering the value multiset per percentile (oracle-exact,
+but not smaller); approx=True (one shared percentile_approx sketch
+per axis) is the true extreme-scale form — bounded memory at any
+customer count and 2-3x faster than the window form already at 2M.
+
 --mode embstore pushes --rows vectors through the maintained
 bucket-partitioned embedding near-dup store in --batches equal
 ingest batches (incremental_embed_near_dup_pairs), recording
@@ -389,6 +402,98 @@ def _smoke_embstore(spark, args, out: dict) -> None:
     out["t_fullrecompute_s"] = round(time.perf_counter() - t0, 2)
 
 
+def _smoke_segmentation(spark, args, out: dict) -> None:
+    """NTILE window forms vs the percentile_disc boundary-bucket twins
+    at a customer count where the global window's single-task sort is
+    visible: generate an orders-shaped table (--rows orders over
+    rows/5 customers, deterministic xxhash64 pseudo-values), run each
+    form, time them separately, and check both forms partition ALL
+    customers (identical customer counts and spend mass — the twins
+    bucket by value, so per-bucket rows differ by design; the totals
+    must not)."""
+    import tempfile
+
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+
+    reg = load_all()
+    tmp = tempfile.mkdtemp(prefix="scale_seg_")
+    n_cust = max(args.rows // 5, 1)
+    out["n_customers"] = n_cust
+    t0 = time.perf_counter()
+    orders = spark.range(0, args.rows, 1, args.partitions).select(
+        F.pmod(F.xxhash64("id", F.lit(args.seed)), F.lit(n_cust)).alias(
+            "o_custkey"
+        ),
+        (
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100_000)) / 100.0 + 1.0
+        ).alias("o_totalprice"),
+        F.timestamp_seconds(
+            F.lit(915_148_800)  # 1999-01-01
+            + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(86_400 * 900))
+        ).alias("o_orderdate"),
+    )
+    orders.write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    (
+        spark.read.parquet(f"{tmp}/orders.parquet")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/customer.parquet")
+    )
+    # hash assignment leaves a few keys orderless — the live customer
+    # count is what both forms must fully partition
+    n_cust = spark.read.parquet(f"{tmp}/customer.parquet").count()
+    out["n_customers"] = n_cust
+    out["t_generate_s"] = round(time.perf_counter() - t0, 2)
+
+    from bigdata_flightanalysis_spark.queries.relational_ext import (
+        customer_rfm_segments_twopass,
+        customer_value_deciles_twopass,
+    )
+
+    results = {}
+    for name in (
+        "customer_value_deciles",
+        "customer_value_deciles_twopass",
+        "customer_rfm_segments",
+        "customer_rfm_segments_twopass",
+    ):
+        t0 = time.perf_counter()
+        results[name] = reg[name].fn(spark, tmp).collect()
+        out[f"t_{name}_s"] = round(time.perf_counter() - t0, 2)
+    # the extreme-scale approx=True forms: one shared
+    # percentile_approx sketch per axis, bounded memory at any
+    # customer count (the exact percentile_disc boundaries buffer the
+    # full value multiset once PER percentile in the merge task)
+    for name, fn in (
+        ("customer_value_deciles_approx", customer_value_deciles_twopass),
+        ("customer_rfm_segments_approx", customer_rfm_segments_twopass),
+    ):
+        t0 = time.perf_counter()
+        results[name] = fn(spark, tmp, approx=True).collect()
+        out[f"t_{name}_s"] = round(time.perf_counter() - t0, 2)
+
+    for base, money in (
+        ("customer_value_deciles", "total_spend"),
+        ("customer_rfm_segments", "total_monetary"),
+    ):
+        a = results[base]
+        n_a = sum(r["n_customers"] for r in a)
+        m_a = sum(r[money] for r in a)
+        for variant in ("_twopass", "_approx"):
+            b = results[base + variant]
+            n_b = sum(r["n_customers"] for r in b)
+            assert n_a == n_b == n_cust, (base, variant, n_a, n_b, n_cust)
+            m_b = sum(r[money] for r in b)
+            assert abs(m_a - m_b) <= 1e-9 * max(abs(m_a), 1.0), (
+                base, variant, m_a, m_b,
+            )
+    out["n_decile_buckets_twopass"] = len(
+        results["customer_value_deciles_twopass"]
+    )
+    out["n_rfm_codes_twopass"] = len(results["customer_rfm_segments_twopass"])
+
+
 def _smoke_streaming(spark, args, out: dict) -> None:
     """Streaming soak: the unbounded synthetic source drained through
     the exactly-once incremental-dedup ingest (foreachBatch + the
@@ -483,6 +588,7 @@ def main() -> None:
             "streaming",
             "index",
             "embstore",
+            "segmentation",
         ],
         default="docs",
     )
@@ -517,6 +623,12 @@ def main() -> None:
         out_s: dict = {"rows": args.rows}
         _smoke_streaming(spark, args, out_s)
         print(json.dumps(out_s))
+        spark.stop()
+        return
+    if args.mode == "segmentation":
+        out_g: dict = {"rows": args.rows, "partitions": args.partitions}
+        _smoke_segmentation(spark, args, out_g)
+        print(json.dumps(out_g))
         spark.stop()
         return
     if args.mode in ("embeddings", "both"):

@@ -487,11 +487,19 @@ def test_segmentation_twopass_twins_have_no_window(spark, registry):
         "customer_value_deciles_twopass",
         "customer_rfm_segments_twopass",
     ):
-        plan = _plan(registry[name].fn(spark, SF))
+        df = registry[name].fn(spark, SF)
+        plan = _plan(df)
         assert "Window" not in plan, f"{name} still has a window:\n{plan}"
         assert "percentile_disc" in plan, name
         assert "BroadcastNestedLoopJoin" in plan, name
         assert "CartesianProduct" not in plan, name
+        # the bounds and assignment branches must share ONE orders
+        # scan + per-customer shuffle (the exchange-reuse pin in the
+        # query keeps both subtrees canonically identical) — AQE only
+        # realizes the reuse in the final executed plan, so collect
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().treeString()
+        assert "ReusedExchange" in final, f"{name} scans orders twice"
 
 
 def test_activity_ranked_topk_is_take_ordered(spark, registry):
@@ -545,3 +553,38 @@ def test_no_full_width_scan_in_any_registry_query(spark, registry):
             if tbl in widths and widths[tbl] > 4 and ncols >= widths[tbl]:
                 offenders.append((name, tbl))
     assert offenders == []
+
+
+def test_segmentation_approx_mode_partitions_all_customers(spark):
+    """approx=True boundary buckets (one shared percentile_approx
+    sketch per axis — the bounded-memory extreme-scale form) must
+    still place EVERY customer in exactly one bucket with the exact
+    forms' spend mass; bucket populations may differ from the exact
+    boundaries by the sketch's rank error, which is the accepted
+    trade."""
+    from bigdata_flightanalysis_spark.queries.relational_ext import (
+        customer_rfm_segments_twopass,
+        customer_value_deciles_twopass,
+    )
+
+    exact = customer_value_deciles_twopass(spark, SF).collect()
+    approx = customer_value_deciles_twopass(spark, SF, approx=True).collect()
+    assert sum(r["n_customers"] for r in approx) == sum(
+        r["n_customers"] for r in exact
+    )
+    assert abs(
+        sum(r["total_spend"] for r in approx)
+        - sum(r["total_spend"] for r in exact)
+    ) < 1e-6
+    assert {r["decile"] for r in approx} <= set(range(1, 11))
+
+    exact_r = customer_rfm_segments_twopass(spark, SF).collect()
+    approx_r = customer_rfm_segments_twopass(spark, SF, approx=True).collect()
+    assert sum(r["n_customers"] for r in approx_r) == sum(
+        r["n_customers"] for r in exact_r
+    )
+    for r in approx_r:
+        code = r["rfm_code"]
+        assert 111 <= code <= 555 and all(
+            1 <= int(d) <= 5 for d in str(code)
+        ), code
