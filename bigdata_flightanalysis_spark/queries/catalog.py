@@ -183,6 +183,14 @@ def load_all() -> dict[str, EngineQuery]:
         raise RuntimeError(
             f"_VERIFY_FIRST names not in registry: {sorted(missing)}"
         )
+    if len(set(_VERIFY_FIRST)) != len(_VERIFY_FIRST):
+        # A duplicate collapses in the ordered dict below, silently
+        # shifting every later entry up one slot — an unstaged query
+        # slides into the externally-verified window and a staged one
+        # falls out, with no error anywhere.
+        seen: set[str] = set()
+        dups = [n for n in _VERIFY_FIRST if n in seen or seen.add(n)]
+        raise RuntimeError(f"_VERIFY_FIRST has duplicates: {sorted(set(dups))}")
     ordered = {n: REGISTRY[n] for n in _VERIFY_FIRST}
     ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
     return ordered

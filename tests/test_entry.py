@@ -29,3 +29,19 @@ def test_every_registry_query_runs_at_smoke_sf(spark):
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.columns, name
         df.limit(5).collect()  # forces execution of the whole plan
+
+
+def test_rotation_staging_is_valid():
+    """The verification-window staging must fail fast on BOTH silent
+    failure modes: names missing from the registry (round-4 incident)
+    and duplicated names (a duplicate collapses in the reorder dict,
+    silently shifting an unstaged query into the externally-verified
+    window). load_all() itself raises on either; this pins the
+    contract plus the window arithmetic."""
+    from bigdata_flightanalysis_spark.queries import catalog
+
+    names = list(catalog.load_all())  # raises on missing/duplicate
+    vf = catalog._VERIFY_FIRST
+    assert len(set(vf)) == len(vf)
+    assert len(vf) >= 50, "staging must cover the driver's ~50-row window"
+    assert names[: len(vf)] == list(vf)
