@@ -15,7 +15,29 @@ import sys
 
 def _load(path: str) -> dict:
     with open(path) as f:
-        d = json.load(f)
+        text = f.read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        # Raw bench.py output is TWO JSON lines since round 7 (detail
+        # payload first, compact headline last) — a whole-file parse
+        # fails with "Extra data". Prefer the line carrying per-query
+        # detail, else the last parseable one.
+        payloads = []
+        for line in text.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                payloads.append(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+        detailed = [p for p in payloads if "queries" in p]
+        if detailed:
+            return detailed[-1]
+        if payloads:
+            return payloads[-1]
+        raise SystemExit(f"{path}: no bench payload found")
     if "queries" in d:
         return d
     # Driver wrapper: bench.py prints the detail payload (has
@@ -71,4 +93,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # `| head` closed the pipe — normal CLI use
+        pass
