@@ -192,9 +192,19 @@ def incremental_embed_near_dup_pairs(
 
     Replay safety mirrors the MinHash form: the batch's bucketed rows
     are materialized before the append (pairs pinned to the pre-append
-    snapshot), and the append anti-joins the store on vec_id, so a
-    crash-replayed batch neither duplicates store rows nor changes the
-    emitted pair set.
+    snapshot), and the append anti-joins the store on (vec_id, bucket)
+    — bucket is in the key so the anti-join partition-prunes to the
+    batch's buckets, and a replayed vec_id carries the identical
+    embedding hence the identical bucket — so a crash-replayed batch
+    neither duplicates store rows nor changes the emitted pair set.
+
+    The store is APPEND-ONLY keyed by vector identity: re-sending a
+    vec_id with a DIFFERENT embedding is an update, which no append
+    key-choice can honor (the old row stays in the store either way)
+    — it lands as a second row in the new embedding's bucket, and
+    both versions then participate in later probes. Updates require
+    rebuilding the store, the same contract as the fingerprint and
+    band stores.
 
     ``n_planes`` (default: the registry's NEAR_DUP_PLANES) is the same
     bucket-granularity scale lever as ``embed_near_dup_pairs``: a
@@ -327,10 +337,17 @@ def _recover_store_dir(store_path: str) -> None:
     a crash between its renames leaves no live store but a complete
     ``.old`` — without this hook the next ingest would see "no store"
     and silently restart history from its own batch. Rename the old
-    granularity back; a rebucket can then be re-run."""
+    granularity back; a rebucket can then be re-run. A ``.old`` next
+    to a healthy live store (rebucket completed, final cleanup
+    didn't) is removed — it would otherwise sit at full store size
+    until the next rebucket."""
+    import shutil
+
     old = store_path + ".old"
     if not os.path.exists(store_path) and os.path.exists(old):
         os.rename(old, store_path)
+    elif os.path.exists(store_path):
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def rebucket_embed_store(

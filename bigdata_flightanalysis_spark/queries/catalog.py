@@ -58,14 +58,16 @@ def register(
 # Round-8 rotation. After r7, per-query newest-driver-row dates are:
 # 22 queries at r4 (all TPC-H/relational shapes — the r7 verdict's only
 # remaining staleness, staged to lead this window), 49 at r5, 48 at r6,
-# 50 at r7. Priority: (1) the 22 r4-dated rows; (2) queries new or
-# changed this round — doc_bm25_serve_topk (the serve-only index row
-# the r7 verdict asked for) and doc_bm25_compact_topk (the compaction
-# lifecycle row); (3) backfill with the ALPHABETICALLY FIRST 26 of the
-# 49 r5-dated rows. Window = 22 + 2 + 26 = 50. The remaining 23
-# r5-dated names are listed below the cut and lead the r9 window; once
-# this window lands, no row is older than r5 and the steady-state cap
-# holds (171 queries / 50-row window => no row older than ~3 rounds).
+# 50 at r7. Priority: (1) the 22 r4-dated rows; (2) the 5 queries new
+# or changed this round — doc_bm25_serve_topk (the serve-only index
+# row the r7 verdict asked for), doc_bm25_compact_topk (the compaction
+# lifecycle row), the two percentile-boundary segmentation twins, and
+# events_user_activity_ranked (re-planned as TakeOrderedAndProject);
+# (3) backfill with the ALPHABETICALLY FIRST 23 of the 49 r5-dated
+# rows. Window = 22 + 5 + 23 = 50. The remaining 26 r5-dated names
+# are listed below the cut and lead the r9 window; once this window
+# lands, no row is older than r5 and the steady-state cap holds
+# (173 queries / 50-row window => no row older than ~3 rounds).
 _VERIFY_FIRST: tuple[str, ...] = (
     # (1) last driver-checked in r4 — the 22 stale rows
     "latest_order_per_customer_status",

@@ -606,6 +606,14 @@ def refresh_text_index(
 
     _check_index_tokenizer(index_path)
     _recover_corpus_stats(index_path)
+    if not os.path.exists(f"{index_path}/doc_stats") and not os.path.exists(
+        f"{index_path}/postings"
+    ):
+        # refresh onto a nonexistent index creates one de novo — it
+        # must stamp the modulus + tokenizer like a build does, or the
+        # index it leaves behind is forever unstamped (served with the
+        # legacy constant even after the build constant changes)
+        _record_index_buckets(index_path)
     toks = _toks_of(new_docs)
     new_stats = toks.select("doc_id", "dl")
 
@@ -630,17 +638,9 @@ def refresh_text_index(
     # streaming _swap_state_dir/_recover_state_dir pair): a plain
     # rmtree-then-rename has a crash window that leaves the index with
     # NO corpus_stats, failing every serve until a batch is replayed.
-    # Here a crash between the two renames leaves a complete .old that
-    # the next serve/refresh restores via _recover_corpus_stats.
-    import shutil
-
-    live = f"{index_path}/corpus_stats"
-    old = live + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(live):
-        os.rename(live, old)
-    os.rename(f"{index_path}/corpus_stats.new", live)
-    shutil.rmtree(old, ignore_errors=True)
+    # A crash between the two renames leaves a complete .old that the
+    # next serve/refresh restores via _recover_corpus_stats.
+    _swap_index_dir(f"{index_path}/corpus_stats.new", f"{index_path}/corpus_stats")
 
 
 def _recover_corpus_stats(index_path: str) -> None:
@@ -652,14 +652,20 @@ def _recover_corpus_stats(index_path: str) -> None:
     before reading. Called on every serve (:func:`bm25_index_topk`)
     and at the top of every refresh/compact; corpus totals stale by
     one batch then converge on the next refresh, which recomputes
-    them from doc_stats unconditionally."""
+    them from doc_stats unconditionally. A ``.old`` NEXT TO a healthy
+    live dir is the other crash residue (swap completed, final
+    cleanup didn't) — removed here, or a serve-only workload would
+    carry a full-relation-sized leftover forever."""
     import os
+    import shutil
 
     for rel in ("corpus_stats", "postings", "doc_stats"):
         live = f"{index_path}/{rel}"
         old = live + ".old"
         if not os.path.exists(live) and os.path.exists(old):
             os.rename(old, live)
+        elif os.path.exists(live):
+            shutil.rmtree(old, ignore_errors=True)
 
 
 def _swap_index_dir(staging: str, live: str) -> None:
@@ -722,6 +728,23 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
     # compacted and uncompacted relations
     _swap_index_dir(p_staging, f"{index_path}/postings")
     _swap_index_dir(d_staging, f"{index_path}/doc_stats")
+
+    # corpus_stats was last aggregated over the PRE-dedup doc_stats:
+    # if the defensive dropDuplicates above actually removed rows
+    # (e.g. two racing refreshes whose anti-joins both saw a doc as
+    # unseen), serving with the stale totals would inflate n_docs and
+    # avgdl until the next refresh. Recompute from the deduped
+    # relation — on a clean index this rewrites identical numbers.
+    (
+        spark.read.parquet(f"{index_path}/doc_stats")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/corpus_stats.new")
+    )
+    _swap_index_dir(f"{index_path}/corpus_stats.new", f"{index_path}/corpus_stats")
 
 
 @register(
@@ -848,7 +871,21 @@ def build_text_index_from(
     """build_text_index over an explicit docs frame (the registry
     builder reads the table itself). Records the build's bucket
     modulus in the index so later serve/refresh legs can never apply
-    a different one."""
+    a different one.
+
+    Rebuilding over an EXISTING index (what the scheme-mismatch
+    errors tell the operator to do) first clears the old relations:
+    the stamp must precede the data writes (a crash between data and
+    a late stamp would serve new-modulus postings under the legacy
+    constant), but stamping a fresh scheme OVER foreign postings
+    would make a mid-build crash silently mis-serve them — clearing
+    first turns that crash state into a loud missing-relation error
+    on the next serve, which a re-run of the build heals."""
+    import shutil
+
+    for rel in ("postings", "doc_stats", "corpus_stats"):
+        shutil.rmtree(f"{index_path}/{rel}", ignore_errors=True)
+        shutil.rmtree(f"{index_path}/{rel}.old", ignore_errors=True)
     _record_index_buckets(index_path)
     toks = _toks_of(docs)
     toks.select("doc_id", "dl").write.mode("overwrite").parquet(

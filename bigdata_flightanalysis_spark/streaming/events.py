@@ -365,10 +365,22 @@ def _check_state_contract(path: str, contract: dict) -> None:
     .json`` — outside it, so the staging-dir swap never clobbers it)
     on first use and enforced on every re-attach. Same defect class
     and cure as the embedding store's n_planes and the BM25 index's
-    bucket modulus."""
+    bucket modulus.
+
+    ``rmtree(state_path)`` is the defined reset everywhere in this
+    codebase — but the sidecar lives NEXT to the dir and survives it,
+    so a reset + re-attach with different parameters must re-stamp,
+    not raise against state that no longer exists. The dir counts as
+    existing if ``.old`` does: a crash between the swap renames
+    leaves only ``.old``, and treating that as "no state" would let a
+    wrong-keyed sink stamp a new contract and then merge the
+    recovered history on the wrong keys."""
     import json
 
     sidecar = path + ".contract.json"
+    if not os.path.exists(path) and not os.path.exists(path + ".old"):
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
     if os.path.exists(sidecar):
         with open(sidecar, encoding="utf-8") as f:
             recorded = json.load(f)
@@ -394,10 +406,14 @@ def _recover_state_dir(path: str) -> None:
     micro-batch would silently rebuild state from only its own rows,
     losing the compacted history (and with it the exactly-once
     contract). Rename ``.old`` back BEFORE reading; replay idempotence
-    then converges the rolled-back batch."""
+    then converges the rolled-back batch. A ``.old`` next to a
+    healthy live dir (swap completed, final cleanup didn't) is
+    removed — it would otherwise sit at full state size forever."""
     old = path + ".old"
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
+    elif os.path.exists(path):
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def _swap_state_dir(merged: DataFrame, path: str) -> None:

@@ -549,3 +549,25 @@ def test_exact_store_records_fingerprint_scheme(spark, tmp_path):
         incremental_exact_dedup(
             spark, docs.where(F.col("doc_id") >= 40), store
         )
+
+
+def test_recover_removes_stale_old_next_to_healthy_store(spark, tmp_path):
+    """A crash after rebucket's second rename but before the final
+    cleanup leaves a full-store-sized .old next to a healthy live
+    store; the next ingest must remove it (nothing else ever would)."""
+    import os as _os
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_embed_near_dup_pairs,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    store = str(tmp_path / "store")
+    incremental_embed_near_dup_pairs(
+        spark, emb.where(F.col("vec_id") < 50), store
+    )
+    _os.makedirs(store + ".old")
+    incremental_embed_near_dup_pairs(
+        spark, emb.where(F.col("vec_id") >= 50), store
+    )
+    assert not _os.path.exists(store + ".old")

@@ -590,3 +590,141 @@ def test_index_rejects_foreign_tokenizer_scheme(spark, tmp_path):
         refresh_text_index(spark, docs.where(F.col("doc_id") >= 40), idx)
     with pytest.raises(ValueError, match="bpe_32k_v2"):
         bm25_index_topk(spark, idx)
+
+
+def test_rebuild_over_foreign_index_cannot_silently_serve(spark, tmp_path):
+    """A rebuild into an existing old-scheme index clears the foreign
+    relations BEFORE stamping the new scheme: a completed rebuild
+    serves correctly, and a torn one (crash after the stamp) fails
+    loudly on missing relations instead of serving foreign postings
+    under a fresh stamp."""
+    import json
+    import os
+
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index_from,
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    build_text_index_from(spark, docs, idx)
+    baseline = sorted(map(tuple, bm25_index_topk(spark, idx).collect()))
+
+    # make the index look foreign-schemed, then rebuild over it
+    meta_path = os.path.join(idx, "_index_meta.json")
+    with open(meta_path, encoding="utf-8") as f:
+        meta = json.load(f)
+    with open(meta_path, "w", encoding="utf-8") as f:
+        json.dump({**meta, "tokenizer": "bpe_32k_v2"}, f)
+    build_text_index_from(spark, docs, idx)
+    assert sorted(map(tuple, bm25_index_topk(spark, idx).collect())) == baseline
+
+    # torn rebuild: simulate the crash-after-stamp state — the old
+    # relations are already cleared, so serving must error loudly
+    import shutil
+
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        _record_index_buckets,
+    )
+
+    for rel in ("postings", "doc_stats", "corpus_stats"):
+        shutil.rmtree(os.path.join(idx, rel), ignore_errors=True)
+    _record_index_buckets(idx)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bm25_index_topk(spark, idx).collect()
+
+
+def test_refresh_created_index_is_stamped(spark, tmp_path):
+    """refresh_text_index onto a nonexistent path creates an index de
+    novo — it must stamp modulus + tokenizer like a build, or the
+    index is forever unstamped (served with the legacy constant even
+    after the build constant changes)."""
+    import json
+    import os
+
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        INDEX_TERM_BUCKETS,
+        refresh_text_index,
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    idx = str(tmp_path / "fresh")
+    refresh_text_index(spark, docs, idx)
+    with open(os.path.join(idx, "_index_meta.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    assert meta == {
+        "n_buckets": INDEX_TERM_BUCKETS,
+        "tokenizer": "ws_split_trim_v1",
+    }
+
+
+def test_compaction_recomputes_corpus_stats_after_dedup(spark, tmp_path):
+    """If doc_stats held duplicate doc rows (the state the defensive
+    dropDuplicates exists for), corpus_stats was aggregated over the
+    duplicates — compaction must recompute it from the deduped
+    relation or every serve until the next refresh scores with
+    inflated n_docs/avgdl."""
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index_from,
+        compact_text_index,
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    reg = load_all()
+    docs = read_table(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    build_text_index_from(spark, docs, idx)
+    baseline = sorted(map(tuple, bm25_index_topk(spark, idx).collect()))
+
+    # corrupt: duplicate every doc_stats row AND fold the duplicates
+    # into corpus_stats (what two racing refreshes would leave)
+    ds = spark.read.parquet(f"{idx}/doc_stats").localCheckpoint(eager=True)
+    ds.write.mode("append").parquet(f"{idx}/doc_stats")
+    from pyspark.sql import functions as F2
+
+    (
+        spark.read.parquet(f"{idx}/doc_stats")
+        .agg(
+            F2.count(F2.lit(1)).cast("bigint").alias("n_docs"),
+            F2.sum("dl").cast("bigint").alias("sum_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{idx}/corpus_stats.tmp")
+    )
+    import shutil
+
+    shutil.rmtree(f"{idx}/corpus_stats")
+    shutil.move(f"{idx}/corpus_stats.tmp", f"{idx}/corpus_stats")
+    corrupted = sorted(map(tuple, bm25_index_topk(spark, idx).collect()))
+    assert corrupted != baseline  # the corruption is observable
+
+    compact_text_index(spark, idx)
+    assert sorted(map(tuple, bm25_index_topk(spark, idx).collect())) == baseline
+
+
+def test_recover_removes_stale_old_next_to_healthy_live(spark, tmp_path):
+    """The other swap-crash residue: the swap completed but the final
+    cleanup didn't, leaving a full-relation .old next to a healthy
+    live dir. Serve-only workloads must remove it (it never heals
+    otherwise)."""
+    import os
+
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index_from,
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    build_text_index_from(spark, docs, idx)
+    os.makedirs(f"{idx}/corpus_stats.old")
+    bm25_index_topk(spark, idx).collect()
+    assert not os.path.exists(f"{idx}/corpus_stats.old")

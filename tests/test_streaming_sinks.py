@@ -446,3 +446,36 @@ def test_anonymous_checkpoint_is_removed(spark, tmp_path, monkeypatch):
     )
     assert made, "the anonymous checkpoint path was not created"
     assert not os.path.exists(made[0])
+
+
+def test_state_reset_clears_orphaned_contract(spark, tmp_path):
+    """rmtree(state_path) is the defined reset; the contract sidecar
+    lives NEXT to the dir and survives it, so a reset + re-attach with
+    different key columns must re-stamp, not raise against state that
+    no longer exists. But a dir missing with .old PRESENT is a swap
+    crash, not a reset — the contract must still be enforced there."""
+    import shutil
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        upsert_foreach_batch,
+    )
+
+    path = str(tmp_path / "state")
+    batch = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    upsert_foreach_batch(path, ["k"])(batch, 0)
+    assert os.path.exists(path + ".contract.json")
+
+    # full reset → re-attach with different keys succeeds and restamps
+    shutil.rmtree(path)
+    upsert_foreach_batch(path, ["v"])(batch, 0)
+    import json
+
+    with open(path + ".contract.json", encoding="utf-8") as f:
+        assert json.load(f)["key_cols"] == ["v"]
+
+    # crash-between-renames state (.old only): NOT a reset — enforce
+    import pytest as _pytest
+
+    os.rename(path, path + ".old")
+    with _pytest.raises(ValueError, match="contract"):
+        upsert_foreach_batch(path, ["k"])(batch, 1)
