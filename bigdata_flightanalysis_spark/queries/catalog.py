@@ -61,13 +61,14 @@ def register(
 # 50 at r7. Priority: (1) the 22 r4-dated rows; (2) the 5 queries new
 # or changed this round — doc_bm25_serve_topk (the serve-only index
 # row the r7 verdict asked for), doc_bm25_compact_topk (the compaction
-# lifecycle row), the two percentile-boundary segmentation twins, and
-# events_user_activity_ranked (re-planned as TakeOrderedAndProject);
-# (3) backfill with the ALPHABETICALLY FIRST 23 of the 49 r5-dated
-# rows. Window = 22 + 5 + 23 = 50. The remaining 26 r5-dated names
-# are listed below the cut and lead the r9 window; once this window
-# lands, no row is older than r5 and the steady-state cap holds
-# (173 queries / 50-row window => no row older than ~3 rounds).
+# lifecycle row), the two percentile-boundary segmentation twins plus
+# their approx-sketch contract entries, and events_user_activity_ranked
+# (re-planned as TakeOrderedAndProject); (3) backfill with the
+# ALPHABETICALLY FIRST 21 of the 49 r5-dated rows. Window = 22 + 7 +
+# 21 = 50. The remaining 28 r5-dated names are listed below the cut
+# and lead the r9 window; once this window lands, no row is older than
+# r5 and the steady-state cap holds (175 queries / 50-row window => no
+# row older than ~3-4 rounds).
 _VERIFY_FIRST: tuple[str, ...] = (
     # (1) last driver-checked in r4 — the 22 stale rows
     "latest_order_per_customer_status",
@@ -97,6 +98,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_bm25_compact_topk",
     "customer_value_deciles_twopass",
     "customer_rfm_segments_twopass",
+    "customer_value_deciles_sketch",
+    "customer_rfm_segments_sketch",
     "events_user_activity_ranked",  # changed: top-k via TakeOrdered
     # (3) r5-dated backfill to the 50-query window (alphabetical)
     "approx_distinct_users_by_type",
@@ -120,11 +123,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_stratified_sample",
     "doc_train_test_split",
     "doc_url_domains",
-    "embed_label_centroids",
-    "embed_quantized_topk",
-    # The 50-query window ends here (22 r4-stale + 5 new/changed + 23
+    # The 50-query window ends here (22 r4-stale + 7 new/changed + 21
     # r5-dated backfill). The r5-dated entries below are the oldest
     # remaining rows once this window lands — they lead the r9 window.
+    "embed_label_centroids",
+    "embed_quantized_topk",
     "events_asof_purchase_click",
     "events_minutely_gapfill",
     "events_range_join_error_context",

@@ -1495,6 +1495,127 @@ def customer_value_deciles_twopass(
 
 
 @register(
+    "customer_value_deciles_sketch",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               TRUE AS all_assigned,
+               TRUE AS deciles_in_range,
+               TRUE AS spend_mass_matches_exact
+        FROM orders
+    """,
+    description="CONTRACT oracle for the approx=True decile path — the "
+    "bounded-memory extreme-scale form (one shared percentile_approx "
+    "sketch; 2-3x faster than the NTILE window at 2M customers, "
+    "README 'Scale evidence') is otherwise driver-invisible, the same "
+    "gap the BM25 serve-only row closed for the index. The sketch's "
+    "boundary values may jitter with partial-merge order, so the "
+    "checked invariants are the ones boundary jitter CANNOT move: "
+    "every customer lands in exactly one bucket (count == the exact "
+    "form's == COUNT(DISTINCT o_custkey)), every bucket id is in "
+    "1..10, and the total spend mass equals the exact form's. The "
+    "oracle expects the literal booleans TRUE, so the hash matches "
+    "iff the contract holds — the same trick as "
+    "kmeans_embedding_clusters and the ANN family.",
+    tags=("relational", "segmentation", "approx", "contract"),
+)
+def customer_value_deciles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    approx = customer_value_deciles_twopass(spark, sf_dir, approx=True)
+    exact = customer_value_deciles_twopass(spark, sf_dir)
+    a = approx.agg(
+        F.sum("n_customers").cast("bigint").alias("n"),
+        F.min("decile").alias("dmin"),
+        F.max("decile").alias("dmax"),
+        F.sum(F.col("total_spend").cast("decimal(38,6)")).alias("mass"),
+    )
+    e = exact.agg(
+        F.sum("n_customers").cast("bigint").alias("ne"),
+        F.sum(F.col("total_spend").cast("decimal(38,6)")).alias("masse"),
+    )
+    # both sides are 1-row aggregates; on empty orders every measure is
+    # NULL and the coalesces assert the contract vacuously (0 customers)
+    mass_diff = F.abs(
+        F.col("mass").cast("double") - F.col("masse").cast("double")
+    )
+    return a.crossJoin(e).select(
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_customers"),
+        F.coalesce(F.col("n") == F.col("ne"), F.lit(True)).alias(
+            "all_assigned"
+        ),
+        F.coalesce(
+            (F.col("dmin") >= 1) & (F.col("dmax") <= 10), F.lit(True)
+        ).alias("deciles_in_range"),
+        F.coalesce(
+            mass_diff
+            <= F.lit(1e-9) * F.abs(F.col("masse").cast("double")) + F.lit(1e-6),
+            F.lit(True),
+        ).alias("spend_mass_matches_exact"),
+    )
+
+
+@register(
+    "customer_rfm_segments_sketch",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               TRUE AS all_assigned,
+               TRUE AS codes_in_range,
+               TRUE AS monetary_mass_matches_exact
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    description="CONTRACT oracle for the approx=True RFM path (three "
+    "shared percentile_approx sketches — the bounded-memory form, "
+    "2-5x faster than the triple-NTILE window at 2-10M customers). "
+    "Same invariant design as customer_value_deciles_sketch: checks "
+    "only what sketch jitter cannot move — total customers segmented "
+    "(== COUNT DISTINCT), every 3-digit code has digits in 1..5, and "
+    "the monetary mass equals the exact boundary form's.",
+    tags=("relational", "rfm", "approx", "contract"),
+)
+def customer_rfm_segments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    approx = customer_rfm_segments_twopass(spark, sf_dir, approx=True)
+    exact = customer_rfm_segments_twopass(spark, sf_dir)
+    # min/max over each code's three digits: in-range iff the smallest
+    # digit anywhere is >= 1 and the largest is <= 5
+    digit_ok = (F.col("dig_min") >= 1) & (F.col("dig_max") <= 5)
+    a = approx.agg(
+        F.sum("n_customers").cast("bigint").alias("n"),
+        F.min(
+            F.least(
+                F.floor(F.col("rfm_code") / 100),
+                F.floor(F.pmod(F.col("rfm_code"), 100) / 10),
+                F.pmod(F.col("rfm_code"), 10),
+            )
+        ).alias("dig_min"),
+        F.max(
+            F.greatest(
+                F.floor(F.col("rfm_code") / 100),
+                F.floor(F.pmod(F.col("rfm_code"), 100) / 10),
+                F.pmod(F.col("rfm_code"), 10),
+            )
+        ).alias("dig_max"),
+        F.sum(F.col("total_monetary").cast("decimal(38,6)")).alias("mass"),
+    )
+    e = exact.agg(
+        F.sum("n_customers").cast("bigint").alias("ne"),
+        F.sum(F.col("total_monetary").cast("decimal(38,6)")).alias("masse"),
+    )
+    mass_diff = F.abs(
+        F.col("mass").cast("double") - F.col("masse").cast("double")
+    )
+    return a.crossJoin(e).select(
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("n_customers"),
+        F.coalesce(F.col("n") == F.col("ne"), F.lit(True)).alias(
+            "all_assigned"
+        ),
+        F.coalesce(digit_ok, F.lit(True)).alias("codes_in_range"),
+        F.coalesce(
+            mass_diff
+            <= F.lit(1e-9) * F.abs(F.col("masse").cast("double")) + F.lit(1e-6),
+            F.lit(True),
+        ).alias("monetary_mass_matches_exact"),
+    )
+
+
+@register(
     "nation_share_of_region_revenue",
     oracle=f"""
         WITH per_nation AS (
