@@ -68,7 +68,11 @@ def incremental_exact_dedup(
     # scheme would treat every historical doc as unseen and silently
     # re-admit duplicates, so the scheme is stamped and enforced like
     # the band/embedding stores' bucket parameters
-    _check_store_meta(state_path, _FP_SCHEME)
+    _check_store_meta(
+        state_path,
+        _FP_SCHEME,
+        legacy_check=lambda: _legacy_fp_store_check(state_path),
+    )
     fps = fingerprint_docs(new_docs, id_col, text_col)
     w = Window.partitionBy("fp").orderBy("id")
     batch_unique = (
@@ -130,6 +134,9 @@ def incremental_near_dup_pairs(
     _check_store_meta(
         store_path,
         {"scheme": "minhash", "n_perm": N_PERM, "band_size": BAND_SIZE},
+        legacy_check=lambda: _legacy_band_store_check(
+            store_path, N_PERM, BAND_SIZE
+        ),
     )
     docs = new_docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -290,42 +297,93 @@ def _meta_path(store_path: str) -> str:
     return os.path.join(store_path, "_store_meta.json")
 
 
-def _check_store_meta(store_path: str, meta: dict) -> None:
+def _check_store_meta(store_path, meta, legacy_check=None) -> None:
     """Raise if an existing store was built with different parameters
     than this call is applying — a mismatched probe joins on keys
     derived from a different scheme and silently MISSES pairs rather
-    than erroring. A store with no sidecar (pre-round-8) is stamped on
-    the next append instead."""
-    import json
+    than erroring (``util.check_sidecar``, strict comparison: the
+    store layout is a pure function of EVERY parameter).
+
+    Legacy policy: a store with no sidecar (pre-round-8) is accepted
+    and stamped on the next append — but only after ``legacy_check``
+    (when given) vets its on-disk layout structurally. Without that
+    vet, a legacy store actually built under different parameters
+    would take this call's append (mixing granularities in the data)
+    and then be permanently certified with the WRONG stamp, defeating
+    every future mismatch detection."""
+    from bigdata_flightanalysis_spark.util import check_sidecar
 
     if not os.path.exists(store_path):
         return
-    sidecar = _meta_path(store_path)
-    if os.path.exists(sidecar):
-        with open(sidecar, encoding="utf-8") as f:
-            recorded = json.load(f)
-        if recorded != meta:
-            fmt = lambda d: ", ".join(f"{k}={v}" for k, v in d.items())  # noqa: E731
-            raise ValueError(
-                f"store at {store_path} was built with {fmt(recorded)}; "
-                f"this call uses {fmt(meta)} — probing across schemes "
-                "silently misses pairs; rebuild (or rebucket) the store "
-                "to change parameters"
-            )
+    check_sidecar(
+        _meta_path(store_path), meta, what="store", legacy_check=legacy_check
+    )
 
 
 def _record_store_meta(store_path: str, meta: dict) -> None:
-    from bigdata_flightanalysis_spark.util import atomic_write_json
+    from bigdata_flightanalysis_spark.util import stamp_sidecar
 
-    sidecar = _meta_path(store_path)
-    if not os.path.exists(sidecar):
-        # atomic: a crash mid-write must leave the sidecar absent (the
-        # defined pre-metadata state), never truncated
-        atomic_write_json(sidecar, meta)
+    # overwrite=False: the FIRST stamp is authoritative, appends never
+    # re-stamp (rebucket_embed_store re-stamps via its staging dir)
+    stamp_sidecar(_meta_path(store_path), meta)
+
+
+# --- legacy (unstamped-store) structural vets -------------------------
+# Footer-stats / dirlist probes only — no data scan, no SparkSession —
+# and they run at most once per store: after the first vetted append
+# the store is stamped and the sidecar comparison takes over. Each
+# returns an error string (reject the store) or None (accept + stamp).
+# Best-effort by construction: a legacy store built at a STRICTLY
+# COARSER granularity emits only values the finer scheme also allows,
+# which no structural probe can distinguish — the stamp exists because
+# vetting can't be complete.
+
+
+def _legacy_fp_store_check(state_path: str) -> str | None:
+    from bigdata_flightanalysis_spark.util import parquet_stat_bounds
+
+    lo, hi = parquet_stat_bounds(state_path, "fp")
+    if lo is not None and (lo < 0 or hi >= 1 << 60):
+        return (
+            f"fingerprint range [{lo}, {hi}] outside the 60-bit md5 "
+            f"scheme ({_FP_SCHEME['fp']})"
+        )
+    return None
+
+
+def _legacy_band_store_check(store_path: str, n_perm: int, band_size: int) -> str | None:
+    from bigdata_flightanalysis_spark.util import parquet_stat_bounds
+
+    lo, hi = parquet_stat_bounds(store_path, "band")
+    if lo is not None and (lo < 0 or hi >= n_perm // band_size):
+        return (
+            f"band ids span [{lo}, {hi}], outside this release's "
+            f"scheme (n_perm={n_perm}, band_size={band_size} → "
+            f"{n_perm // band_size} bands)"
+        )
+    return None
+
+
+def _legacy_embed_store_check(store_path: str, n_planes: int) -> str | None:
+    buckets = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(store_path)
+        if d.startswith("bucket=")
+    ]
+    if buckets and (min(buckets) < 0 or max(buckets) >= 1 << n_planes):
+        return (
+            f"bucket dirs span [{min(buckets)}, {max(buckets)}], "
+            f"outside n_planes={n_planes} (< {1 << n_planes} required)"
+        )
+    return None
 
 
 def _check_store_granularity(store_path: str, n_planes: int) -> None:
-    _check_store_meta(store_path, {"n_planes": n_planes})
+    _check_store_meta(
+        store_path,
+        {"n_planes": n_planes},
+        legacy_check=lambda: _legacy_embed_store_check(store_path, n_planes),
+    )
 
 
 def _record_store_granularity(store_path: str, n_planes: int) -> None:
@@ -365,7 +423,7 @@ def rebucket_embed_store(
     import shutil
 
     from bigdata_flightanalysis_spark.queries.similarity import _spark_bucket
-    from bigdata_flightanalysis_spark.util import atomic_write_json
+    from bigdata_flightanalysis_spark.util import stamp_sidecar
 
     _recover_store_dir(store_path)
     staging = store_path + ".staging"
@@ -378,8 +436,10 @@ def rebucket_embed_store(
         .write.partitionBy("bucket")
         .parquet(staging)
     )
-    atomic_write_json(
-        os.path.join(staging, "_store_meta.json"), {"n_planes": n_planes}
+    stamp_sidecar(
+        os.path.join(staging, "_store_meta.json"),
+        {"n_planes": n_planes},
+        overwrite=True,
     )
     old = store_path + ".old"
     shutil.rmtree(old, ignore_errors=True)

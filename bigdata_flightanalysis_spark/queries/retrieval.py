@@ -386,52 +386,52 @@ INDEX_TERM_BUCKETS = 64  # term-hash partition count for NEW index builds
 _INDEX_TOKENIZER = "ws_split_trim_v1"  # functions.text.tokenize
 
 
+def _index_meta_path(index_path: str) -> str:
+    import os
+
+    return os.path.join(index_path, "_index_meta.json")
+
+
 def _record_index_buckets(index_path: str) -> None:
     import os
 
-    from bigdata_flightanalysis_spark.util import atomic_write_json
+    from bigdata_flightanalysis_spark.util import stamp_sidecar
 
     os.makedirs(index_path, exist_ok=True)
-    # atomic: a crash mid-write must leave the sidecar absent (the
-    # defined pre-metadata state, served with the legacy constant),
-    # never truncated — a truncated file would block every serve with
-    # a JSONDecodeError until hand-deleted
-    atomic_write_json(
-        os.path.join(index_path, "_index_meta.json"),
+    # overwrite=True: a rebuild clears the old relations first, so the
+    # fresh stamp must replace any previous one (util.stamp_sidecar is
+    # atomic — absent or complete, never truncated)
+    stamp_sidecar(
+        _index_meta_path(index_path),
         {"n_buckets": INDEX_TERM_BUCKETS, "tokenizer": _INDEX_TOKENIZER},
+        overwrite=True,
     )
-
-
-def _index_meta(index_path: str) -> dict:
-    import json
-    import os
-
-    meta = os.path.join(index_path, "_index_meta.json")
-    if os.path.exists(meta):
-        with open(meta, encoding="utf-8") as f:
-            return json.load(f)
-    return {}
 
 
 def _index_buckets(index_path: str) -> int:
     """The bucket modulus this index was BUILT with (pre-round-8
     indexes carry no meta file and used the then-constant 64)."""
-    return int(_index_meta(index_path).get("n_buckets", 64))
+    from bigdata_flightanalysis_spark.util import read_sidecar
+
+    return int(read_sidecar(_index_meta_path(index_path)).get("n_buckets", 64))
 
 
 def _check_index_tokenizer(index_path: str) -> None:
     """Raise if the index was built with a DIFFERENT tokenization
     scheme than this release's `tokenize` — refreshing would mix
     incompatible postings and serving would partially miss terms,
-    both silently. Absent stamp = pre-tag legacy index, accepted."""
-    recorded = _index_meta(index_path).get("tokenizer")
-    if recorded is not None and recorded != _INDEX_TOKENIZER:
-        raise ValueError(
-            f"index at {index_path} was built with tokenizer "
-            f"{recorded!r}; this release tokenizes with "
-            f"{_INDEX_TOKENIZER!r} — refreshing or serving across "
-            "schemes is silently wrong; rebuild the index"
-        )
+    both silently. Lenient comparison (``util.check_sidecar``): an
+    absent stamp, or a pre-tag stamp lacking the tokenizer key, is a
+    legacy index and accepted."""
+    from bigdata_flightanalysis_spark.util import check_sidecar
+
+    check_sidecar(
+        _index_meta_path(index_path),
+        {"tokenizer": _INDEX_TOKENIZER},
+        what="index",
+        lenient=True,
+        rebuild_hint="rebuild the index",
+    )
 
 
 def build_text_index(

@@ -9,12 +9,34 @@ mid-``json.dump``, fails every later load with a raw
 ``JSONDecodeError`` until someone hand-deletes it. Writing through a
 temp file plus ``os.rename`` (atomic on POSIX within one filesystem)
 keeps the sidecar in one of exactly two states: absent or complete.
+
+``read_sidecar`` / ``stamp_sidecar`` / ``check_sidecar`` are the ONE
+record/check implementation every stamped layout goes through (the
+dedup/embedding stores in ``operators.incremental`` and the BM25 index
+in ``queries.retrieval`` previously carried parallel copies whose
+legacy-handling semantics could drift apart silently). The two policy
+axes that genuinely differ per store are explicit parameters:
+
+- ``lenient``: how an EXISTING stamp is compared. Strict (stores):
+  any difference between recorded and expected raises — the layout is
+  a pure function of every parameter. Lenient (index): only keys
+  present in the recorded stamp are compared, so a pre-tag stamp that
+  lacks a later-added key (round-8 indexes before the tokenizer tag)
+  is accepted as legacy rather than rejected.
+- ``legacy_check``: what to do with an UNSTAMPED existing layout.
+  Default: accept and let the caller stamp it with the current
+  parameters after its next write. A callback can VET the layout
+  structurally first (e.g. bucket ids fit 2^n_planes) so a legacy
+  store built under DIFFERENT parameters is rejected instead of being
+  appended to (mixing granularities) and then permanently certified
+  with the wrong stamp.
 """
 
 from __future__ import annotations
 
 import json
 import os
+from collections.abc import Callable
 
 
 def atomic_write_json(path: str, obj: dict) -> None:
@@ -29,3 +51,88 @@ def atomic_write_json(path: str, obj: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
+
+
+def read_sidecar(sidecar: str) -> dict:
+    """Parse a metadata sidecar; absent → ``{}`` (the defined
+    pre-metadata state — callers apply their legacy policy to it)."""
+    if os.path.exists(sidecar):
+        with open(sidecar, encoding="utf-8") as f:
+            return json.load(f)
+    return {}
+
+
+def stamp_sidecar(sidecar: str, meta: dict, *, overwrite: bool = False) -> None:
+    """Record build parameters atomically (absent-or-complete, never
+    truncated). ``overwrite=False`` — the store policy — keeps the
+    FIRST stamp authoritative: appends re-stamp nothing.
+    ``overwrite=True`` — the index-build policy — re-stamps because a
+    rebuild clears the old relations first."""
+    if overwrite or not os.path.exists(sidecar):
+        atomic_write_json(sidecar, meta)
+
+
+def check_sidecar(
+    sidecar: str,
+    expected: dict,
+    *,
+    what: str = "store",
+    lenient: bool = False,
+    legacy_check: Callable[[], str | None] | None = None,
+    rebuild_hint: str = "rebuild (or rebucket) the store to change parameters",
+) -> None:
+    """Raise ``ValueError`` if the layout holding ``sidecar`` was built
+    with different parameters than ``expected`` — a mismatched probe
+    joins on keys derived from a different scheme and silently MISSES
+    rows rather than erroring. See the module docstring for the
+    ``lenient`` / ``legacy_check`` policy axes."""
+    recorded = read_sidecar(sidecar)
+    target = os.path.dirname(sidecar)
+    if not recorded:
+        if legacy_check is not None:
+            err = legacy_check()
+            if err:
+                raise ValueError(
+                    f"unstamped {what} at {target} fails the legacy "
+                    f"structural check: {err} — it was likely built "
+                    f"under different parameters; {rebuild_hint}"
+                )
+        return
+    if lenient:
+        bad = {k: v for k, v in expected.items() if k in recorded and recorded[k] != v}
+        shown = {k: recorded[k] for k in bad}
+    else:
+        bad = {} if recorded == expected else expected
+        shown = recorded
+    if bad:
+        fmt = lambda d: ", ".join(f"{k}={v}" for k, v in d.items())  # noqa: E731
+        raise ValueError(
+            f"{what} at {target} was built with {fmt(shown)}; this "
+            f"call uses {fmt(expected)} — probing across schemes is "
+            f"silently wrong; {rebuild_hint}"
+        )
+
+
+def parquet_stat_bounds(path: str, col: str) -> tuple:
+    """(min, max) of ``col`` over every parquet footer under ``path``
+    — row-group statistics only, NO data scan and no SparkSession, so
+    legacy-store structural checks stay O(files) however large the
+    store is. ``(None, None)`` when no statistics exist."""
+    import pyarrow.parquet as pq
+
+    lo = hi = None
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fn)).metadata
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    st = c.statistics
+                    if c.path_in_schema != col or st is None or not st.has_min_max:
+                        continue
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi

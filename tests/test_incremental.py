@@ -571,3 +571,102 @@ def test_recover_removes_stale_old_next_to_healthy_store(spark, tmp_path):
         spark, emb.where(F.col("vec_id") >= 50), store
     )
     assert not _os.path.exists(store + ".old")
+
+
+def test_legacy_unstamped_embed_store_vetted_before_stamp(spark, tmp_path):
+    """An unstamped (pre-round-8) embed store is structurally vetted
+    BEFORE being accepted: bucket dirs outside 2^n_planes mean it was
+    built at a different granularity, and appending to it would mix
+    granularities in the data and then certify the WRONG stamp on the
+    next append (round-8 advisory defect). A clean legacy store is
+    accepted and stamped with the vetted parameters."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_embed_near_dup_pairs,
+    )
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    store = str(tmp_path / "store12")
+    incremental_embed_near_dup_pairs(
+        spark, emb.where(F.col("vec_id") % 2 == 0), store, n_planes=12
+    )
+    _os.remove(_os.path.join(store, "_store_meta.json"))  # legacy store
+    # the fixture's 12-plane buckets exceed 2^10 — the vet must see it
+    assert any(
+        int(d.split("=", 1)[1]) >= 1 << 10
+        for d in _os.listdir(store)
+        if d.startswith("bucket=")
+    )
+    with _pytest.raises(ValueError, match="structural check"):
+        incremental_embed_near_dup_pairs(
+            spark, emb.where(F.col("vec_id") % 2 == 1), store, n_planes=10
+        )
+    # matching granularity passes the vet, appends, and re-stamps
+    incremental_embed_near_dup_pairs(
+        spark, emb.where(F.col("vec_id") % 2 == 1), store, n_planes=12
+    )
+    import json as _json
+
+    with open(_os.path.join(store, "_store_meta.json"), encoding="utf-8") as f:
+        assert _json.load(f) == {"n_planes": 12}
+
+
+def test_legacy_unstamped_band_store_vetted_before_stamp(spark, tmp_path):
+    """An unstamped band store whose band ids don't fit this release's
+    (n_perm, band_size) scheme is rejected via parquet footer stats —
+    no data scan — instead of being probed on incomparable buckets and
+    then stamped as if it matched."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_near_dup_pairs,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    store = str(tmp_path / "band_store")
+    incremental_near_dup_pairs(
+        spark, docs.where(F.col("doc_id") % 2 == 0), store
+    )
+    _os.remove(_os.path.join(store, "_store_meta.json"))  # legacy store
+    # clean legacy layout (bands 0..3): accepted and re-stamped
+    incremental_near_dup_pairs(
+        spark, docs.where(F.col("doc_id") % 3 == 1), store
+    )
+    assert _os.path.exists(_os.path.join(store, "_store_meta.json"))
+
+    # foreign legacy layout: a store whose band ids exceed the scheme
+    _os.remove(_os.path.join(store, "_store_meta.json"))
+    spark.createDataFrame(
+        [(999999, 99, 12345)], "doc_id long, band int, bucket long"
+    ).write.mode("append").parquet(store)
+    with _pytest.raises(ValueError, match="structural check"):
+        incremental_near_dup_pairs(
+            spark, docs.where(F.col("doc_id") % 3 == 2), store
+        )
+
+
+def test_legacy_unstamped_fp_store_vetted_before_stamp(spark, tmp_path):
+    """An unstamped fingerprint store with values outside the 60-bit
+    md5 range was written by a different hash scheme — probing it
+    would treat all history as unseen; the vet rejects it instead of
+    stamping it as md5-schemed."""
+    import os as _os
+
+    import pytest as _pytest
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    store = str(tmp_path / "fp_store")
+    incremental_exact_dedup(spark, docs.where(F.col("doc_id") < 40), store)
+    _os.remove(_os.path.join(store, "_store_meta.json"))  # legacy store
+    spark.createDataFrame([(-5,)], "fp long").write.mode("append").parquet(
+        store
+    )
+    with _pytest.raises(ValueError, match="structural check"):
+        incremental_exact_dedup(
+            spark, docs.where(F.col("doc_id") >= 40), store
+        )

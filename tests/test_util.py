@@ -36,3 +36,40 @@ def test_stale_temp_from_crashed_write_is_overwritten(tmp_path):
     with open(p, encoding="utf-8") as f:
         assert json.load(f) == {"ok": True}
     assert not os.path.exists(p + ".tmp")
+
+
+def test_check_sidecar_strict_vs_lenient(tmp_path):
+    """The one record/check implementation behind the stores and the
+    index: strict compares whole dicts (any drift raises); lenient
+    compares only keys PRESENT in the recorded stamp, so a pre-tag
+    stamp lacking a later-added key is accepted as legacy."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.util import check_sidecar, stamp_sidecar
+
+    p = str(tmp_path / "_meta.json")
+    stamp_sidecar(p, {"n_buckets": 64})  # pre-tag stamp: no tokenizer key
+    # lenient: missing key accepted; present-key mismatch raises
+    check_sidecar(p, {"tokenizer": "v1"}, lenient=True)
+    with pytest.raises(ValueError, match="n_buckets=64"):
+        check_sidecar(p, {"n_buckets": 128}, lenient=True)
+    # strict: the same missing key IS a mismatch
+    with pytest.raises(ValueError, match="tokenizer=v1"):
+        check_sidecar(p, {"n_buckets": 64, "tokenizer": "v1"})
+    # absent sidecar: accepted (legacy) unless the structural vet objects
+    missing = str(tmp_path / "nope" / "_meta.json")
+    check_sidecar(missing, {"k": 1})
+    with pytest.raises(ValueError, match="structural check"):
+        check_sidecar(missing, {"k": 1}, legacy_check=lambda: "bad layout")
+
+
+def test_stamp_sidecar_first_stamp_wins_unless_overwrite(tmp_path):
+    from bigdata_flightanalysis_spark.util import read_sidecar, stamp_sidecar
+
+    p = str(tmp_path / "_meta.json")
+    stamp_sidecar(p, {"v": 1})
+    stamp_sidecar(p, {"v": 2})  # store policy: append never re-stamps
+    assert read_sidecar(p) == {"v": 1}
+    stamp_sidecar(p, {"v": 3}, overwrite=True)  # rebuild policy
+    assert read_sidecar(p) == {"v": 3}
+    assert read_sidecar(str(tmp_path / "absent.json")) == {}
