@@ -448,6 +448,84 @@ def rebucket_embed_store(
     shutil.rmtree(old, ignore_errors=True)
 
 
+def compact_embed_store(spark: SparkSession, store_path: str) -> None:
+    """File-count compaction for the maintained embedding store: each
+    ingest appends ONE file per touched bucket
+    (:func:`incremental_embed_near_dup_pairs`'s repartition-then-append),
+    so a long refresh stream grows the store's file listing — and every
+    later probe's listing cost — without bound: the exact condition
+    ``compact_text_index`` fixes for the BM25 postings. Compaction is a
+    rebucket at the RECORDED granularity: one pass over the stored
+    vectors rewrites every bucket to a single file via the same
+    staging + two-rename ``.old`` crash recovery, with bucket
+    assignments (hence all future pair sets) unchanged. An unstamped
+    legacy store has no recorded granularity to preserve — rebucket it
+    explicitly instead."""
+    from bigdata_flightanalysis_spark.util import read_sidecar
+
+    _recover_store_dir(store_path)
+    n_planes = read_sidecar(_meta_path(store_path)).get("n_planes")
+    if n_planes is None:
+        raise ValueError(
+            f"store at {store_path} has no recorded granularity to "
+            "compact at — run rebucket_embed_store(spark, store_path, "
+            "n_planes) with the granularity it was built at"
+        )
+    rebucket_embed_store(spark, store_path, int(n_planes))
+
+
+def compact_flat_store(spark: SparkSession, store_path: str) -> None:
+    """File-count compaction for the flat append-only stores (the
+    MinHash band store and the exact-dedup fingerprint store): each
+    ingest batch appends its own file set, so a long ingest stream
+    grows the listing unboundedly. Rewrites the store sized by BYTES
+    — one output file per ~128 MB, the parquet sweet spot — so the
+    file count is a function of data volume, not of ingest history or
+    session parallelism; duplicate rows two RACING ingests can both
+    admit (their anti-joins each saw the other's rows as absent —
+    harmless to probe semantics, they only cost bytes) are dropped.
+    Probe results are identical before and after (asserted in tests).
+    Same staging + two-rename ``.old`` swap as every other store
+    rewrite; :func:`_recover_store_dir` heals a crash between the
+    renames on the next ingest."""
+    import math
+    import shutil
+
+    _recover_store_dir(store_path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _d, files in os.walk(store_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (128 << 20)))
+    meta = None
+    sidecar = _meta_path(store_path)
+    if os.path.exists(sidecar):
+        from bigdata_flightanalysis_spark.util import read_sidecar
+
+        meta = read_sidecar(sidecar)
+    staging = store_path + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        spark.read.parquet(store_path)
+        .dropDuplicates()
+        .repartition(n_files)
+        .write.parquet(staging)
+    )
+    if meta is not None:
+        from bigdata_flightanalysis_spark.util import stamp_sidecar
+
+        stamp_sidecar(
+            os.path.join(staging, "_store_meta.json"), meta, overwrite=True
+        )
+    old = store_path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(store_path, old)
+    os.rename(staging, store_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Incremental aggregate maintenance (the materialized-view counterpart
 # of the dedup stores above): keep ONE mergeable state row per key and

@@ -667,6 +667,24 @@ def _recover_corpus_stats(index_path: str) -> None:
         elif os.path.exists(live):
             shutil.rmtree(old, ignore_errors=True)
 
+    # Torn refresh/compact tail: both write the recomputed totals to
+    # corpus_stats.new BEFORE their final swaps, so a COMPLETE .new
+    # (Spark's _SUCCESS marker) whose producing sequence got past the
+    # doc_stats promotion (doc_stats.staging no longer exists) is the
+    # intended next state — promote it, or a serve-only workload (no
+    # later refresh/compact) would serve the pre-dedup totals
+    # indefinitely. A .new that is incomplete, or whose doc_stats
+    # promotion never happened (staging still present → .new reflects
+    # the STAGED doc_stats, not the live one), is residue — removed.
+    new = f"{index_path}/corpus_stats.new"
+    if os.path.exists(new):
+        if os.path.exists(os.path.join(new, "_SUCCESS")) and not os.path.exists(
+            f"{index_path}/doc_stats.staging"
+        ):
+            _swap_index_dir(new, f"{index_path}/corpus_stats")
+        else:
+            shutil.rmtree(new, ignore_errors=True)
+
 
 def _swap_index_dir(staging: str, live: str) -> None:
     """Promote a fully-written staging dir to the live path via the
@@ -723,20 +741,22 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
         ["doc_id"]
     ).coalesce(4).write.parquet(d_staging)
 
-    # postings first (the bigger win), then doc_stats — a crash
-    # between the swaps leaves a consistent, servable mix of
-    # compacted and uncompacted relations
-    _swap_index_dir(p_staging, f"{index_path}/postings")
-    _swap_index_dir(d_staging, f"{index_path}/doc_stats")
-
-    # corpus_stats was last aggregated over the PRE-dedup doc_stats:
-    # if the defensive dropDuplicates above actually removed rows
-    # (e.g. two racing refreshes whose anti-joins both saw a doc as
-    # unseen), serving with the stale totals would inflate n_docs and
-    # avgdl until the next refresh. Recompute from the deduped
-    # relation — on a clean index this rewrites identical numbers.
+    # corpus_stats is currently aggregated over the PRE-dedup
+    # doc_stats: if the defensive dropDuplicates above actually removed
+    # rows (e.g. two racing refreshes whose anti-joins both saw a doc
+    # as unseen), serving with the stale totals would inflate n_docs
+    # and avgdl. Recompute from the STAGED (deduped) relation BEFORE
+    # any swap — with every staging complete first, the promotion
+    # sequence below has no crash point that strands corpus_stats
+    # against the new doc_stats: a crash after the doc_stats swap
+    # leaves a complete corpus_stats.new with no doc_stats.staging,
+    # which _recover_corpus_stats promotes on the next serve/refresh
+    # (round-8 advisory: the old order recomputed totals AFTER the
+    # swaps, and a crash in between served inflated totals forever on
+    # a serve-only workload). On a clean index this rewrites identical
+    # numbers.
     (
-        spark.read.parquet(f"{index_path}/doc_stats")
+        spark.read.parquet(d_staging)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("dl").cast("bigint").alias("sum_dl"),
@@ -744,6 +764,13 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{index_path}/corpus_stats.new")
     )
+
+    # postings first (the bigger win), then doc_stats, then the totals
+    # — a crash between any two swaps leaves a consistent, servable
+    # mix (corpus_stats still matches whichever doc_stats is live,
+    # by the recovery rule above)
+    _swap_index_dir(p_staging, f"{index_path}/postings")
+    _swap_index_dir(d_staging, f"{index_path}/doc_stats")
     _swap_index_dir(f"{index_path}/corpus_stats.new", f"{index_path}/corpus_stats")
 
 
@@ -828,7 +855,35 @@ def doc_bm25_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exit. The two lifecycle entries above time build+serve (their cost
 # is ~80% build); this cache lets the driver/bench ALSO record the
 # pure serve latency a production deployment pays per query.
-_SERVE_INDEX_CACHE: dict[str, str] = {}
+# Entries are (index_path, corpus_fingerprint): the fingerprint —
+# size+mtime of every documents data file — is re-checked on every
+# hit, so an in-process corpus change raises loudly instead of
+# serving stale top-k. The lock serializes the first build: two
+# concurrent first calls would otherwise each build a full index and
+# orphan one until interpreter exit.
+import threading as _threading
+
+_SERVE_INDEX_CACHE: dict[str, tuple[str, tuple]] = {}
+_SERVE_INDEX_LOCK = _threading.Lock()
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """(relpath, size, mtime_ns) of every documents data file — cheap
+    (stat-only) and sufficient: any rewrite of the corpus changes an
+    mtime even when sizes collide."""
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.isdir(src):
+        st = os.stat(src)
+        return ((os.path.basename(src), st.st_size, st.st_mtime_ns),)
+    entries = []
+    for root, _dirs, files in os.walk(src):
+        for fn in files:
+            p = os.path.join(root, fn)
+            st = os.stat(p)
+            entries.append((os.path.relpath(p, src), st.st_size, st.st_mtime_ns))
+    return tuple(sorted(entries))
 
 
 def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
@@ -836,15 +891,31 @@ def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    path = _SERVE_INDEX_CACHE.get(sf_dir)
-    if path is None:
+    with _SERVE_INDEX_LOCK:
+        cached = _SERVE_INDEX_CACHE.get(sf_dir)
+        if cached is not None:
+            path, built_fp = cached
+            now_fp = _corpus_fingerprint(sf_dir)
+            if now_fp != built_fp:
+                raise ValueError(
+                    f"documents under {sf_dir} changed since the session "
+                    "serve index was built — serving would return stale "
+                    "top-k; rebuild (drop the cache entry or restart the "
+                    "session) after corpus changes"
+                )
+            return path
+        # fingerprint BEFORE the build: racing a concurrent corpus
+        # rewrite must at worst record the OLDER state (the next serve
+        # then raises) — fingerprinting after could stamp the new
+        # corpus onto an index built from the old one
+        built_fp = _corpus_fingerprint(sf_dir)
         path = tempfile.mkdtemp(prefix="bm25_serve_")
         # register cleanup BEFORE the build so a mid-build failure
         # can't strand a partial index dir past process exit
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         build_text_index(spark, sf_dir, path)
-        _SERVE_INDEX_CACHE[sf_dir] = path
-    return path
+        _SERVE_INDEX_CACHE[sf_dir] = (path, built_fp)
+        return path
 
 
 @register(

@@ -374,16 +374,23 @@ def _check_state_contract(path: str, contract: dict) -> None:
     existing if ``.old`` does: a crash between the swap renames
     leaves only ``.old``, and treating that as "no state" would let a
     wrong-keyed sink stamp a new contract and then merge the
-    recovered history on the wrong keys."""
-    import json
+    recovered history on the wrong keys.
 
+    Comparison is over the NORMALIZED contract (:func:`_normalize_
+    contract`): ``key_cols`` compare as a sorted list — partitioning
+    is a set operation, so the same keys in a different order (or as
+    a tuple, which the JSON round-trip would render as a list) are
+    the same contract; ``order_cols`` keep their order — changelog
+    ordering semantics DO depend on it."""
+    contract = _normalize_contract(contract)
     sidecar = path + ".contract.json"
     if not os.path.exists(path) and not os.path.exists(path + ".old"):
         if os.path.exists(sidecar):
             os.remove(sidecar)
-    if os.path.exists(sidecar):
-        with open(sidecar, encoding="utf-8") as f:
-            recorded = json.load(f)
+    from bigdata_flightanalysis_spark.util import read_sidecar, stamp_sidecar
+
+    recorded = _normalize_contract(read_sidecar(sidecar)) if os.path.exists(sidecar) else None
+    if recorded is not None:
         if recorded != contract:
             raise ValueError(
                 f"state dir {path} was written with sink contract "
@@ -394,9 +401,22 @@ def _check_state_contract(path: str, contract: dict) -> None:
     else:
         # atomic: a crash mid-write must leave the sidecar absent
         # (stamped on next attach), never truncated
-        from bigdata_flightanalysis_spark.util import atomic_write_json
+        stamp_sidecar(sidecar, contract)
 
-        atomic_write_json(sidecar, contract)
+
+def _normalize_contract(contract: dict) -> dict:
+    """Canonical form for contract comparison: sequences become lists
+    (what the JSON round-trip yields anyway), and ``key_cols`` is
+    SORTED — key order doesn't change the merge's partitioning, so a
+    re-attach with the same keys permuted must not be rejected. Every
+    other sequence (``order_cols``) keeps its order: the changelog
+    winner depends on it."""
+    out = {}
+    for k, v in contract.items():
+        if isinstance(v, (list, tuple)):
+            v = sorted(v) if k == "key_cols" else list(v)
+        out[k] = v
+    return out
 
 
 def _recover_state_dir(path: str) -> None:

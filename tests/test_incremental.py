@@ -670,3 +670,144 @@ def test_legacy_unstamped_fp_store_vetted_before_stamp(spark, tmp_path):
         incremental_exact_dedup(
             spark, docs.where(F.col("doc_id") >= 40), store
         )
+
+
+def _parquet_file_count(path):
+    import os as _os
+
+    return sum(
+        1
+        for root, _d, files in _os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def test_compact_embed_store_bounds_files_and_preserves_pairs(spark, tmp_path):
+    """Each ingest appends one file per touched bucket, so a long
+    refresh stream grows the store's file listing unboundedly;
+    compact_embed_store rewrites every bucket to ONE file at the
+    RECORDED granularity — afterwards a probe emits exactly the pairs
+    an uncompacted twin store emits, and the stamp is preserved."""
+    import json as _json
+    import os as _os
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        compact_embed_store,
+        incremental_embed_near_dup_pairs,
+    )
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    batches = [emb.where(F.col("vec_id") % 4 == i) for i in range(4)]
+
+    store = str(tmp_path / "store")
+    twin = str(tmp_path / "twin")
+    for b in batches[:3]:
+        incremental_embed_near_dup_pairs(spark, b, store, n_planes=10)
+        incremental_embed_near_dup_pairs(spark, b, twin, n_planes=10)
+
+    before = _parquet_file_count(store)
+    compact_embed_store(spark, store)
+    after = _parquet_file_count(store)
+    assert after < before
+    # one file per non-empty bucket dir
+    buckets = [d for d in _os.listdir(store) if d.startswith("bucket=")]
+    assert after == len(buckets)
+    with open(_os.path.join(store, "_store_meta.json"), encoding="utf-8") as f:
+        assert _json.load(f) == {"n_planes": 10}
+
+    got = {
+        tuple(r)
+        for r in incremental_embed_near_dup_pairs(
+            spark, batches[3], store, n_planes=10
+        ).collect()
+    }
+    expect = {
+        tuple(r)
+        for r in incremental_embed_near_dup_pairs(
+            spark, batches[3], twin, n_planes=10
+        ).collect()
+    }
+    assert got == expect
+
+    # unstamped store: no recorded granularity to compact at → loud
+    import pytest as _pytest
+
+    _os.remove(_os.path.join(store, "_store_meta.json"))
+    with _pytest.raises(ValueError, match="rebucket_embed_store"):
+        compact_embed_store(spark, store)
+
+
+def test_compact_flat_store_bounds_files_and_preserves_probes(spark, tmp_path):
+    """The band and fingerprint stores accumulate one file set per
+    ingest; compact_flat_store rewrites them to a bounded file count
+    (and drops racing-ingest duplicate rows) without changing any
+    probe result or the scheme stamp."""
+    import json as _json
+    import os as _os
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        compact_flat_store,
+        incremental_near_dup_pairs,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    store = str(tmp_path / "band_store")
+    twin = str(tmp_path / "band_twin")
+    for i in range(3):
+        incremental_near_dup_pairs(
+            spark, docs.where(F.col("doc_id") % 4 == i), store
+        )
+        incremental_near_dup_pairs(
+            spark, docs.where(F.col("doc_id") % 4 == i), twin
+        )
+    # racing-ingest residue: duplicate a slice of the store's rows
+    dup = spark.read.parquet(store).limit(50)
+    dup.write.mode("append").parquet(store)
+    n_logical = spark.read.parquet(twin).count()
+
+    before = _parquet_file_count(store)
+    compact_flat_store(spark, store)
+    after = _parquet_file_count(store)
+    assert after < before
+    assert spark.read.parquet(store).count() == n_logical  # dups dropped
+    with open(_os.path.join(store, "_store_meta.json"), encoding="utf-8") as f:
+        assert _json.load(f)["scheme"] == "minhash"
+
+    last = docs.where(F.col("doc_id") % 4 == 3)
+    got = {
+        tuple(r)
+        for r in incremental_near_dup_pairs(spark, last, store).collect()
+    }
+    expect = {
+        tuple(r)
+        for r in incremental_near_dup_pairs(spark, last, twin).collect()
+    }
+    assert got == expect
+
+
+def test_compact_fp_store_preserves_dedup_decisions(spark, tmp_path):
+    """compact_flat_store on the fingerprint store: the post-compact
+    store admits exactly what an uncompacted twin admits."""
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        compact_flat_store,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    store = str(tmp_path / "fp_store")
+    twin = str(tmp_path / "fp_twin")
+    for i in range(3):
+        incremental_exact_dedup(
+            spark, docs.where(F.col("doc_id") % 4 == i), store
+        )
+        incremental_exact_dedup(
+            spark, docs.where(F.col("doc_id") % 4 == i), twin
+        )
+    before = _parquet_file_count(store)
+    compact_flat_store(spark, store)
+    assert _parquet_file_count(store) < before
+
+    last = docs.where(F.col("doc_id") % 4 == 3)
+    got = {r["doc_id"] for r in incremental_exact_dedup(spark, last, store).collect()}
+    expect = {r["doc_id"] for r in incremental_exact_dedup(spark, last, twin).collect()}
+    assert got == expect

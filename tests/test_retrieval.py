@@ -728,3 +728,189 @@ def test_recover_removes_stale_old_next_to_healthy_live(spark, tmp_path):
     os.makedirs(f"{idx}/corpus_stats.old")
     bm25_index_topk(spark, idx).collect()
     assert not os.path.exists(f"{idx}/corpus_stats.old")
+
+
+def test_compact_crash_before_corpus_swap_heals_inflated_totals(
+    spark, tmp_path, monkeypatch
+):
+    """Round-8 advisory: a crash after compact's doc_stats swap but
+    before the corpus_stats promotion used to leave totals aggregated
+    over the PRE-dedup doc_stats — a serve-only workload then served
+    inflated n_docs/avgdl forever. compact now stages the recomputed
+    totals BEFORE any swap, and _recover_corpus_stats promotes a
+    complete corpus_stats.new whose doc_stats promotion already
+    happened — so the very next serve returns the clean-index scores."""
+    import os
+
+    from bigdata_flightanalysis_spark.queries import retrieval as R
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    clean_idx = str(tmp_path / "clean")
+    R.build_text_index_from(spark, docs, clean_idx)
+    expected = [tuple(r) for r in R.bm25_index_topk(spark, clean_idx).collect()]
+    clean_totals = spark.read.parquet(f"{clean_idx}/corpus_stats").collect()[0]
+
+    # an index whose doc_stats carries racing-refresh duplicates and
+    # whose corpus_stats (as after any later refresh) is aggregated
+    # over them — the inflated state compaction exists to fix
+    idx = str(tmp_path / "torn")
+    R.build_text_index_from(spark, docs, idx)
+    dup = spark.read.parquet(f"{idx}/doc_stats")
+    dup.write.mode("append").parquet(f"{idx}/doc_stats")
+    (
+        spark.read.parquet(f"{idx}/doc_stats")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{idx}/corpus_stats.inflated")
+    )
+    R._swap_index_dir(f"{idx}/corpus_stats.inflated", f"{idx}/corpus_stats")
+    inflated = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
+    assert inflated["n_docs"] == 2 * clean_totals["n_docs"]
+
+    # compact, crashing at the corpus_stats promotion (the 3rd swap)
+    real_swap = R._swap_index_dir
+    calls = {"n": 0}
+
+    def crashing_swap(staging, live):
+        calls["n"] += 1
+        if live.endswith("/corpus_stats"):
+            raise RuntimeError("simulated crash before corpus_stats swap")
+        real_swap(staging, live)
+
+    monkeypatch.setattr(R, "_swap_index_dir", crashing_swap)
+    try:
+        R.compact_text_index(spark, idx)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(R, "_swap_index_dir", real_swap)
+    assert calls["n"] == 3  # postings, doc_stats, corpus_stats
+    # the torn state the advisory describes: deduped doc_stats live,
+    # inflated corpus_stats live, complete .new waiting
+    assert os.path.exists(f"{idx}/corpus_stats.new/_SUCCESS")
+    assert not os.path.exists(f"{idx}/doc_stats.staging")
+    assert (
+        spark.read.parquet(f"{idx}/corpus_stats").collect()[0]["n_docs"]
+        == inflated["n_docs"]
+    )
+
+    # serve-only workload: the first serve must heal the totals and
+    # return the clean-index scores (no refresh/compact ever runs)
+    got = [tuple(r) for r in R.bm25_index_topk(spark, idx).collect()]
+    assert got == expected
+    healed = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
+    assert tuple(healed) == tuple(clean_totals)
+    assert not os.path.exists(f"{idx}/corpus_stats.new")
+
+
+def test_recover_removes_new_totals_when_doc_stats_unswapped(
+    spark, tmp_path, monkeypatch
+):
+    """The dual guard: a compact crash BEFORE the doc_stats promotion
+    leaves corpus_stats.new reflecting the STAGED doc_stats, not the
+    live one — recovery must remove it (promoting would desync totals
+    from the live relation), and the live index must keep serving its
+    pre-compact state."""
+    import os
+
+    from bigdata_flightanalysis_spark.queries import retrieval as R
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    R.build_text_index_from(spark, docs, idx)
+    before = [tuple(r) for r in R.bm25_index_topk(spark, idx).collect()]
+    totals_before = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
+
+    real_swap = R._swap_index_dir
+
+    def crashing_swap(staging, live):
+        raise RuntimeError("simulated crash before any swap")
+
+    monkeypatch.setattr(R, "_swap_index_dir", crashing_swap)
+    try:
+        R.compact_text_index(spark, idx)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(R, "_swap_index_dir", real_swap)
+    assert os.path.exists(f"{idx}/corpus_stats.new/_SUCCESS")
+    assert os.path.exists(f"{idx}/doc_stats.staging")
+
+    got = [tuple(r) for r in R.bm25_index_topk(spark, idx).collect()]
+    assert got == before
+    assert not os.path.exists(f"{idx}/corpus_stats.new")  # residue removed
+    assert (
+        tuple(spark.read.parquet(f"{idx}/corpus_stats").collect()[0])
+        == tuple(totals_before)
+    )
+
+
+def test_serve_cache_raises_on_corpus_change_and_builds_once(
+    spark, tmp_path, monkeypatch
+):
+    """The session serve-index cache is keyed by corpus content, not
+    just path: if the documents under an sf_dir change in-process, the
+    next serve raises loudly instead of returning stale top-k. And the
+    first build is lock-serialized — concurrent first calls share ONE
+    index instead of orphaning a duplicate until interpreter exit."""
+    import os
+    import shutil
+    import threading
+
+    from bigdata_flightanalysis_spark.queries import retrieval as R
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    src = f"{SF}/documents.parquet"
+    dst = f"{sf_dir}/documents.parquet"
+    (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, dst)
+
+    builds = {"n": 0}
+    real_build = R.build_text_index
+
+    def counting_build(spark_, sf_dir_, path_):
+        builds["n"] += 1
+        real_build(spark_, sf_dir_, path_)
+
+    monkeypatch.setattr(R, "build_text_index", counting_build)
+
+    paths = []
+    errs = []
+
+    def first_call():
+        try:
+            paths.append(R._served_index_path(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    threads = [threading.Thread(target=first_call) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs and len(set(paths)) == 1 and builds["n"] == 1
+
+    # unchanged corpus: cache hit, no rebuild, no error
+    assert R._served_index_path(spark, sf_dir) == paths[0]
+    assert builds["n"] == 1
+
+    # mutate the corpus (any data-file mtime change): loud error
+    target = dst
+    if os.path.isdir(dst):
+        target = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(dst)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    st = os.stat(target)
+    os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="changed since"):
+        R._served_index_path(spark, sf_dir)
+    _SERVE = R._SERVE_INDEX_CACHE.pop(sf_dir, None)  # clean up for other tests
+    assert _SERVE is not None

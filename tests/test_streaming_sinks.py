@@ -479,3 +479,57 @@ def test_state_reset_clears_orphaned_contract(spark, tmp_path):
     os.rename(path, path + ".old")
     with _pytest.raises(ValueError, match="contract"):
         upsert_foreach_batch(path, ["k"])(batch, 1)
+
+
+def test_state_contract_tolerates_tuple_and_key_order(spark, tmp_path):
+    """Round-8 advisory: the contract compared JSON-round-tripped
+    dicts with !=, so key_cols passed as a TUPLE (or the same keys
+    permuted) spuriously failed every re-attach after the first
+    stamp. key_cols now compare as a sorted list — partitioning is a
+    set operation; order_cols (changelog semantics) stay
+    order-sensitive."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        cdc_upsert_foreach_batch,
+        upsert_foreach_batch,
+    )
+
+    path = str(tmp_path / "state")
+    batch = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "b")], "k bigint, g string, v string"
+    )
+    upsert_foreach_batch(path, ["k", "g"])(batch, 0)
+    # tuple + permuted keys: same contract, must keep applying batches
+    upsert_foreach_batch(path, ("g", "k"))(
+        spark.createDataFrame([(2, "y", "b2")], "k bigint, g string, v string"),
+        1,
+    )
+    rows = {(r["k"], r["g"]): r["v"] for r in spark.read.parquet(path).collect()}
+    assert rows == {(1, "x"): "a", (2, "y"): "b2"}
+    # genuinely different keys still raise
+    with pytest.raises(ValueError, match="contract"):
+        upsert_foreach_batch(path, ["k"])(batch, 2)
+
+    # order_cols ORDER is semantic: a permuted re-attach must raise
+    cdc_path = str(tmp_path / "cdc_state")
+    cdc = spark.createDataFrame(
+        [(1, 10, 1, "a", "U")],
+        "k bigint, ts bigint, seq bigint, v string, op string",
+    )
+    sink = cdc_upsert_foreach_batch(
+        cdc_path,
+        ["k"],
+        order_cols=["ts", "seq"],
+        tombstone_col="op",
+        tombstone_value="D",
+    )
+    sink(cdc, 0)
+    with pytest.raises(ValueError, match="contract"):
+        cdc_upsert_foreach_batch(
+            cdc_path,
+            ["k"],
+            order_cols=["seq", "ts"],
+            tombstone_col="op",
+            tombstone_value="D",
+        )(cdc, 1)
