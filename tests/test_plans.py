@@ -588,3 +588,55 @@ def test_segmentation_approx_mode_partitions_all_customers(spark):
         assert 111 <= code <= 555 and all(
             1 <= int(d) <= 5 for d in str(code)
         ), code
+
+
+def test_global_windows_only_on_documented_bounded_inputs(spark, registry):
+    """Registry-wide structural guard (round-8 verdict ask): a Window
+    with NO partition spec executes in ONE task over its whole input —
+    harmless when that input is provably small (per-day/per-month
+    aggregates, a limit-k frame), a scale wall when it is per-entity
+    sized (the 50M-order smoke measured the NTILE wall at 2x the
+    two-pass form). Every partition-less Window must therefore belong
+    to a query in this explicit allowlist, each with a bounded-input
+    rationale; a new global window anywhere else fails CI until it is
+    either re-planned or consciously allowlisted."""
+    import re
+
+    allowed = {
+        # exact NTILE segmentation forms: per-customer frame BY DESIGN,
+        # kept as the small-scale twins of *_twopass / *_sketch (whose
+        # plans are asserted window-free elsewhere in this file)
+        "customer_value_deciles",
+        "customer_rfm_segments",
+        # lag/cumsum over per-month / per-day aggregate frames:
+        # input rows == number of periods, not corpus size
+        "monthly_revenue_delta",
+        "events_cumulative_new_users",
+        # rank over a TakeOrderedAndProject-limited top-k frame
+        # (test_activity_ranked_topk_is_take_ordered pins the order)
+        "events_user_activity_ranked",
+    }
+    # first argument of a windowspecdefinition: a bare column ref means
+    # the window IS partitioned; a sort order (ASC/DESC) or the frame
+    # itself means the partition spec is empty
+    first_arg = re.compile(r"windowspecdefinition\(([^,)]+)")
+    offenders = []
+    for name, q in registry.items():
+        if name in allowed:
+            continue
+        try:
+            plan = q.fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        except Exception:  # noqa: BLE001 — other tests own per-query failures
+            continue
+        for line in plan.splitlines():
+            if not re.search(r"\bWindow \[", line):
+                continue
+            for m in first_arg.finditer(line):
+                fa = m.group(1).strip()
+                if (
+                    fa.startswith("specifiedwindowframe")
+                    or " ASC" in fa
+                    or " DESC" in fa
+                ):
+                    offenders.append((name, fa))
+    assert offenders == []
