@@ -206,6 +206,17 @@ def main() -> None:
     # tail-buffered reader parsing the final line always gets a
     # complete (short) JSON object.
     print(json.dumps(full))
+    # Persist the detail payload in-repo (the driver's tail buffer
+    # keeps only the last line, so per-query history was lost to
+    # archaeology before round 9): overwritten per run, committed per
+    # round — git history IS the per-round archive, and
+    # scripts/bench_compare.py reads past rounds via rev:path specs.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w", encoding="utf-8") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
     compact: dict = {
         "metric": "headline_queries_total",
         "value": headline_total,

@@ -1,21 +1,46 @@
 #!/usr/bin/env python
-"""Diff two bench outputs (bench.py JSON lines or driver BENCH_r*.json
-wrappers): per-query ratios over the common headline set, worst
-regressions first — the round-over-round perf triage tool.
+"""Diff two bench outputs (bench.py JSON lines, driver BENCH_r*.json
+wrappers, or the committed BENCH_DETAIL.json): per-query ratios over
+the common headline set, worst regressions first — the
+round-over-round perf triage tool.
 
     python scripts/bench_compare.py BENCH_r05.json /tmp/bench_now.json
+
+Since round 9 every bench run writes its full detail payload to
+BENCH_DETAIL.json (committed per round), so past rounds are readable
+straight from git history with a rev:path spec — preferred over the
+driver wrappers, whose tails are truncated:
+
+    python scripts/bench_compare.py 'r8-tag:BENCH_DETAIL.json' BENCH_DETAIL.json
 """
 
 from __future__ import annotations
 
 import json
+import os
 import re
+import subprocess
 import sys
 
 
-def _load(path: str) -> dict:
+def _read_text(path: str) -> str:
+    """File contents; a ``rev:path`` spec that isn't an existing file
+    is read from git history (how past rounds' committed
+    BENCH_DETAIL.json is reached without checkouts)."""
+    if not os.path.exists(path) and ":" in path:
+        return subprocess.run(
+            ["git", "show", path],
+            check=True,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
     with open(path) as f:
-        text = f.read()
+        return f.read()
+
+
+def _load(path: str) -> dict:
+    text = _read_text(path)
     try:
         d = json.loads(text)
     except json.JSONDecodeError:

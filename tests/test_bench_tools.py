@@ -53,3 +53,40 @@ def test_loader_compact_only_fallback(tmp_path):
     p.write_text(json.dumps({"tail": json.dumps(compact)}))
     got = mod._load(str(p))
     assert got["value"] == 3.0 and "queries" not in got
+
+
+def test_loader_reads_rev_path_spec_from_git(tmp_path):
+    """A rev:path argument that isn't a file on disk is read from git
+    history — how past rounds' committed BENCH_DETAIL.json stays
+    reachable without checkouts."""
+    import subprocess
+
+    mod = _load_module()
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    env = {"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"}
+    subprocess.run(["git", "init", "-q"], cwd=repo, check=True)
+    detail = {"metric": "headline_queries_detail", "value": 3.0, "queries": {"q": 3.0}}
+    (repo / "BENCH_DETAIL.json").write_text(json.dumps(detail))
+    subprocess.run(["git", "add", "."], cwd=repo, check=True)
+    import os as _os
+
+    subprocess.run(
+        ["git", "commit", "-q", "-m", "x"], cwd=repo, check=True,
+        env={**_os.environ, **env},
+    )
+    (repo / "BENCH_DETAIL.json").write_text(json.dumps({**detail, "value": 4.0}))
+
+    # _read_text resolves rev:path relative to the scripts dir's repo;
+    # point its cwd at the fixture repo via monkey-free injection
+    real_run = subprocess.run
+
+    def run_in_fixture(cmd, **kw):
+        kw["cwd"] = str(repo)
+        return real_run(cmd, **kw)
+
+    mod.subprocess = type(mod.subprocess)("subprocess")
+    mod.subprocess.run = run_in_fixture
+    got = mod._load("HEAD:BENCH_DETAIL.json")
+    assert got["queries"] == {"q": 3.0}  # the COMMITTED payload, not disk
