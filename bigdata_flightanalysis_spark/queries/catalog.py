@@ -55,77 +55,21 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-8 rotation. After r7, per-query newest-driver-row dates are:
-# 22 queries at r4 (all TPC-H/relational shapes — the r7 verdict's only
-# remaining staleness, staged to lead this window), 49 at r5, 48 at r6,
-# 50 at r7. Priority: (1) the 22 r4-dated rows; (2) the 5 queries new
-# or changed this round — doc_bm25_serve_topk (the serve-only index
-# row the r7 verdict asked for), doc_bm25_compact_topk (the compaction
-# lifecycle row), the two percentile-boundary segmentation twins plus
-# their approx-sketch contract entries, and events_user_activity_ranked
-# (re-planned as TakeOrderedAndProject); (3) backfill with the
-# ALPHABETICALLY FIRST 21 of the 49 r5-dated rows. Window = 22 + 7 +
-# 21 = 50. The remaining 28 r5-dated names are listed below the cut
-# and lead the r9 window; once this window lands, no row is older than
-# r5 and the steady-state cap holds (175 queries / 50-row window => no
-# row older than ~3-4 rounds).
+# Round-9 rotation. After r8, per-query newest-driver-row dates are:
+# 28 at r5 (the oldest — staged to lead, exactly as the r8 comment
+# promised), 47 at r6, 50 at r7, 50 at r8; all 175 green at their
+# newest row. Priority: (1) the 28 r5-dated rows; (2) the 2 queries
+# whose code changed this round — doc_bm25_serve_topk (corpus-
+# fingerprinted, lock-serialized session cache) and
+# doc_bm25_compact_topk (compaction now stages the recomputed corpus
+# totals BEFORE the swaps and promotes them in one ordered sequence);
+# (3) backfill with the ALPHABETICALLY FIRST 20 of the 47 r6-dated
+# rows. Window = 28 + 2 + 20 = 50. The remaining 27 r6-dated names
+# are listed below the cut and lead the r10 window; steady state
+# holds (175 queries / 50-row window => no row older than ~3-4
+# rounds — after this window nothing is older than r6).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) last driver-checked in r4 — the 22 stale rows
-    "latest_order_per_customer_status",
-    "monthly_revenue_delta",
-    "nation_counts_full_outer",
-    "order_priority_count_exists",
-    "orders_above_customer_avg",
-    "price_stddev_by_status",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q1_pricing_summary",
-    "q20_heavy_flow_suppliers",
-    "q21_sole_late_supplier",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "quantity_percentiles_by_flag",
-    "rollup_revenue_region_nation",
-    "salted_user_event_counts",
-    "status_intersect_except",
-    # (2) new this round
-    "doc_bm25_serve_topk",
-    "doc_bm25_compact_topk",
-    "customer_value_deciles_twopass",
-    "customer_rfm_segments_twopass",
-    "customer_value_deciles_sketch",
-    "customer_rfm_segments_sketch",
-    "events_user_activity_ranked",  # changed: top-k via TakeOrdered
-    # (3) r5-dated backfill to the 50-query window (alphabetical)
-    "approx_distinct_users_by_type",
-    "bloom_filtered_lineitem_revenue",
-    "count_distinct_parts",
-    "customer_value_deciles",
-    "delayed_order_label",
-    "distinct_flag_status",
-    "doc_boilerplate_density",
-    "doc_chunk_windows",
-    "doc_dedup_keep_best",
-    "doc_length_histogram",
-    "doc_minhash_estimate_vs_exact",
-    "doc_ngram_topk",
-    "doc_pack_sequences",
-    "doc_pii_redaction",
-    "doc_quality_weighted_sample",
-    "doc_repetition_scores",
-    "doc_salient_terms",
-    "doc_source_mixture_weights",
-    "doc_stratified_sample",
-    "doc_train_test_split",
-    "doc_url_domains",
-    # The 50-query window ends here (22 r4-stale + 7 new/changed + 21
-    # r5-dated backfill). The r5-dated entries below are the oldest
-    # remaining rows once this window lands — they lead the r9 window.
+    # (1) last driver-checked in r5 — the 28 oldest rows
     "embed_label_centroids",
     "embed_quantized_topk",
     "events_asof_purchase_click",
@@ -154,6 +98,61 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "supplier_running_revenue",
     "top_customers_per_segment",
     "union_priority_extremes",
+    # (2) code changed this round (round 9)
+    "doc_bm25_serve_topk",
+    "doc_bm25_compact_topk",
+    # (3) r6-dated backfill to the 50-query window (alphabetical)
+    "customer_rfm_segments",
+    "customer_snapshot_diff",
+    "doc_bigram_nll_quality",
+    "doc_bm25_topk",
+    "doc_clean_normalize",
+    "doc_dup_canonical_pagerank",
+    "doc_dup_graph_triangles",
+    "doc_duplicate_spans",
+    "doc_near_dup_candidates_largemode",
+    "doc_near_dup_incremental",
+    "doc_shuffle_shards",
+    "doc_split_leakage_check",
+    "doc_stopword_ratio",
+    "doc_temperature_mixture_sample",
+    "doc_term_first_positions",
+    "doc_training_manifest",
+    "doc_weighted_sample_es",
+    "doc_winnow_fingerprints",
+    "embed_near_dup_pairs_largemode",
+    "embed_pq_topk",
+    # The 50-query window ends here (28 r5-stale + 2 changed + 20
+    # r6-dated backfill). The r6-dated entries below are the oldest
+    # remaining rows once this window lands — they lead the r10
+    # window (backfill r10 with the oldest r7-dated rows after them).
+    "events_activity_incident_overlap",
+    "events_approx_quantile_contract",
+    "events_cdc_latest_state",
+    "events_cohort_retention",
+    "events_cumulative_new_users",
+    "events_distinct_rollup_sketch",
+    "events_funnel",
+    "events_heavy_hitters_topk",
+    "events_hourly_anomalies",
+    "events_incremental_agg_merge",
+    "events_key_skew_profile",
+    "events_load_heatmap",
+    "events_mad_anomalies",
+    "events_monthly_active_users",
+    "events_rollup_cascade",
+    "events_type_transitions",
+    "events_value_winsorized",
+    "flagship_top_segments",
+    "multimodal_audio_stats",
+    "multimodal_feature_extract",
+    "multimodal_frame_sampling",
+    "multimodal_image_stats",
+    "multimodal_payload_stats",
+    "orders_pit_customer_balance",
+    "orders_profile",
+    "referential_integrity_report",
+    "status_first_last_orders",
 )
 
 
