@@ -68,6 +68,10 @@ def incremental_exact_dedup(
     # scheme would treat every historical doc as unseen and silently
     # re-admit duplicates, so the scheme is stamped and enforced like
     # the band/embedding stores' bucket parameters
+    # heal a compact_flat_store crash window first (no live dir but a
+    # complete .old) — otherwise this ingest would see "no store" and
+    # silently restart history from its own batch
+    _recover_store_dir(state_path)
     _check_store_meta(
         state_path,
         _FP_SCHEME,
@@ -131,6 +135,9 @@ def incremental_near_dup_pairs(
     # the store's buckets are a function of the signature scheme — a
     # band store from a different (n_perm, band_size) release would
     # probe on incomparable buckets and silently miss every pair
+    # heal a compact_flat_store crash window first (see
+    # incremental_exact_dedup)
+    _recover_store_dir(store_path)
     _check_store_meta(
         store_path,
         {"scheme": "minhash", "n_perm": N_PERM, "band_size": BAND_SIZE},

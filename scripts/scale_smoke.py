@@ -405,6 +405,53 @@ def _smoke_embstore(spark, args, out: dict) -> None:
     ).count()
     out["t_fullrecompute_s"] = round(time.perf_counter() - t0, 2)
 
+    # Compaction leg (round 9): each ingest appended one file per
+    # touched bucket, so after --batches ingests the store holds up to
+    # batches x buckets files; compact_embed_store rewrites every
+    # bucket to ONE file at the recorded granularity. Recorded: file
+    # counts, compact wall time, a timed full store scan before/after
+    # (the listing+read cost every later probe pays), and a content
+    # fingerprint proving the rewrite changed no (vec_id, bucket) row.
+    import os
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        compact_embed_store,
+    )
+
+    def _file_count() -> int:
+        return sum(
+            1
+            for root, _d, files in os.walk(store)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def _scan_fingerprint() -> tuple[float, list]:
+        t = time.perf_counter()
+        fp = (
+            spark.read.parquet(store)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal accumulation: exact and overflow-free under
+                # ANSI mode (a bigint sum of 1M xxhash64 values overflows)
+                F.sum(F.xxhash64("vec_id", "bucket").cast("decimal(38,0)")).alias("h"),
+            )
+            .collect()[0]
+        )
+        return round(time.perf_counter() - t, 2), [fp["n"], str(fp["h"])]
+
+    out["files_before_compact"] = _file_count()
+    t_scan_before, fp_before = _scan_fingerprint()
+    out["t_store_scan_before_s"] = t_scan_before
+    t0 = time.perf_counter()
+    compact_embed_store(spark, store)
+    out["t_compact_s"] = round(time.perf_counter() - t0, 2)
+    out["files_after_compact"] = _file_count()
+    t_scan_after, fp_after = _scan_fingerprint()
+    out["t_store_scan_after_s"] = t_scan_after
+    out["compact_content_identical"] = fp_before == fp_after
+    assert fp_before == fp_after, (fp_before, fp_after)
+
 
 def _smoke_segmentation(spark, args, out: dict) -> None:
     """NTILE window forms vs the percentile_disc boundary-bucket twins

@@ -811,3 +811,36 @@ def test_compact_fp_store_preserves_dedup_decisions(spark, tmp_path):
     got = {r["doc_id"] for r in incremental_exact_dedup(spark, last, store).collect()}
     expect = {r["doc_id"] for r in incremental_exact_dedup(spark, last, twin).collect()}
     assert got == expect
+
+
+def test_flat_store_compact_crash_window_recovers(spark, tmp_path):
+    """A crash between compact_flat_store's two renames (live store
+    gone, .old complete) must NOT make the next ingest restart history
+    from its own batch — both flat-store ingest paths heal it first."""
+    import os as _os
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_near_dup_pairs,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+
+    # fingerprint store
+    fp = str(tmp_path / "fp_store")
+    incremental_exact_dedup(spark, docs.where(F.col("doc_id") < 60), fp)
+    _os.rename(fp, fp + ".old")  # the crash window
+    kept2 = incremental_exact_dedup(
+        spark,
+        docs.where(F.col("doc_id") < 60),  # pure replay of batch 1
+        fp,
+    )
+    assert kept2.count() == 0  # history survived: replay admits nothing
+    assert _os.path.exists(fp) and not _os.path.exists(fp + ".old")
+
+    # band store
+    band = str(tmp_path / "band_store")
+    incremental_near_dup_pairs(spark, docs.where(F.col("doc_id") % 2 == 0), band)
+    n_store = spark.read.parquet(band).count()
+    _os.rename(band, band + ".old")
+    incremental_near_dup_pairs(spark, docs.where(F.col("doc_id") % 2 == 1), band)
+    assert spark.read.parquet(band).count() > n_store  # history kept
