@@ -100,11 +100,14 @@ def check_sidecar(
         return
     if lenient:
         bad = {k: v for k, v in expected.items() if k in recorded and recorded[k] != v}
+        mismatch = bool(bad)
         shown = {k: recorded[k] for k in bad}
     else:
-        bad = {} if recorded == expected else expected
+        # explicit flag, not truthiness of a diff dict: with an empty
+        # ``expected`` a mismatching stamp must still raise
+        mismatch = recorded != expected
         shown = recorded
-    if bad:
+    if mismatch:
         fmt = lambda d: ", ".join(f"{k}={v}" for k, v in d.items())  # noqa: E731
         raise ValueError(
             f"{what} at {target} was built with {fmt(shown)}; this "

@@ -533,3 +533,37 @@ def test_state_contract_tolerates_tuple_and_key_order(spark, tmp_path):
             tombstone_col="op",
             tombstone_value="D",
         )(cdc, 1)
+
+
+def test_normalize_contract_key_permutations_property():
+    """Property: any permutation of key_cols (list or tuple) normalizes
+    to the same contract; any permutation of order_cols that actually
+    changes the order does NOT."""
+    import itertools
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        _normalize_contract,
+    )
+
+    keys = ["k1", "k2", "k3"]
+    base = _normalize_contract(
+        {"sink": "cdc", "key_cols": keys, "order_cols": ["ts", "seq"]}
+    )
+    for perm in itertools.permutations(keys):
+        for form in (list(perm), tuple(perm)):
+            assert (
+                _normalize_contract(
+                    {"sink": "cdc", "key_cols": form, "order_cols": ["ts", "seq"]}
+                )
+                == base
+            )
+    assert (
+        _normalize_contract(
+            {"sink": "cdc", "key_cols": keys, "order_cols": ["seq", "ts"]}
+        )
+        != base
+    )
+    # JSON round-trip stability: normalizing a normalized contract is a no-op
+    import json
+
+    assert _normalize_contract(json.loads(json.dumps(base))) == base

@@ -73,3 +73,44 @@ def test_stamp_sidecar_first_stamp_wins_unless_overwrite(tmp_path):
     stamp_sidecar(p, {"v": 3}, overwrite=True)  # rebuild policy
     assert read_sidecar(p) == {"v": 3}
     assert read_sidecar(str(tmp_path / "absent.json")) == {}
+
+
+def test_check_sidecar_property_strict_iff_equal(tmp_path):
+    """Property (hypothesis): strict check accepts exactly dict
+    equality; lenient accepts iff every shared key matches — over
+    arbitrary small string/int dicts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_flightanalysis_spark.util import check_sidecar, stamp_sidecar
+
+    meta = st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.one_of(st.integers(-5, 5), st.sampled_from(["x", "y"])),
+        max_size=4,
+    )
+    counter = {"n": 0}
+
+    @settings(max_examples=200, deadline=None)
+    @given(recorded=meta, expected=meta)
+    def prop(recorded, expected):
+        counter["n"] += 1
+        p = str(tmp_path / f"m{counter['n']}.json")
+        stamp_sidecar(p, recorded)
+        for lenient in (False, True):
+            if lenient:
+                ok = all(
+                    recorded[k] == v for k, v in expected.items() if k in recorded
+                )
+            else:
+                ok = recorded == expected
+            # an empty recorded stamp is the legacy state: always accepted
+            ok = ok or not recorded
+            try:
+                check_sidecar(p, expected, lenient=lenient)
+                got = True
+            except ValueError:
+                got = False
+            assert got == ok, (recorded, expected, lenient)
+
+    prop()
