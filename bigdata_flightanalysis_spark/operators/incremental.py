@@ -398,14 +398,16 @@ def _record_store_granularity(store_path: str, n_planes: int) -> None:
 
 
 def _recover_store_dir(store_path: str) -> None:
-    """Close :func:`rebucket_embed_store`'s two-rename crash window:
-    a crash between its renames leaves no live store but a complete
-    ``.old`` — without this hook the next ingest would see "no store"
-    and silently restart history from its own batch. Rename the old
-    granularity back; a rebucket can then be re-run. A ``.old`` next
-    to a healthy live store (rebucket completed, final cleanup
-    didn't) is removed — it would otherwise sit at full store size
-    until the next rebucket."""
+    """Close the two-rename crash window of every store rewrite
+    (:func:`rebucket_embed_store`, :func:`compact_embed_store`,
+    :func:`compact_flat_store`): a crash between the renames leaves no
+    live store but a complete ``.old`` — without this hook (called at
+    the top of every ingest and rewrite) the next ingest would see
+    "no store" and silently restart history from its own batch.
+    Rename the old state back; the rewrite can then be re-run. A
+    ``.old`` next to a healthy live store (rewrite completed, final
+    cleanup didn't) is removed — it would otherwise sit at full store
+    size until the next rewrite."""
     import shutil
 
     old = store_path + ".old"
