@@ -870,7 +870,12 @@ _SERVE_INDEX_LOCK = _threading.Lock()
 def _corpus_fingerprint(sf_dir: str) -> tuple:
     """(relpath, size, mtime_ns) of every documents data file — cheap
     (stat-only) and sufficient: any rewrite of the corpus changes an
-    mtime even when sizes collide."""
+    mtime even when sizes collide. This guards the LOCAL session cache
+    (one stat-walk per serve over a test-scale corpus); a cluster
+    deployment doesn't stat 100 TB per query — it serves from an
+    explicitly-managed index path and routes corpus changes through
+    refresh_text_index, which needs no fingerprint because it never
+    caches across corpora."""
     import os
 
     src = os.path.join(sf_dir, "documents.parquet")

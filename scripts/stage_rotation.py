@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Compute the next round's verification-window staging.
+
+The external driver verifies roughly the FIRST 50 registry entries per
+round in iteration order; `queries/catalog.py:_VERIFY_FIRST` is the
+rotation that decides which 50. The staging rule (applied by hand each
+round until now):
+
+1. brand-new queries (no driver row yet) and queries passed via
+   --changed (code-changed this round) enter the window outright;
+2. the rest ranked by staleness — merge every CORRECTNESS_r*.json,
+   take per-query max round, sort ascending (ties alphabetical);
+3. the window is the first N of that ordering (order WITHIN the
+   window is irrelevant: the driver checks all of it);
+4. the next chunk past the cut is printed too — those lead the next
+   round, and keeping them staged in the tuple documents the handoff.
+
+This script PRINTS the suggested tuple body plus an age audit; it does
+not edit catalog.py — the staging comment explaining each round's
+choices is written by a person.
+
+    python scripts/stage_rotation.py --changed q1 --changed q2
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bigdata_flightanalysis_spark.queries.catalog import load_all  # noqa: E402
+
+WINDOW = 50
+
+
+def newest_rounds(repo_root: str) -> dict[str, int]:
+    newest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for name in json.load(open(f, encoding="utf-8")):
+            newest[name] = max(newest.get(name, 0), rnd)
+    return newest
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--changed",
+        action="append",
+        default=[],
+        help="query whose code changed this round (repeatable); "
+        "staged after the stale leaders regardless of age",
+    )
+    ap.add_argument("--window", type=int, default=WINDOW)
+    args = ap.parse_args()
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    registry = set(load_all())
+    unknown = [q for q in args.changed if q not in registry]
+    if unknown:
+        raise SystemExit(f"--changed names not in registry: {unknown}")
+    newest = newest_rounds(repo_root)
+    never = sorted(registry - set(newest))  # brand-new queries: lead outright
+
+    changed = [q for q in args.changed if q in registry]
+    by_age = sorted(
+        (q for q in registry if q in newest and q not in changed),
+        key=lambda q: (newest[q], q),
+    )
+    window = (never + changed + by_age)[: args.window]
+    # stage the next-next round's leaders below the cut for the handoff
+    below = [q for q in by_age if q not in window]
+    oldest_below = below[: args.window]
+
+    print(f"# window ({len(window)}):")
+    for q in window:
+        tag = "NEW" if q in never else ("changed" if q in changed else f"r{newest[q]}")
+        print(f'    "{q}",  # {tag}')
+    print(f"# below the cut — next round's leaders (first {len(oldest_below)}):")
+    for q in oldest_below:
+        print(f'    "{q}",  # r{newest[q]}')
+    ages = sorted(newest[q] for q in registry if q in newest)
+    post = sorted(
+        (max(newest.get(q, 0), 99) if q in window else newest[q])
+        for q in registry
+        if q in newest or q in window
+    )
+    print(
+        f"# age audit: oldest row now r{ages[0]}; after this window lands, "
+        f"oldest remaining r{min(p for p in post if p != 99)}"
+    )
+
+
+if __name__ == "__main__":
+    main()

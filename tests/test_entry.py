@@ -45,3 +45,34 @@ def test_rotation_staging_is_valid():
     assert len(set(vf)) == len(vf)
     assert len(vf) >= 50, "staging must cover the driver's ~50-row window"
     assert names[: len(vf)] == list(vf)
+
+
+def test_rotation_window_contains_every_stalest_query():
+    """Freshness invariant behind the rotation (scripts/stage_rotation.py
+    automates the staging; this guards hand edits against drift): the
+    driver verifies the first ~50 registry entries, so every query
+    whose newest driver row is the OLDEST on record must be inside
+    that window — otherwise its staleness grows unboundedly."""
+    import glob
+    import json
+    import re
+
+    from bigdata_flightanalysis_spark.queries import catalog
+
+    newest: dict[str, int] = {}
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f).group(1))
+        for name in json.load(open(f, encoding="utf-8")):
+            newest[name] = max(newest.get(name, 0), rnd)
+    if not newest:  # fresh clone without driver artifacts: nothing to pin
+        return
+    names = list(catalog.load_all())
+    window = set(names[:50])
+    registry_aged = {q: r for q, r in newest.items() if q in set(names)}
+    oldest = min(registry_aged.values())
+    stalest = {q for q, r in registry_aged.items() if r == oldest}
+    left_out = sorted(stalest - window)
+    assert not left_out, (
+        f"queries with the oldest driver row (r{oldest}) missing from "
+        f"the 50-row verification window: {left_out}"
+    )
