@@ -549,7 +549,12 @@ def cdc_snapshot(
     spark: SparkSession, path: str, tombstone_col: str, tombstone_value: str
 ) -> DataFrame:
     """Live view over a :func:`cdc_upsert_foreach_batch` state dir:
-    tombstoned keys removed, bookkeeping column dropped."""
+    tombstoned keys removed, bookkeeping column dropped. Heals the
+    sink's two-rename crash window first (live dir gone, complete
+    ``.old``) — every reader of a swapped dir must, or a crash at the
+    wrong instant fails reads until the next micro-batch happens to
+    run."""
+    _recover_state_dir(path)
     return (
         spark.read.parquet(path)
         .where(F.col(tombstone_col) != F.lit(tombstone_value))

@@ -567,3 +567,38 @@ def test_normalize_contract_key_permutations_property():
     import json
 
     assert _normalize_contract(json.loads(json.dumps(base))) == base
+
+
+def test_cdc_snapshot_heals_swap_crash_window(spark, tmp_path):
+    """A crash between the CDC sink's two renames (live state gone,
+    complete .old) must not fail reads until the next micro-batch —
+    cdc_snapshot heals the window first, like every other reader of a
+    swapped dir."""
+    import os as _os
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        cdc_snapshot,
+        cdc_upsert_foreach_batch,
+    )
+
+    state = str(tmp_path / "state")
+    sink = cdc_upsert_foreach_batch(
+        state,
+        ["user_id"],
+        order_cols=["ts", "event_id"],
+        tombstone_col="event_type",
+        tombstone_value="error",
+    )
+    ev = read_table(spark, SF_DIR, "events")
+    sink(ev, 0)
+    before = sorted(
+        tuple(r)
+        for r in cdc_snapshot(spark, state, "event_type", "error").collect()
+    )
+    _os.rename(state, state + ".old")  # the crash window
+    got = sorted(
+        tuple(r)
+        for r in cdc_snapshot(spark, state, "event_type", "error").collect()
+    )
+    assert got == before
+    assert _os.path.exists(state) and not _os.path.exists(state + ".old")
