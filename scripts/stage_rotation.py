@@ -84,15 +84,11 @@ def main() -> None:
     print(f"# below the cut — next round's leaders (first {len(oldest_below)}):")
     for q in oldest_below:
         print(f'    "{q}",  # r{newest[q]}')
-    ages = sorted(newest[q] for q in registry if q in newest)
-    post = sorted(
-        (max(newest.get(q, 0), 99) if q in window else newest[q])
-        for q in registry
-        if q in newest or q in window
-    )
+    oldest_now = min(newest[q] for q in registry if q in newest)
+    remaining = [newest[q] for q in registry if q in newest and q not in window]
     print(
-        f"# age audit: oldest row now r{ages[0]}; after this window lands, "
-        f"oldest remaining r{min(p for p in post if p != 99)}"
+        f"# age audit: oldest row now r{oldest_now}; after this window "
+        f"lands, oldest remaining r{min(remaining)}"
     )
 
 
