@@ -614,6 +614,25 @@ def refresh_text_index(
         # index it leaves behind is forever unstamped (served with the
         # legacy constant even after the build constant changes)
         _record_index_buckets(index_path)
+    elif os.path.exists(f"{index_path}/doc_stats") and not os.path.exists(
+        f"{index_path}/postings"
+    ):
+        # torn BUILD (build writes doc_stats -> corpus_stats ->
+        # postings; a crash before postings leaves this state): serve
+        # and compact fail loudly on the missing relation, but a
+        # refresh would silently make it WORSE — its doc_stats
+        # anti-join treats every torn-build doc as ingested, appends
+        # no postings for them, and the now three-relation index
+        # serves zero-score results for half the corpus. Refuse; the
+        # documented recovery (re-run the build, which clears and
+        # rewrites everything) heals it. The inverse state (postings
+        # without doc_stats, a torn FIRST refresh) is replay-safe by
+        # design: the retry re-appends byte-identical postings rows.
+        raise ValueError(
+            f"index at {index_path} has doc_stats but no postings — a "
+            "torn build; refreshing would silently skip postings for "
+            "every already-listed doc. Re-run build_text_index to heal."
+        )
     toks = _toks_of(new_docs)
     new_stats = toks.select("doc_id", "dl")
 

@@ -914,3 +914,41 @@ def test_serve_cache_raises_on_corpus_change_and_builds_once(
         R._served_index_path(spark, sf_dir)
     _SERVE = R._SERVE_INDEX_CACHE.pop(sf_dir, None)  # clean up for other tests
     assert _SERVE is not None
+
+
+def test_refresh_refuses_torn_build_state(spark, tmp_path):
+    """A build crash between the doc_stats and postings writes leaves
+    doc_stats without postings. Serve/compact fail loudly on the
+    missing relation — but a refresh used to make it silently WORSE:
+    its anti-join saw every torn-build doc as ingested and appended no
+    postings for them, and the healed-looking index served zero-score
+    results for half the corpus. Refresh must refuse this state and
+    point at the build."""
+    import os
+    import shutil
+
+    import pytest
+
+    from bigdata_flightanalysis_spark.queries import retrieval as R
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    R.build_text_index_from(spark, docs.where(F.col("doc_id") < 40), idx)
+    shutil.rmtree(f"{idx}/postings")  # the torn-build crash state
+
+    with pytest.raises(ValueError, match="torn build"):
+        R.refresh_text_index(spark, docs.where(F.col("doc_id") >= 40), idx)
+    # the documented recovery heals it: full rebuild, then serve works
+    R.build_text_index_from(spark, docs, idx)
+    assert R.bm25_index_topk(spark, idx).count() > 0
+    # and the INVERSE state (postings without doc_stats — a torn first
+    # refresh) stays replay-safe: the retry converges, no refusal
+    idx2 = str(tmp_path / "idx2")
+    R.refresh_text_index(spark, docs, idx2)
+    shutil.rmtree(f"{idx2}/doc_stats")
+    shutil.rmtree(f"{idx2}/corpus_stats")
+    R.refresh_text_index(spark, docs, idx2)
+    got = [tuple(r) for r in R.bm25_index_topk(spark, idx2).collect()]
+    expect = [tuple(r) for r in R.bm25_index_topk(spark, idx).collect()]
+    assert got == expect
