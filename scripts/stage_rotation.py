@@ -67,7 +67,12 @@ def main() -> None:
     newest = newest_rounds(repo_root)
     never = sorted(registry - set(newest))  # brand-new queries: lead outright
 
-    changed = [q for q in args.changed if q in registry]
+    # A --changed query that is also brand-new already leads via `never`;
+    # keeping it in `changed` too would duplicate it inside the window
+    # slice and silently shrink the distinct coverage below --window.
+    changed = list(
+        dict.fromkeys(q for q in args.changed if q in registry and q in newest)
+    )
     by_age = sorted(
         (q for q in registry if q in newest and q not in changed),
         key=lambda q: (newest[q], q),
