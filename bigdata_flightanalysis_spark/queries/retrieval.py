@@ -615,23 +615,31 @@ def refresh_text_index(
         # legacy constant even after the build constant changes)
         _record_index_buckets(index_path)
     elif os.path.exists(f"{index_path}/doc_stats") and not os.path.exists(
-        f"{index_path}/postings"
+        f"{index_path}/postings/_SUCCESS"
     ):
         # torn BUILD (build writes doc_stats -> corpus_stats ->
-        # postings; a crash before postings leaves this state): serve
-        # and compact fail loudly on the missing relation, but a
-        # refresh would silently make it WORSE — its doc_stats
-        # anti-join treats every torn-build doc as ingested, appends
-        # no postings for them, and the now three-relation index
-        # serves zero-score results for half the corpus. Refuse; the
-        # documented recovery (re-run the build, which clears and
-        # rewrites everything) heals it. The inverse state (postings
-        # without doc_stats, a torn FIRST refresh) is replay-safe by
-        # design: the retry re-appends byte-identical postings rows.
+        # postings; a crash before OR DURING the postings write leaves
+        # this state): serve and compact fail loudly on the missing
+        # relation, but a refresh would silently make it WORSE — its
+        # doc_stats anti-join treats every torn-build doc as ingested,
+        # appends no postings for them, and the now three-relation
+        # index serves zero-score results for half the corpus. The
+        # completeness marker, not dir existence, is the test: Spark
+        # creates postings/ at job start, so a crash mid-write leaves
+        # the dir present but the _SUCCESS marker absent (the same
+        # convention _recover_corpus_stats uses for corpus_stats.new);
+        # an interrupted postings APPEND to a healthy index keeps the
+        # prior write's marker, so replay-safe refresh retries are not
+        # refused. Refuse; the documented recovery (re-run the build,
+        # which clears and rewrites everything) heals it. The inverse
+        # state (postings without doc_stats, a torn FIRST refresh) is
+        # replay-safe by design: the retry re-appends byte-identical
+        # postings rows.
         raise ValueError(
-            f"index at {index_path} has doc_stats but no postings — a "
-            "torn build; refreshing would silently skip postings for "
-            "every already-listed doc. Re-run build_text_index to heal."
+            f"index at {index_path} has doc_stats but no complete "
+            "postings (postings/_SUCCESS missing) — a torn build; "
+            "refreshing would silently skip postings for every "
+            "already-listed doc. Re-run build_text_index to heal."
         )
     toks = _toks_of(new_docs)
     new_stats = toks.select("doc_id", "dl")
@@ -703,6 +711,21 @@ def _recover_corpus_stats(index_path: str) -> None:
             _swap_index_dir(new, f"{index_path}/corpus_stats")
         else:
             shutil.rmtree(new, ignore_errors=True)
+
+    # Aborted-compact residue: a crash before the swaps strands
+    # full-relation-sized *.staging dirs that only the NEXT compact
+    # would rmtree — forever, on a serve-only workload. Worse, a stale
+    # doc_stats.staging poisons the .new promotion rule above: a LATER
+    # refresh that crashes after writing its legitimate .new would
+    # have it deleted ("staging still present") instead of promoted,
+    # leaving totals permanently stale. Remove staging residue here —
+    # AFTER the .new rule has used its presence as evidence (order
+    # matters: a same-sequence crash between the staging writes and
+    # the doc_stats swap must still VETO the .new, which reflects the
+    # staged, not the live, doc_stats). Safe under the single-writer
+    # contract every recovery hook in this module assumes.
+    for rel in ("postings", "doc_stats"):
+        shutil.rmtree(f"{index_path}/{rel}.staging", ignore_errors=True)
 
 
 def _swap_index_dir(staging: str, live: str) -> None:

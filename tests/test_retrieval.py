@@ -846,6 +846,77 @@ def test_recover_removes_new_totals_when_doc_stats_unswapped(
         tuple(spark.read.parquet(f"{idx}/corpus_stats").collect()[0])
         == tuple(totals_before)
     )
+    # and the serve's recovery also reclaimed the full-relation-sized
+    # staging residue the aborted compact stranded
+    assert not os.path.exists(f"{idx}/doc_stats.staging")
+    assert not os.path.exists(f"{idx}/postings.staging")
+
+
+def test_stale_staging_residue_cannot_poison_totals_promotion(
+    spark, tmp_path, monkeypatch
+):
+    """Advisory (r9): staging residue from an aborted compact used to
+    persist until the NEXT compact — and a stale doc_stats.staging
+    poisoned the corpus_stats.new promotion rule: a later refresh that
+    crashed after writing its legitimate .new had it DELETED ("staging
+    still present") instead of promoted, leaving totals permanently
+    stale on a serve-only workload. Recovery now reclaims staging
+    residue at every entry, so the refresh's .new is promoted on the
+    next serve and totals match the live doc_stats."""
+    import os
+
+    from bigdata_flightanalysis_spark.queries import retrieval as R
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    R.build_text_index_from(spark, docs.where(F.col("doc_id") < 40), idx)
+
+    # abort a compact before any swap: strands postings.staging,
+    # doc_stats.staging, and a stale corpus_stats.new
+    real_swap = R._swap_index_dir
+    monkeypatch.setattr(
+        R,
+        "_swap_index_dir",
+        lambda s, l: (_ for _ in ()).throw(RuntimeError("compact crash")),
+    )
+    try:
+        R.compact_text_index(spark, idx)
+    except RuntimeError:
+        pass
+    assert os.path.exists(f"{idx}/doc_stats.staging")
+
+    # a refresh now runs (its entry recovery reclaims the residue),
+    # appends the second half, writes its legitimate corpus_stats.new
+    # — and crashes before the final totals swap
+    crashed = {"n": 0}
+
+    def crash_final_swap(staging, live):
+        if staging.endswith("corpus_stats.new"):
+            crashed["n"] += 1
+            raise RuntimeError("refresh crash before totals swap")
+        real_swap(staging, live)
+
+    monkeypatch.setattr(R, "_swap_index_dir", crash_final_swap)
+    try:
+        R.refresh_text_index(spark, docs.where(F.col("doc_id") >= 40), idx)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(R, "_swap_index_dir", real_swap)
+    assert crashed["n"] == 1
+    assert not os.path.exists(f"{idx}/doc_stats.staging")  # reclaimed at entry
+    assert os.path.exists(f"{idx}/corpus_stats.new/_SUCCESS")
+
+    # next serve promotes the legitimate .new: totals == live doc_stats
+    R.bm25_index_topk(spark, idx).collect()
+    assert not os.path.exists(f"{idx}/corpus_stats.new")
+    totals = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
+    live = (
+        spark.read.parquet(f"{idx}/doc_stats")
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .collect()[0]
+    )
+    assert (totals["n_docs"], totals["sum_dl"]) == (live[0], live[1])
 
 
 def test_serve_cache_raises_on_corpus_change_and_builds_once(
@@ -940,6 +1011,17 @@ def test_refresh_refuses_torn_build_state(spark, tmp_path):
     with pytest.raises(ValueError, match="torn build"):
         R.refresh_text_index(spark, docs.where(F.col("doc_id") >= 40), idx)
     # the documented recovery heals it: full rebuild, then serve works
+    R.build_text_index_from(spark, docs, idx)
+    assert R.bm25_index_topk(spark, idx).count() > 0
+
+    # a crash DURING the postings write (not just before it) leaves
+    # the dir present — Spark creates it at job start — but without
+    # the _SUCCESS completeness marker; dir existence alone used to
+    # let this state through, silently skipping every listed doc
+    assert os.path.exists(f"{idx}/postings/_SUCCESS")
+    os.remove(f"{idx}/postings/_SUCCESS")
+    with pytest.raises(ValueError, match="torn build"):
+        R.refresh_text_index(spark, docs, idx)
     R.build_text_index_from(spark, docs, idx)
     assert R.bm25_index_topk(spark, idx).count() > 0
     # and the INVERSE state (postings without doc_stats — a torn first
