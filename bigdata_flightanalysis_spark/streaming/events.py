@@ -546,15 +546,36 @@ def cdc_upsert_foreach_batch(
 
 
 def cdc_snapshot(
-    spark: SparkSession, path: str, tombstone_col: str, tombstone_value: str
+    spark: SparkSession,
+    path: str,
+    tombstone_col: str,
+    tombstone_value: str,
+    *,
+    heal: bool = True,
 ) -> DataFrame:
     """Live view over a :func:`cdc_upsert_foreach_batch` state dir:
     tombstoned keys removed, bookkeeping column dropped. Heals the
     sink's two-rename crash window first (live dir gone, complete
     ``.old``) — every reader of a swapped dir must, or a crash at the
     wrong instant fails reads until the next micro-batch happens to
-    run."""
-    _recover_state_dir(path)
+    run.
+
+    The heal MUTATES the state dir, which silently extends the
+    recovery helpers' single-writer assumption to this reader: a
+    snapshot racing an ATTACHED sink exactly mid-swap (between the
+    two renames) would rename ``.old`` back to the live path, and the
+    sink's own ``os.rename(staging, path)`` then fails that
+    micro-batch — transient and replay-recoverable, but a failure the
+    reader caused. Default ``heal=True`` is therefore for snapshots
+    taken inside the state's maintenance domain (same process/operator
+    as the sink, the single-maintainer contract every recovery hook
+    here assumes). A reader OUTSIDE that domain — e.g. an ad-hoc
+    query while the stream is live — should pass ``heal=False``:
+    never touches disk, at worst raises path-not-found during the
+    microseconds-wide swap window instead of failing the sink's
+    batch."""
+    if heal:
+        _recover_state_dir(path)
     return (
         spark.read.parquet(path)
         .where(F.col(tombstone_col) != F.lit(tombstone_value))

@@ -596,9 +596,30 @@ def test_cdc_snapshot_heals_swap_crash_window(spark, tmp_path):
         for r in cdc_snapshot(spark, state, "event_type", "error").collect()
     )
     _os.rename(state, state + ".old")  # the crash window
+
+    # heal=False is the outside-the-maintenance-domain reader: it must
+    # NOT mutate the dir (restoring .old mid-swap would fail a live
+    # sink's rename) — it surfaces the transient state loudly instead
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        cdc_snapshot(
+            spark, state, "event_type", "error", heal=False
+        ).collect()
+    assert _os.path.exists(state + ".old") and not _os.path.exists(state)
+
     got = sorted(
         tuple(r)
         for r in cdc_snapshot(spark, state, "event_type", "error").collect()
     )
     assert got == before
     assert _os.path.exists(state) and not _os.path.exists(state + ".old")
+
+    # healthy dir: heal=False reads identically, still touching nothing
+    got2 = sorted(
+        tuple(r)
+        for r in cdc_snapshot(
+            spark, state, "event_type", "error", heal=False
+        ).collect()
+    )
+    assert got2 == before
