@@ -1,0 +1,219 @@
+"""Offline consistency check-and-heal for every on-disk state this
+engine maintains — the one entry point unifying the per-store recovery
+hooks (``operators.incremental._recover_store_dir``,
+``streaming.events._recover_state_dir``,
+``queries.retrieval._recover_corpus_stats``).
+
+    python -m bigdata_flightanalysis_spark.fsck <root> [--dry-run]
+
+Walks ``<root>``, classifies each directory, and reports + heals the
+crash residue the two-rename swap protocol can leave behind:
+
+- ``X.old`` with no live ``X`` — a crash BETWEEN the two renames;
+  healed by restoring ``.old`` to the live path (the same heal every
+  reader hook performs).
+- ``X.old`` next to a healthy ``X`` — swap completed, final cleanup
+  didn't; healed by removing the full-size residue.
+- ``X.staging`` — a crash during a rewrite's staging write; healed by
+  removing it.
+- A BM25 index root (``postings``/``doc_stats``/``corpus_stats``)
+  gets the index-specific recovery: relation-level ``.old`` heals, the
+  ordered ``corpus_stats.new`` promotion rule, staging reclamation.
+- A TORN INDEX BUILD (``doc_stats`` present but ``postings/_SUCCESS``
+  absent) is REPORTED but not healed — only re-running
+  ``build_text_index`` can reconstruct the missing postings; refresh
+  refuses this state for the same reason.
+
+Single-maintainer contract (the same one every recovery hook assumes):
+run fsck only while no sink, ingest, or index maintenance is attached
+to the tree. Exit code 0 when the tree is clean or every finding was
+healed; 1 when unhealable findings remain (or anything was found under
+``--dry-run``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+INDEX_RELATIONS = ("postings", "doc_stats", "corpus_stats")
+
+
+def _is_index_root(path: str) -> bool:
+    try:
+        entries = set(os.listdir(path))
+    except OSError:
+        return False
+    if "_index_meta.json" in entries:
+        return True
+    return any(
+        rel in entries or f"{rel}.old" in entries or f"{rel}.staging" in entries
+        for rel in INDEX_RELATIONS
+    ) or "corpus_stats.new" in entries
+
+
+def _finding(path: str, issue: str, action: str, healed: bool) -> dict:
+    return {"path": path, "issue": issue, "action": action, "healed": healed}
+
+
+def _fsck_index(index_path: str, heal: bool) -> list[dict]:
+    """Index-root findings, healed via the index's own ordered recovery
+    (:func:`queries.retrieval._recover_corpus_stats`) so the
+    ``corpus_stats.new`` promotion rule sees staging evidence before
+    staging is reclaimed."""
+    findings: list[dict] = []
+    for rel in INDEX_RELATIONS:
+        live = os.path.join(index_path, rel)
+        if not os.path.exists(live) and os.path.exists(live + ".old"):
+            findings.append(
+                _finding(live + ".old", "interrupted swap (no live dir)",
+                         "restore to live path", heal)
+            )
+        elif os.path.exists(live) and os.path.exists(live + ".old"):
+            findings.append(
+                _finding(live + ".old", "stale residue next to healthy dir",
+                         "remove", heal)
+            )
+        if os.path.exists(live + ".staging"):
+            findings.append(
+                _finding(live + ".staging", "orphaned staging dir", "remove", heal)
+            )
+    new = os.path.join(index_path, "corpus_stats.new")
+    if os.path.exists(new):
+        complete = os.path.exists(os.path.join(new, "_SUCCESS"))
+        vetoed = os.path.exists(os.path.join(index_path, "doc_stats.staging"))
+        if complete and not vetoed:
+            findings.append(
+                _finding(new, "unpromoted recomputed totals", "promote", heal)
+            )
+        else:
+            findings.append(
+                _finding(new, "torn/vetoed totals rewrite", "remove", heal)
+            )
+    if heal and findings:
+        from bigdata_flightanalysis_spark.queries.retrieval import (
+            _recover_corpus_stats,
+        )
+
+        _recover_corpus_stats(index_path)
+    # after (or instead of) healing: a torn build is detectable but not
+    # mechanically healable — postings for the listed docs are gone
+    doc_stats = os.path.join(index_path, "doc_stats")
+    postings = os.path.join(index_path, "postings")
+    # under --dry-run a dangling postings.old hasn't been restored yet:
+    # a complete .old makes the build whole, so it is not torn
+    postings_ok = os.path.exists(os.path.join(postings, "_SUCCESS")) or (
+        not os.path.exists(postings)
+        and os.path.exists(os.path.join(postings + ".old", "_SUCCESS"))
+    )
+    if (os.path.exists(doc_stats) or os.path.exists(doc_stats + ".old")) and (
+        not postings_ok
+    ):
+        findings.append(
+            _finding(
+                index_path,
+                "torn build: doc_stats present, postings incomplete",
+                "UNHEALABLE — re-run build_text_index",
+                False,
+            )
+        )
+    return findings
+
+
+def _fsck_generic(parent: str, entries: list[str], heal: bool) -> list[dict]:
+    """Store/state-dir findings in ``parent``, healed via the store
+    hook (which also serializes on the store's maintenance lock)."""
+    findings: list[dict] = []
+    touched: set[str] = set()
+    for e in entries:
+        base = None
+        if e.endswith(".old"):
+            base = e[: -len(".old")]
+            live = os.path.join(parent, base)
+            issue = (
+                "stale residue next to healthy dir"
+                if os.path.exists(live)
+                else "interrupted swap (no live dir)"
+            )
+            action = "remove" if os.path.exists(live) else "restore to live path"
+            findings.append(_finding(os.path.join(parent, e), issue, action, heal))
+        elif e.endswith(".staging"):
+            base = e[: -len(".staging")]
+            findings.append(
+                _finding(os.path.join(parent, e), "orphaned staging dir",
+                         "remove", heal)
+            )
+        if base is not None:
+            touched.add(base)
+    if heal and touched:
+        from bigdata_flightanalysis_spark.operators.incremental import (
+            _recover_store_dir,
+            _store_lock,
+        )
+
+        for base in sorted(touched):
+            store = os.path.join(parent, base)
+            with _store_lock(store):
+                _recover_store_dir(store)
+    return findings
+
+
+def fsck_tree(root: str, heal: bool = True) -> list[dict]:
+    """Walk ``root`` and report (and, with ``heal=True``, repair) every
+    recognized crash-residue state. Returns the findings; a finding
+    with ``healed=False`` either ran under ``heal=False`` or is
+    unhealable (torn index build)."""
+    root = os.path.abspath(root)
+    findings: list[dict] = []
+    if _is_index_root(root):
+        return _fsck_index(root, heal)
+    for parent, dirnames, _files in os.walk(root, topdown=True):
+        index_roots = [
+            d for d in dirnames if _is_index_root(os.path.join(parent, d))
+        ]
+        for d in index_roots:
+            findings.extend(_fsck_index(os.path.join(parent, d), heal))
+        # don't recurse into index internals (their residue is relation-
+        # scoped and already handled), nor into residue dirs themselves
+        dirnames[:] = [
+            d
+            for d in dirnames
+            if d not in index_roots
+            and not d.endswith((".old", ".staging"))
+            and d != "corpus_stats.new"
+        ]
+        findings.extend(_fsck_generic(parent, sorted(os.listdir(parent)), heal))
+    return findings
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m bigdata_flightanalysis_spark.fsck",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    ap.add_argument("root", help="tree of stores/state dirs/indexes to check")
+    ap.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="report findings without healing (exit 1 if any)",
+    )
+    args = ap.parse_args(argv)
+    if not os.path.isdir(args.root):
+        print(f"{args.root}: not a directory", file=sys.stderr)
+        return 2
+    findings = fsck_tree(args.root, heal=not args.dry_run)
+    for f in findings:
+        verb = "healed" if f["healed"] else "found"
+        print(f"{verb}: {f['path']} — {f['issue']} ({f['action']})")
+    unhealed = [f for f in findings if not f["healed"]]
+    print(
+        f"fsck: {len(findings)} finding(s), "
+        f"{len(findings) - len(unhealed)} healed, {len(unhealed)} remaining"
+    )
+    return 1 if unhealed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
