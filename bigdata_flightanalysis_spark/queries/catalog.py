@@ -55,77 +55,27 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-9 rotation. After r8, per-query newest-driver-row dates are:
-# 28 at r5 (the oldest — staged to lead, exactly as the r8 comment
-# promised), 47 at r6, 50 at r7, 50 at r8; all 175 green at their
-# newest row. Priority: (1) the 28 r5-dated rows; (2) the 2 queries
-# whose code changed this round — doc_bm25_serve_topk (corpus-
-# fingerprinted, lock-serialized session cache) and
-# doc_bm25_compact_topk (compaction now stages the recomputed corpus
-# totals BEFORE the swaps and promotes them in one ordered sequence);
-# (3) backfill with the ALPHABETICALLY FIRST 20 of the 47 r6-dated
-# rows. Window = 28 + 2 + 20 = 50. The remaining 27 r6-dated names
-# are listed below the cut and lead the r10 window; steady state
-# holds (175 queries / 50-row window => no row older than ~3-4
-# rounds — after this window nothing is older than r6).
+# Round-10 rotation (scripts/stage_rotation.py computed it). After
+# r9, per-query newest-driver-row dates: 27 at r6 (the oldest — the
+# exact set the r9 comment staged below its cut), 50 at r7, 48 at r8,
+# 50 at r9; all 175 green at their newest row. Priority: (1) the 4
+# queries whose code changed this round — the three BM25 lifecycle
+# entries (refresh now detects a torn build via the postings/_SUCCESS
+# completeness marker; serve/compact recovery also reclaims aborted-
+# compact staging residue) and embed_near_dup_incremental (store
+# ingests/rewrites now serialize on a per-store maintenance lock);
+# (2) the 27 r6-dated rows; (3) backfill with the ALPHABETICALLY
+# FIRST 19 of the 50 r7-dated rows. Window = 4 + 27 + 19 = 50. The
+# remaining 31 r7-dated names are listed below the cut and lead the
+# r11 window; steady state holds (after this window lands nothing is
+# older than r7).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) last driver-checked in r5 — the 28 oldest rows
-    "embed_label_centroids",
-    "embed_quantized_topk",
-    "events_asof_purchase_click",
-    "events_minutely_gapfill",
-    "events_range_join_error_context",
-    "events_sessionization_gaps",
-    "events_sliding_distinct_users",
-    "nation_share_of_region_revenue",
-    "order_priority_tiers",
-    "order_value_quartiles",
-    "orderdate_parts",
-    "orders_anti_bloom_check",
-    "part_affinity_topk",
-    "parts_never_ordered",
-    "q11_important_parts",
-    "q12_priority_by_flag",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q8_market_share",
-    "returnflag_in_list",
-    "revenue_by_region",
-    "segments_of_open_order_customers",
-    "supplier_running_revenue",
-    "top_customers_per_segment",
-    "union_priority_extremes",
-    # (2) code changed this round (round 9)
+    # (1) code changed this round (round 10)
+    "doc_bm25_refresh_topk",
     "doc_bm25_serve_topk",
     "doc_bm25_compact_topk",
-    # (3) r6-dated backfill to the 50-query window (alphabetical)
-    "customer_rfm_segments",
-    "customer_snapshot_diff",
-    "doc_bigram_nll_quality",
-    "doc_bm25_topk",
-    "doc_clean_normalize",
-    "doc_dup_canonical_pagerank",
-    "doc_dup_graph_triangles",
-    "doc_duplicate_spans",
-    "doc_near_dup_candidates_largemode",
-    "doc_near_dup_incremental",
-    "doc_shuffle_shards",
-    "doc_split_leakage_check",
-    "doc_stopword_ratio",
-    "doc_temperature_mixture_sample",
-    "doc_term_first_positions",
-    "doc_training_manifest",
-    "doc_weighted_sample_es",
-    "doc_winnow_fingerprints",
-    "embed_near_dup_pairs_largemode",
-    "embed_pq_topk",
-    # The 50-query window ends here (28 r5-stale + 2 changed + 20
-    # r6-dated backfill). The r6-dated entries below are the oldest
-    # remaining rows once this window lands — they lead the r10
-    # window (backfill r10 with the oldest r7-dated rows after them).
+    "embed_near_dup_incremental",
+    # (2) last driver-checked in r6 — the 27 oldest rows
     "events_activity_incident_overlap",
     "events_approx_quantile_contract",
     "events_cdc_latest_state",
@@ -153,6 +103,60 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "orders_profile",
     "referential_integrity_report",
     "status_first_last_orders",
+    # (3) r7-dated backfill to the 50-query window (alphabetical)
+    "brand_number_histogram",
+    "corpus_card",
+    "cube_flag_status",
+    "customer_order_recency",
+    "customer_scd2_merge",
+    "doc_bm25_index_topk",
+    "doc_bpe_token_stats",
+    "doc_decontamination",
+    "doc_dup_clusters",
+    "doc_dup_graph_kcore",
+    "doc_exact_dedup",
+    "doc_fingerprints",
+    "doc_jaccard_pairs_sample",
+    "doc_langid",
+    "doc_minhash_signatures",
+    "doc_near_dup_candidates",
+    "doc_near_dup_edit_distance",
+    "doc_quality_scores",
+    "doc_simhash",
+    # The 50-query window ends here (4 changed + 27 r6-stale + 19
+    # r7-dated backfill). The r7-dated entries below are the oldest
+    # remaining rows once this window lands — they lead the r11
+    # window (backfill r11 with the remaining r7 rows, then the
+    # oldest r8-dated rows).
+    "doc_simhash_near_dup",
+    "doc_token_stats",
+    "embed_cosine_topk",
+    "embed_decontamination",
+    "embed_ivf_topk",
+    "embed_lsh_topk",
+    "embed_near_dup_pairs",
+    "embed_quantize_int8",
+    "embed_standardize",
+    "events_dedup_first_per_user_type",
+    "events_json_extract",
+    "events_mad_anomalies_twopass",
+    "events_session_windows",
+    "events_sliding_hourly",
+    "events_tumbling_hourly",
+    "events_type_pivot",
+    "events_type_trend",
+    "events_value_winsorized_twopass",
+    "grouping_sets_order_stats",
+    "kmeans_embedding_clusters",
+    "large_orders_q18",
+    "lineitem_safe_math",
+    "max_order_per_status_argmax",
+    "order_metrics_unpivot",
+    "order_price_percentile_rank",
+    "orders_profile_approx",
+    "orders_quality_report",
+    "status_priority_sets",
+    "supplier_trailing_week_quantity",
 )
 
 
