@@ -36,20 +36,12 @@ _FP_SCHEME = {"scheme": "exact", "fp": "md5_60bit_normalized_ws"}
 # Same pattern as retrieval's _SERVE_INDEX_LOCK. The lock is
 # process-level: maintenance from SEPARATE processes remains the
 # documented single-maintainer contract, as for every recovery hook.
+# The lock registry itself lives in util.path_lock — shared with the
+# BM25 index's maintenance legs, which have the identical race.
 import functools as _functools
 import inspect as _inspect
-import threading as _threading
 
-_STORE_LOCKS: dict[str, _threading.RLock] = {}
-_STORE_LOCKS_GUARD = _threading.Lock()
-
-
-def _store_lock(store_path: str) -> _threading.RLock:
-    """The per-store maintenance lock (keyed by absolute path, so
-    spellings of the same store serialize together)."""
-    key = os.path.abspath(store_path)
-    with _STORE_LOCKS_GUARD:
-        return _STORE_LOCKS.setdefault(key, _threading.RLock())
+from bigdata_flightanalysis_spark.util import path_lock as _store_lock
 
 
 def _serialized_on_store(fn):

@@ -602,6 +602,21 @@ def refresh_text_index(
     corpus totals are recomputed from doc_stats (the narrow source of
     truth) on every refresh, never incremented blindly.
     """
+    from bigdata_flightanalysis_spark.util import path_lock
+
+    with path_lock(index_path):
+        _refresh_text_index_locked(spark, new_docs, index_path)
+
+
+def _refresh_text_index_locked(
+    spark: SparkSession, new_docs: DataFrame, index_path: str
+) -> None:
+    """Body of :func:`refresh_text_index`, under the index's
+    maintenance lock: a refresh appending between a compaction's
+    snapshot read and its swaps would land rows in the dir the
+    compaction rmtree's — the same race the dedup stores' ingests
+    serialize against (per-path re-entrant lock, process-level;
+    cross-process maintenance is the single-maintainer contract)."""
     import os
 
     _check_index_tokenizer(index_path)
@@ -682,7 +697,23 @@ def _recover_corpus_stats(index_path: str) -> None:
     them from doc_stats unconditionally. A ``.old`` NEXT TO a healthy
     live dir is the other crash residue (swap completed, final
     cleanup didn't) — removed here, or a serve-only workload would
-    carry a full-relation-sized leftover forever."""
+    carry a full-relation-sized leftover forever.
+
+    Holds the index's maintenance lock (re-entrant — refresh/compact
+    already hold it when they call this): the heal MUTATES the index
+    dir, so an unlocked serve-path call racing an in-process
+    refresh/compact mid-swap could otherwise restore ``.old`` onto
+    the live path under the writer's feet."""
+    import os
+    import shutil
+
+    from bigdata_flightanalysis_spark.util import path_lock
+
+    with path_lock(index_path):
+        _recover_corpus_stats_locked(index_path)
+
+
+def _recover_corpus_stats_locked(index_path: str) -> None:
     import os
     import shutil
 
@@ -759,6 +790,18 @@ def compact_text_index(spark: SparkSession, index_path: str) -> None:
     and df already counted distinct docs. Each rewrite lands via
     staging + two-rename swap with .old recovery, so a crash at any
     point leaves a servable index."""
+    from bigdata_flightanalysis_spark.util import path_lock
+
+    with path_lock(index_path):
+        _compact_text_index_locked(spark, index_path)
+
+
+def _compact_text_index_locked(spark: SparkSession, index_path: str) -> None:
+    """Body of :func:`compact_text_index` under the index's
+    maintenance lock (see :func:`_refresh_text_index_locked`): without
+    it, a refresh appending between this compaction's postings read
+    and its swaps would have its rows land in ``.old`` — rmtree'd,
+    silent postings loss."""
     import shutil
 
     _check_index_tokenizer(index_path)
@@ -998,7 +1041,20 @@ def build_text_index_from(
     constant), but stamping a fresh scheme OVER foreign postings
     would make a mid-build crash silently mis-serve them — clearing
     first turns that crash state into a loud missing-relation error
-    on the next serve, which a re-run of the build heals."""
+    on the next serve, which a re-run of the build heals.
+
+    Holds the index's maintenance lock like refresh/compact: a
+    rebuild racing either would otherwise interleave its clears with
+    their appends/swaps."""
+    from bigdata_flightanalysis_spark.util import path_lock
+
+    with path_lock(index_path):
+        _build_text_index_from_locked(spark, docs, index_path)
+
+
+def _build_text_index_from_locked(
+    spark: SparkSession, docs: DataFrame, index_path: str
+) -> None:
     import shutil
 
     for rel in ("postings", "doc_stats", "corpus_stats"):

@@ -139,3 +139,26 @@ def parquet_stat_bounds(path: str, col: str) -> tuple:
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
     return lo, hi
+
+
+# --- per-path maintenance locks ---------------------------------------
+# One process-level re-entrant lock per on-disk layout (store, index),
+# keyed by absolute path so spellings of the same dir serialize
+# together. A rewrite snapshot-reads the live dir, writes staging, then
+# two-rename swaps: an append landing between the snapshot read and the
+# swap would end up in the dir the rewrite rmtree's — every ingest AND
+# rewrite of a maintained layout must hold its lock. Re-entrant because
+# maintenance legs delegate to each other (compact_embed_store →
+# rebucket_embed_store). Process-level only: maintenance from separate
+# processes remains the documented single-maintainer contract.
+import threading as _threading
+
+_PATH_LOCKS: dict[str, _threading.RLock] = {}
+_PATH_LOCKS_GUARD = _threading.Lock()
+
+
+def path_lock(path: str) -> _threading.RLock:
+    """The per-path maintenance lock for a store/index/state dir."""
+    key = os.path.abspath(path)
+    with _PATH_LOCKS_GUARD:
+        return _PATH_LOCKS.setdefault(key, _threading.RLock())

@@ -1034,3 +1034,68 @@ def test_refresh_refuses_torn_build_state(spark, tmp_path):
     got = [tuple(r) for r in R.bm25_index_topk(spark, idx2).collect()]
     expect = [tuple(r) for r in R.bm25_index_topk(spark, idx).collect()]
     assert got == expect
+
+
+def test_index_maintenance_serializes_refresh_against_compact(spark, tmp_path):
+    """The BM25 index has the same rewrite-vs-append race as the dedup
+    stores (r9 verdict defect #2): a refresh appending between a
+    compaction's postings read and its swaps lands rows in the dir the
+    compaction rmtree's. Refresh/compact/rebuild now hold the index's
+    per-path maintenance lock: (a) a refresh entering while the lock
+    is held must block; (b) a compaction racing a refresh must lose
+    zero postings, serving identically to a sequential control."""
+    import threading
+
+    from bigdata_flightanalysis_spark.queries import retrieval as R
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+    from bigdata_flightanalysis_spark.util import path_lock
+
+    docs = read_table(spark, SF, "documents")
+    half1 = docs.where(F.col("doc_id") < 40)
+    half2 = docs.where(F.col("doc_id") >= 40)
+
+    idx = str(tmp_path / "idx")
+    R.build_text_index_from(spark, half1, idx)
+
+    # (a) lock held (an in-flight compaction) => refresh blocks
+    done = threading.Event()
+
+    def refresh2():
+        R.refresh_text_index(spark, half2, idx)
+        done.set()
+
+    t = threading.Thread(target=refresh2)
+    with path_lock(idx):
+        t.start()
+        assert not done.wait(3.0), "refresh ran during in-flight maintenance"
+    t.join(120)
+    assert done.is_set()
+
+    # (b) concurrent compact + a replayed refresh (its append anti-join
+    # makes the replay a no-op IF it sees consistent state): the index
+    # must serve identically to a sequential control afterwards
+    errs = []
+
+    def run(fn, *args):
+        try:
+            fn(spark, *args)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t_compact = threading.Thread(target=run, args=(R.compact_text_index, idx))
+    t_refresh = threading.Thread(
+        target=run, args=(R.refresh_text_index, half2, idx)
+    )
+    t_compact.start()
+    t_refresh.start()
+    t_compact.join(300)
+    t_refresh.join(300)
+    assert not errs
+
+    control = str(tmp_path / "control")
+    R.build_text_index_from(spark, docs, control)
+    got = [tuple(r) for r in R.bm25_index_topk(spark, idx).collect()]
+    expect = [tuple(r) for r in R.bm25_index_topk(spark, control).collect()]
+    assert got == expect
+    n_docs = spark.read.parquet(f"{idx}/doc_stats").select("doc_id").distinct().count()
+    assert n_docs == docs.count()  # zero lost docs
