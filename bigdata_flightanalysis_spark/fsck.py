@@ -24,11 +24,14 @@ crash residue the two-rename swap protocol can leave behind:
   ``build_text_index`` can reconstruct the missing postings; refresh
   refuses this state for the same reason.
 
-Single-maintainer contract (the same one every recovery hook assumes):
-run fsck only while no sink, ingest, or index maintenance is attached
-to the tree. Exit code 0 when the tree is clean or every finding was
-healed; 1 when unhealable findings remain (or anything was found under
-``--dry-run``).
+Run fsck only while no sink, ingest, or index maintenance is attached
+to the tree. Store and index heals do take the per-path maintenance
+lock (whose flock layer serializes against same-host processes), but
+the classification pass that produces the findings runs before the
+lock, and streaming STATE dirs have no lock at all — a live sink
+racing fsck mid-swap can still collide. Exit code 0 when the tree is
+clean or every finding was healed; 1 when unhealable findings remain
+(or anything was found under ``--dry-run``).
 """
 
 from __future__ import annotations

@@ -33,11 +33,13 @@ _FP_SCHEME = {"scheme": "exact", "fp": "md5_60bit_normalized_ws"}
 # history loss (r9 verdict defect #2). Every ingest and rewrite
 # therefore serializes on a per-store re-entrant lock (re-entrant
 # because compact_embed_store delegates to rebucket_embed_store).
-# Same pattern as retrieval's _SERVE_INDEX_LOCK. The lock is
-# process-level: maintenance from SEPARATE processes remains the
-# documented single-maintainer contract, as for every recovery hook.
-# The lock registry itself lives in util.path_lock — shared with the
-# BM25 index's maintenance legs, which have the identical race.
+# Same pattern as retrieval's _SERVE_INDEX_LOCK. The lock couples an
+# in-process RLock with an OS-level flock on a sibling
+# ``<store>.lock`` file, so maintenance from SEPARATE processes on
+# the same host serializes too (advisory, not NFS-safe — multi-host
+# maintenance still needs an external coordinator). The lock registry
+# itself lives in util.path_lock — shared with the BM25 index's
+# maintenance legs, which have the identical race.
 import functools as _functools
 import inspect as _inspect
 
@@ -453,8 +455,9 @@ def _recover_store_dir(store_path: str) -> None:
     Safe to remove here: every live rewrite holds the store's
     maintenance lock across its staging write, and the callers of
     this hook hold the same lock, so a ``.staging`` seen here is
-    never in-flight (cross-process maintenance is the documented
-    single-maintainer contract)."""
+    never in-flight (the lock's flock layer enforces this across
+    processes on the same host; multi-host maintenance still needs
+    an external coordinator)."""
     import shutil
 
     old = store_path + ".old"

@@ -571,8 +571,9 @@ def bm25_index_topk(
     tags=("text", "retrieval", "index"),
 )
 def doc_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     import tempfile
+
+    from bigdata_flightanalysis_spark.util import remove_layout
 
     index_path = tempfile.mkdtemp(prefix="bm25_index_")
     build_text_index(spark, sf_dir, index_path)
@@ -581,7 +582,7 @@ def doc_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # delete, and without the rmtree every driver/bench invocation
     # leaks a corpus-sized index dir under /tmp.
     result = bm25_index_topk(spark, index_path).localCheckpoint(eager=True)
-    shutil.rmtree(index_path, ignore_errors=True)
+    remove_layout(index_path)  # also reclaims the sibling .lock file
     return result
 
 
@@ -615,8 +616,8 @@ def _refresh_text_index_locked(
     maintenance lock: a refresh appending between a compaction's
     snapshot read and its swaps would land rows in the dir the
     compaction rmtree's — the same race the dedup stores' ingests
-    serialize against (per-path re-entrant lock, process-level;
-    cross-process maintenance is the single-maintainer contract)."""
+    serialize against (per-path re-entrant lock; its flock layer
+    also serializes maintenance from separate same-host processes)."""
     import os
 
     _check_index_tokenizer(index_path)
@@ -873,8 +874,9 @@ def _compact_text_index_locked(spark: SparkSession, index_path: str) -> None:
     tags=("text", "retrieval", "index", "incremental"),
 )
 def doc_bm25_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     import tempfile
+
+    from bigdata_flightanalysis_spark.util import remove_layout
 
     index_path = tempfile.mkdtemp(prefix="bm25_refresh_")
     docs = read_table(spark, sf_dir, "documents")
@@ -888,7 +890,7 @@ def doc_bm25_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Pin the k rows, then drop the temp index (see doc_bm25_index_topk)
     result = bm25_index_topk(spark, index_path).localCheckpoint(eager=True)
-    shutil.rmtree(index_path, ignore_errors=True)
+    remove_layout(index_path)  # also reclaims the sibling .lock file
     return result
 
 
@@ -908,8 +910,9 @@ def doc_bm25_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "retrieval", "index", "compaction"),
 )
 def doc_bm25_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
     import tempfile
+
+    from bigdata_flightanalysis_spark.util import remove_layout
 
     index_path = tempfile.mkdtemp(prefix="bm25_compact_")
     docs = read_table(spark, sf_dir, "documents")
@@ -931,7 +934,7 @@ def doc_bm25_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     compact_text_index(spark, index_path)
     result = bm25_index_topk(spark, index_path).localCheckpoint(eager=True)
-    shutil.rmtree(index_path, ignore_errors=True)
+    remove_layout(index_path)  # also reclaims the sibling .lock file
     return result
 
 
@@ -978,8 +981,9 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
 
 def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
     import atexit
-    import shutil
     import tempfile
+
+    from bigdata_flightanalysis_spark.util import remove_layout
 
     with _SERVE_INDEX_LOCK:
         cached = _SERVE_INDEX_CACHE.get(sf_dir)
@@ -1002,7 +1006,7 @@ def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
         path = tempfile.mkdtemp(prefix="bm25_serve_")
         # register cleanup BEFORE the build so a mid-build failure
         # can't strand a partial index dir past process exit
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        atexit.register(remove_layout, path)
         build_text_index(spark, sf_dir, path)
         _SERVE_INDEX_CACHE[sf_dir] = (path, built_fp)
         return path

@@ -142,23 +142,96 @@ def parquet_stat_bounds(path: str, col: str) -> tuple:
 
 
 # --- per-path maintenance locks ---------------------------------------
-# One process-level re-entrant lock per on-disk layout (store, index),
-# keyed by absolute path so spellings of the same dir serialize
-# together. A rewrite snapshot-reads the live dir, writes staging, then
-# two-rename swaps: an append landing between the snapshot read and the
-# swap would end up in the dir the rewrite rmtree's — every ingest AND
+# One re-entrant lock per on-disk layout (store, index), keyed by
+# absolute path so spellings of the same dir serialize together. A
+# rewrite snapshot-reads the live dir, writes staging, then two-rename
+# swaps: an append landing between the snapshot read and the swap
+# would end up in the dir the rewrite rmtree's — every ingest AND
 # rewrite of a maintained layout must hold its lock. Re-entrant because
 # maintenance legs delegate to each other (compact_embed_store →
-# rebucket_embed_store). Process-level only: maintenance from separate
-# processes remains the documented single-maintainer contract.
+# rebucket_embed_store).
+#
+# Two layers: an in-process RLock (thread serialization, re-entrancy)
+# plus an OS-level exclusive flock on a sibling ``<path>.lock`` file,
+# taken at outermost entry — so maintenance from SEPARATE processes
+# serializes too, turning the single-maintainer contract from
+# documented into enforced. The lockfile is a sibling, never inside the
+# layout: the swap renames the dir itself, and readers must not see
+# foreign files in it. flock (not fcntl record locks) because a lock
+# tied to the open file description survives unrelated open/close of
+# the same file elsewhere in the process, and the kernel drops it on
+# crash — no stale-lock recovery needed. Caveat the docstrings carry:
+# flock is advisory and not reliable on NFS — multi-host maintenance
+# still needs an external coordinator.
 import threading as _threading
 
-_PATH_LOCKS: dict[str, _threading.RLock] = {}
+_HAS_FLOCK = True
+try:  # POSIX only; on other platforms the in-process layer still holds
+    import fcntl as _fcntl
+except ImportError:  # pragma: no cover
+    _HAS_FLOCK = False
+
+
+class _PathLock:
+    """Re-entrant per-path lock: in-process RLock + cross-process
+    flock on ``<path>.lock``, held from outermost enter to outermost
+    exit. ``_depth``/``_fd`` are only touched while the RLock is held,
+    so they need no guard of their own."""
+
+    def __init__(self, path: str) -> None:
+        self._rlock = _threading.RLock()
+        self._lockfile = path + ".lock"
+        self._depth = 0
+        self._fd: int | None = None
+
+    def __enter__(self) -> "_PathLock":
+        self._rlock.acquire()
+        self._depth += 1
+        if self._depth == 1 and _HAS_FLOCK:
+            try:
+                parent = os.path.dirname(self._lockfile)
+                if parent:
+                    os.makedirs(parent, exist_ok=True)
+                self._fd = os.open(self._lockfile, os.O_CREAT | os.O_RDWR, 0o644)
+                _fcntl.flock(self._fd, _fcntl.LOCK_EX)
+            except BaseException:
+                if self._fd is not None:
+                    os.close(self._fd)
+                    self._fd = None
+                self._depth -= 1
+                self._rlock.release()
+                raise
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._depth -= 1
+        if self._depth == 0 and self._fd is not None:
+            _fcntl.flock(self._fd, _fcntl.LOCK_UN)
+            os.close(self._fd)
+            self._fd = None
+        self._rlock.release()
+
+
+_PATH_LOCKS: dict[str, _PathLock] = {}
 _PATH_LOCKS_GUARD = _threading.Lock()
 
 
-def path_lock(path: str) -> _threading.RLock:
+def path_lock(path: str) -> _PathLock:
     """The per-path maintenance lock for a store/index/state dir."""
     key = os.path.abspath(path)
     with _PATH_LOCKS_GUARD:
-        return _PATH_LOCKS.setdefault(key, _threading.RLock())
+        return _PATH_LOCKS.setdefault(key, _PathLock(key))
+
+
+def remove_layout(path: str) -> None:
+    """Remove a maintained layout AND its sibling ``<path>.lock``
+    file — the cleanup for throwaway stores/indexes built in temp
+    dirs. A bare rmtree leaks one lockfile per run into the temp
+    root (tiny, but unbounded across repeated bench/driver runs)."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.remove(path + ".lock")
+    except OSError:
+        pass

@@ -114,3 +114,64 @@ def test_check_sidecar_property_strict_iff_equal(tmp_path):
             assert got == ok, (recorded, expected, lenient)
 
     prop()
+
+
+def test_path_lock_excludes_other_processes(tmp_path):
+    """The maintenance lock's flock layer: while THIS process holds
+    path_lock(store), a separate process must fail to take the
+    sibling lockfile (the single-maintainer contract is enforced, not
+    just documented); after release it must succeed. Run via a real
+    fork/exec child — threads share the in-process RLock, which is
+    exactly what this layer is NOT about."""
+    import subprocess
+    import sys
+
+    from bigdata_flightanalysis_spark.util import path_lock
+
+    store = str(tmp_path / "store")
+    child_src = (
+        "import fcntl, os, sys\n"
+        "fd = os.open(sys.argv[1] + '.lock', os.O_CREAT | os.O_RDWR)\n"
+        "try:\n"
+        "    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)\n"
+        "except BlockingIOError:\n"
+        "    sys.exit(42)\n"
+        "sys.exit(0)\n"
+    )
+
+    def child_rc() -> int:
+        return subprocess.run(
+            [sys.executable, "-c", child_src, store], timeout=30
+        ).returncode
+
+    with path_lock(store):
+        assert os.path.exists(store + ".lock")
+        assert child_rc() == 42, "another process acquired a held lock"
+        with path_lock(store):  # re-entrant: still held, still one fd
+            assert child_rc() == 42
+        assert child_rc() == 42, "inner exit released the outer hold"
+    assert child_rc() == 0, "lock not released at outermost exit"
+
+
+def test_path_lock_threads_still_serialize(tmp_path):
+    """The in-process layer survives the flock addition: a second
+    thread blocks until release, and the same thread re-enters
+    freely (compact_embed_store -> rebucket_embed_store)."""
+    import threading
+
+    from bigdata_flightanalysis_spark.util import path_lock
+
+    store = str(tmp_path / "store")
+    acquired = threading.Event()
+
+    def other():
+        with path_lock(store):
+            acquired.set()
+
+    t = threading.Thread(target=other)
+    with path_lock(store):
+        with path_lock(store):
+            t.start()
+            assert not acquired.wait(1.0), "thread entered a held lock"
+    t.join(30)
+    assert acquired.is_set()
