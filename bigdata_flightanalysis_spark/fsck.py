@@ -25,13 +25,15 @@ crash residue the two-rename swap protocol can leave behind:
   refuses this state for the same reason.
 
 Run fsck only while no sink, ingest, or index maintenance is attached
-to the tree. Store and index heals do take the per-path maintenance
-lock (whose flock layer serializes against same-host processes), but
+to the tree. Heals take the per-path maintenance lock (whose flock
+layer serializes against same-host processes — streaming sinks,
+store ingests, and index maintenance all hold the same lock), but
 the classification pass that produces the findings runs before the
-lock, and streaming STATE dirs have no lock at all — a live sink
-racing fsck mid-swap can still collide. Exit code 0 when the tree is
-clean or every finding was healed; 1 when unhealable findings remain
-(or anything was found under ``--dry-run``).
+lock, so findings may describe a state a concurrent same-host writer
+already repaired; multi-host writers are not serialized at all. Exit
+code 0 when the tree is clean or every finding was healed; 1 when
+unhealable findings remain (or anything was found under
+``--dry-run``).
 """
 
 from __future__ import annotations

@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from bigdata_flightanalysis_spark.util import path_lock
+
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 
 #: Events schema with ``ts`` as raw int64 epoch-nanoseconds — the
@@ -340,18 +342,28 @@ def upsert_foreach_batch(path: str, key_cols: list[str]):
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _check_state_contract(path, {"sink": "upsert", "key_cols": key_cols})
-        _recover_state_dir(path)
-        new = batch_df.withColumn("_v", F.lit(batch_id).cast("long"))
-        if os.path.exists(path):
-            new = new.unionByName(spark.read.parquet(path))
-        w = Window.partitionBy(*key_cols).orderBy(F.col("_v").desc())
-        merged = (
-            new.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        _swap_state_dir(merged, path)
+        # The read-merge-swap must be one critical section: state-dir
+        # MAINTENANCE (cdc_compact_tombstones, fsck) swapping between
+        # this read and this swap would have ITS rewrite rmtree'd away
+        # — or worse, this batch's rows lost to the maintenance swap
+        # while the checkpoint still records the batch as committed.
+        # Same per-path lock (RLock + same-host flock) as the dedup
+        # stores and the BM25 index.
+        with path_lock(path):
+            _check_state_contract(
+                path, {"sink": "upsert", "key_cols": key_cols}
+            )
+            _recover_state_dir(path)
+            new = batch_df.withColumn("_v", F.lit(batch_id).cast("long"))
+            if os.path.exists(path):
+                new = new.unionByName(spark.read.parquet(path))
+            w = Window.partitionBy(*key_cols).orderBy(F.col("_v").desc())
+            merged = (
+                new.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            _swap_state_dir(merged, path)
 
     return _apply
 
@@ -428,12 +440,19 @@ def _recover_state_dir(path: str) -> None:
     contract). Rename ``.old`` back BEFORE reading; replay idempotence
     then converges the rolled-back batch. A ``.old`` next to a
     healthy live dir (swap completed, final cleanup didn't) is
-    removed — it would otherwise sit at full state size forever."""
+    removed — it would otherwise sit at full state size forever. So is
+    an orphaned ``.staging`` (crash during the staging write): a live
+    sink would overwrite it next batch anyway, but on an abandoned
+    state dir it persists at full state size — the same residue class
+    the store recovery reclaims. Callers hold the state's maintenance
+    lock, so a ``.staging`` seen here is never in-flight (same-host;
+    multi-host still needs an external coordinator)."""
     old = path + ".old"
     if not os.path.exists(path) and os.path.exists(old):
         os.rename(old, path)
     elif os.path.exists(path):
         shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(path + ".staging", ignore_errors=True)
 
 
 def _swap_state_dir(merged: DataFrame, path: str) -> None:
@@ -529,18 +548,23 @@ def cdc_upsert_foreach_batch(
                 "tombstone_value": tombstone_value,
             },
         )
-        _recover_state_dir(path)
-        new = batch_df.withColumn("_v", F.lit(batch_id).cast("long"))
-        if os.path.exists(path):
-            new = new.unionByName(spark.read.parquet(path))
-        order = [F.col(c).desc() for c in order_cols] + [F.col("_v").desc()]
-        w = Window.partitionBy(*key_cols).orderBy(*order)
-        merged = (
-            new.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        _swap_state_dir(merged, path)
+        # Same critical section as the upsert sink: racing state
+        # maintenance must not interleave with the read-merge-swap.
+        with path_lock(path):
+            _recover_state_dir(path)
+            new = batch_df.withColumn("_v", F.lit(batch_id).cast("long"))
+            if os.path.exists(path):
+                new = new.unionByName(spark.read.parquet(path))
+            order = [F.col(c).desc() for c in order_cols] + [
+                F.col("_v").desc()
+            ]
+            w = Window.partitionBy(*key_cols).orderBy(*order)
+            merged = (
+                new.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            _swap_state_dir(merged, path)
 
     return _apply
 
@@ -560,22 +584,20 @@ def cdc_snapshot(
     wrong instant fails reads until the next micro-batch happens to
     run.
 
-    The heal MUTATES the state dir, which silently extends the
-    recovery helpers' single-writer assumption to this reader: a
-    snapshot racing an ATTACHED sink exactly mid-swap (between the
-    two renames) would rename ``.old`` back to the live path, and the
-    sink's own ``os.rename(staging, path)`` then fails that
-    micro-batch — transient and replay-recoverable, but a failure the
-    reader caused. Default ``heal=True`` is therefore for snapshots
-    taken inside the state's maintenance domain (same process/operator
-    as the sink, the single-maintainer contract every recovery hook
-    here assumes). A reader OUTSIDE that domain — e.g. an ad-hoc
-    query while the stream is live — should pass ``heal=False``:
-    never touches disk, at worst raises path-not-found during the
-    microseconds-wide swap window instead of failing the sink's
-    batch."""
+    The heal MUTATES the state dir, so it runs under the state's
+    maintenance lock — the sink's read-merge-swap holds the same
+    lock, so a snapshot can no longer catch it exactly mid-swap and
+    rename ``.old`` back under its feet (the failure mode this
+    parameter was introduced for), as long as reader and sink share a
+    host (the lock's flock layer is same-host; multi-host coordination
+    is external). ``heal=False`` remains for readers that must not
+    touch disk at all — e.g. an ad-hoc query from a remote host while
+    the stream is live: at worst it raises path-not-found during the
+    microseconds-wide swap window instead of mutating foreign
+    state."""
     if heal:
-        _recover_state_dir(path)
+        with path_lock(path):
+            _recover_state_dir(path)
     return (
         spark.read.parquet(path)
         .where(F.col(tombstone_col) != F.lit(tombstone_value))
@@ -612,14 +634,19 @@ def cdc_compact_tombstones(
     dir shrinks. Uses the same crash-recovered staging-dir swap as the
     sinks, so a crash mid-compaction loses nothing.
     """
-    _recover_state_dir(path)
-    state = spark.read.parquet(path)
-    is_dead_tombstone = (
-        F.col(tombstone_col) == F.lit(tombstone_value)
-    ) & (F.col(order_col) < F.lit(older_than))
-    n_drop = state.where(is_dead_tombstone).count()
-    if n_drop:
-        _swap_state_dir(state.where(~is_dead_tombstone), path)
+    # Maintenance racing an attached sink's read-merge-swap would
+    # lose whichever side swaps first (the sink's committed batch, in
+    # the worst case) — hold the state's maintenance lock across the
+    # read-count-swap, exactly like the dedup stores' compactions.
+    with path_lock(path):
+        _recover_state_dir(path)
+        state = spark.read.parquet(path)
+        is_dead_tombstone = (
+            F.col(tombstone_col) == F.lit(tombstone_value)
+        ) & (F.col(order_col) < F.lit(older_than))
+        n_drop = state.where(is_dead_tombstone).count()
+        if n_drop:
+            _swap_state_dir(state.where(~is_dead_tombstone), path)
     return n_drop
 
 

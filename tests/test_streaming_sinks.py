@@ -623,3 +623,110 @@ def test_cdc_snapshot_heals_swap_crash_window(spark, tmp_path):
         ).collect()
     )
     assert got2 == before
+
+
+def test_state_maintenance_serializes_against_sink(spark, tmp_path):
+    """The streaming-state twin of the store-rewrite race (r9 verdict
+    defect #2 class): tombstone compaction swapping between a sink
+    batch's state read and its own swap loses one side — the sink's
+    committed batch, in the worst case. Both now hold the state's
+    per-path maintenance lock: (a) a sink batch entering while the
+    lock is held must block; (b) a compaction racing a sink batch
+    must lose neither the batch's keys nor the compaction's drop."""
+    import threading
+    from datetime import datetime
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        cdc_compact_tombstones,
+        cdc_snapshot,
+        cdc_upsert_foreach_batch,
+    )
+    from bigdata_flightanalysis_spark.util import path_lock
+
+    state = str(tmp_path / "state")
+    sink = cdc_upsert_foreach_batch(
+        state,
+        ["user_id"],
+        order_cols=["ts", "event_id"],
+        tombstone_col="event_type",
+        tombstone_value="error",
+    )
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    sink(
+        spark.createDataFrame(
+            [
+                (1, t.replace(hour=1), 1, "error", 0.0, "{}"),
+                (2, t.replace(hour=10), 2, "click", 2.0, "{}"),
+            ],
+            schema,
+        ),
+        0,
+    )
+
+    # (a) lock held (in-flight maintenance) => the next batch blocks
+    done = threading.Event()
+
+    def batch1():
+        sink(
+            spark.createDataFrame(
+                [(3, t.replace(hour=11), 3, "click", 3.0, "{}")], schema
+            ),
+            1,
+        )
+        done.set()
+
+    th = threading.Thread(target=batch1)
+    with path_lock(state):
+        th.start()
+        assert not done.wait(3.0), "sink batch ran during maintenance"
+    th.join(120)
+    assert done.is_set()
+
+    # (b) concurrent compaction + a new batch: serialized in SOME
+    # order — afterwards the batch's key is live AND the dead
+    # tombstone is gone, whichever side won the lock
+    errs = []
+
+    def run(fn):
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    def compact():
+        cdc_compact_tombstones(
+            spark,
+            state,
+            tombstone_col="event_type",
+            tombstone_value="error",
+            order_col="ts",
+            older_than=t.replace(hour=6),
+        )
+
+    def batch2():
+        sink(
+            spark.createDataFrame(
+                [(4, t.replace(hour=11), 4, "click", 4.0, "{}")], schema
+            ),
+            2,
+        )
+
+    t_compact = threading.Thread(target=run, args=(compact,))
+    t_batch = threading.Thread(target=run, args=(batch2,))
+    t_compact.start()
+    t_batch.start()
+    t_compact.join(300)
+    t_batch.join(300)
+    assert not errs
+    rows = spark.read.parquet(state)
+    live = {r["user_id"] for r in rows.collect()}
+    assert live == {2, 3, 4}, live  # batch kept, dead tombstone dropped
+    snap = {
+        r["user_id"]
+        for r in cdc_snapshot(spark, state, "event_type", "error").collect()
+    }
+    assert snap == {2, 3, 4}
