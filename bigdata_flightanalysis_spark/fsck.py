@@ -24,16 +24,16 @@ crash residue the two-rename swap protocol can leave behind:
   ``build_text_index`` can reconstruct the missing postings; refresh
   refuses this state for the same reason.
 
-Run fsck only while no sink, ingest, or index maintenance is attached
-to the tree. Heals take the per-path maintenance lock (whose flock
-layer serializes against same-host processes — streaming sinks,
-store ingests, and index maintenance all hold the same lock), but
-the classification pass that produces the findings runs before the
-lock, so findings may describe a state a concurrent same-host writer
-already repaired; multi-host writers are not serialized at all. Exit
-code 0 when the tree is clean or every finding was healed; 1 when
-unhealable findings remain (or anything was found under
-``--dry-run``).
+Under heal (the default), each layout is classified AND healed inside
+its per-path maintenance lock — the same lock streaming sinks, store
+ingests, and index maintenance hold — so reported findings are exactly
+what was healed, and a live same-host writer is serialized, not raced.
+``--dry-run`` is strictly report-only: it takes no lock (locking would
+create sibling ``.lock`` files) and so reports a snapshot that can
+race concurrent writers. Multi-host writers are not serialized either
+way (advisory flock is same-host). Exit code 0 when the tree is clean
+or every finding was healed; 1 when unhealable findings remain (or
+anything was found under ``--dry-run``).
 """
 
 from __future__ import annotations
@@ -66,7 +66,23 @@ def _fsck_index(index_path: str, heal: bool) -> list[dict]:
     """Index-root findings, healed via the index's own ordered recovery
     (:func:`queries.retrieval._recover_corpus_stats`) so the
     ``corpus_stats.new`` promotion rule sees staging evidence before
-    staging is reclaimed."""
+    staging is reclaimed.
+
+    Under heal, classification AND heal run inside the index's
+    maintenance lock, so the reported findings are exactly what was
+    healed — a concurrent same-host writer can't repair (or create)
+    residue between the two. ``--dry-run`` deliberately takes no lock:
+    report-only must not even create the sibling lockfile, at the
+    price of reporting a snapshot that can race writers."""
+    if heal:
+        from bigdata_flightanalysis_spark.util import path_lock
+
+        with path_lock(index_path):
+            return _fsck_index_unlocked(index_path, heal)
+    return _fsck_index_unlocked(index_path, heal)
+
+
+def _fsck_index_unlocked(index_path: str, heal: bool) -> list[dict]:
     findings: list[dict] = []
     for rel in INDEX_RELATIONS:
         live = os.path.join(index_path, rel)
@@ -126,41 +142,62 @@ def _fsck_index(index_path: str, heal: bool) -> list[dict]:
     return findings
 
 
+def _classify_layout(store: str, healed: bool) -> list[dict]:
+    """Findings for one store/state layout, from its CURRENT on-disk
+    state (re-statted, not the caller's directory listing — under
+    heal the caller holds the layout's lock, so what this reports is
+    exactly what the heal will act on)."""
+    findings: list[dict] = []
+    old = store + ".old"
+    if os.path.exists(old):
+        if os.path.exists(store):
+            findings.append(
+                _finding(old, "stale residue next to healthy dir",
+                         "remove", healed)
+            )
+        else:
+            findings.append(
+                _finding(old, "interrupted swap (no live dir)",
+                         "restore to live path", healed)
+            )
+    if os.path.exists(store + ".staging"):
+        findings.append(
+            _finding(store + ".staging", "orphaned staging dir",
+                     "remove", healed)
+        )
+    return findings
+
+
 def _fsck_generic(parent: str, entries: list[str], heal: bool) -> list[dict]:
     """Store/state-dir findings in ``parent``, healed via the store
-    hook (which also serializes on the store's maintenance lock)."""
-    findings: list[dict] = []
-    touched: set[str] = set()
+    hook. Under heal, each layout is classified and healed inside its
+    maintenance lock (one atomic classify+repair per layout — a
+    residue a concurrent same-host writer already repaired simply
+    yields no finding). ``--dry-run`` takes no lock: report-only must
+    not even create the sibling lockfile, at the price of a snapshot
+    that can race writers."""
+    bases: list[str] = []
     for e in entries:
-        base = None
-        if e.endswith(".old"):
-            base = e[: -len(".old")]
-            live = os.path.join(parent, base)
-            issue = (
-                "stale residue next to healthy dir"
-                if os.path.exists(live)
-                else "interrupted swap (no live dir)"
-            )
-            action = "remove" if os.path.exists(live) else "restore to live path"
-            findings.append(_finding(os.path.join(parent, e), issue, action, heal))
-        elif e.endswith(".staging"):
-            base = e[: -len(".staging")]
-            findings.append(
-                _finding(os.path.join(parent, e), "orphaned staging dir",
-                         "remove", heal)
-            )
-        if base is not None:
-            touched.add(base)
-    if heal and touched:
+        for suffix in (".old", ".staging"):
+            if e.endswith(suffix):
+                base = e[: -len(suffix)]
+                if base not in bases:
+                    bases.append(base)
+    findings: list[dict] = []
+    if heal and bases:
         from bigdata_flightanalysis_spark.operators.incremental import (
             _recover_store_dir,
             _store_lock,
         )
 
-        for base in sorted(touched):
-            store = os.path.join(parent, base)
+    for base in sorted(bases):
+        store = os.path.join(parent, base)
+        if heal:
             with _store_lock(store):
+                findings.extend(_classify_layout(store, healed=True))
                 _recover_store_dir(store)
+        else:
+            findings.extend(_classify_layout(store, healed=False))
     return findings
 
 

@@ -52,6 +52,15 @@ def test_fsck_dry_run_reports_without_touching(tmp_path, capsys):
     assert os.path.exists(f"{root}/stores/vec_store.staging")
     assert os.path.exists(f"{root}/idx_promote/corpus_stats.new")
     assert os.path.exists(f"{root}/idx_promote/corpus_stats/OLD_TOTALS")
+    # ... and nothing CREATED either: report-only must not take the
+    # maintenance locks, whose flock layer materializes .lock files
+    created = {
+        os.path.join(d, n)
+        for d, _dirs, files in os.walk(root)
+        for n in files
+        if n.endswith(".lock")
+    }
+    assert not created, created
 
 
 def test_fsck_heals_every_state_and_flags_torn_build(tmp_path, capsys):
