@@ -34,6 +34,17 @@ race concurrent writers. Multi-host writers are not serialized either
 way (advisory flock is same-host). Exit code 0 when the tree is clean
 or every finding was healed; 1 when unhealable findings remain (or
 anything was found under ``--dry-run``).
+
+Heal mode necessarily leaves a sibling ``<layout>.lock`` file next to
+every layout it touched — the same zero-byte lockfile every live
+writer creates, and DELIBERATELY not removed afterwards: unlinking a
+lockfile that a concurrent writer might hold (or be about to open)
+lets a third process create-and-lock a fresh inode, yielding two
+simultaneous "holders" — the classic flock unlink race. Only the
+owner of a THROWAWAY layout may remove its lockfile (that is
+``util.remove_layout``'s contract); fsck runs against live trees it
+does not own, so the lockfiles stay. Use ``--dry-run`` when even that
+residue is unacceptable.
 """
 
 from __future__ import annotations

@@ -756,7 +756,12 @@ def _recover_corpus_stats_locked(index_path: str) -> None:
     # the doc_stats swap must still VETO the .new, which reflects the
     # staged, not the live, doc_stats). Safe under the single-writer
     # contract every recovery hook in this module assumes.
-    for rel in ("postings", "doc_stats"):
+    # corpus_stats is included even though no current writer stages it
+    # (totals rewrites go via corpus_stats.new): fsck classifies ANY
+    # <relation>.staging as reclaimed-by-this-heal, and the reclamation
+    # must match that classification or a stray corpus_stats.staging
+    # would be reported "healed" on every run while persisting.
+    for rel in ("postings", "doc_stats", "corpus_stats"):
         shutil.rmtree(f"{index_path}/{rel}.staging", ignore_errors=True)
 
 

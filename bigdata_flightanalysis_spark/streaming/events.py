@@ -538,19 +538,24 @@ def cdc_upsert_foreach_batch(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _check_state_contract(
-            path,
-            {
-                "sink": "cdc_upsert",
-                "key_cols": key_cols,
-                "order_cols": order_cols,
-                "tombstone_col": tombstone_col,
-                "tombstone_value": tombstone_value,
-            },
-        )
         # Same critical section as the upsert sink: racing state
         # maintenance must not interleave with the read-merge-swap.
+        # The contract check belongs INSIDE it too — it mutates disk
+        # (stamps on first attach, deletes a stale sidecar on reset
+        # detection) and probes state-dir existence, so outside the
+        # lock it could race fsck, compaction, or another first-
+        # attaching sink.
         with path_lock(path):
+            _check_state_contract(
+                path,
+                {
+                    "sink": "cdc_upsert",
+                    "key_cols": key_cols,
+                    "order_cols": order_cols,
+                    "tombstone_col": tombstone_col,
+                    "tombstone_value": tombstone_value,
+                },
+            )
             _recover_state_dir(path)
             new = batch_df.withColumn("_v", F.lit(batch_id).cast("long"))
             if os.path.exists(path):

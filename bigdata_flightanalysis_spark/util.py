@@ -227,11 +227,41 @@ def remove_layout(path: str) -> None:
     """Remove a maintained layout AND its sibling ``<path>.lock``
     file — the cleanup for throwaway stores/indexes built in temp
     dirs. A bare rmtree leaks one lockfile per run into the temp
-    root (tiny, but unbounded across repeated bench/driver runs)."""
+    root (tiny, but unbounded across repeated bench/driver runs).
+
+    Owner-only on throwaway layouts by contract (unlinking a lockfile
+    another process holds would let a third process create-and-lock a
+    fresh inode — two "holders" at once). Two hardenings back that
+    contract up mechanically:
+
+    - the unlink happens only after a NON-BLOCKING flock on the
+      lockfile succeeds, so a concurrently-held lockfile is left in
+      place instead of being yanked out from under its holder;
+    - the in-memory ``_PATH_LOCKS`` entry for the path is evicted, so
+      long-lived processes churning through temp layouts (bench,
+      driver, streaming tests) don't accumulate one dead RLock per
+      path forever. Safe for the same owner-only reason: nobody else
+      in this process may hold the lock at removal time, and a later
+      ``path_lock(path)`` simply mints a fresh entry.
+    """
     import shutil
 
-    shutil.rmtree(path, ignore_errors=True)
+    key = os.path.abspath(path)
+    shutil.rmtree(key, ignore_errors=True)
+    lockfile = key + ".lock"
     try:
-        os.remove(path + ".lock")
+        if _HAS_FLOCK:
+            fd = os.open(lockfile, os.O_RDWR)
+            try:
+                _fcntl.flock(fd, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
+                os.remove(lockfile)
+            except OSError:
+                pass  # concurrently held — leave the file for its holder
+            finally:
+                os.close(fd)
+        else:  # pragma: no cover - non-POSIX
+            os.remove(lockfile)
     except OSError:
-        pass
+        pass  # no lockfile was ever created for this layout
+    with _PATH_LOCKS_GUARD:
+        _PATH_LOCKS.pop(key, None)

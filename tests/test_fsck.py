@@ -129,3 +129,115 @@ def test_fsck_on_index_root_directly(tmp_path):
 
 def test_fsck_rejects_non_directory(tmp_path):
     assert fsck.main([str(tmp_path / "nope")]) == 2
+
+
+def test_fsck_corpus_stats_staging_heal_matches_classification(tmp_path, capsys):
+    """fsck classifies ANY <relation>.staging under an index root as
+    orphaned-and-reclaimed — including corpus_stats.staging, which no
+    current writer creates (totals rewrites go via corpus_stats.new).
+    The heal must actually remove it: healed=True with the dir
+    persisting would exit 0 while re-reporting the same 'healed'
+    finding on every run, breaking the findings-are-what-was-healed
+    contract."""
+    root = str(tmp_path / "idx")
+    _mk(f"{root}/postings", "_SUCCESS")
+    _mk(f"{root}/doc_stats", "part-0.parquet")
+    _mk(f"{root}/corpus_stats", "TOTALS")
+    _mk(f"{root}/corpus_stats.staging", "part-0.parquet")
+
+    rc = fsck.main([root])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "corpus_stats.staging" in out and "healed" in out
+    assert not os.path.exists(f"{root}/corpus_stats.staging")
+    assert os.path.exists(f"{root}/corpus_stats/TOTALS")  # live untouched
+
+    rc2 = fsck.main([root])
+    assert rc2 == 0
+    assert "0 finding(s)" in capsys.readouterr().out
+
+
+def test_fsck_heal_loop_races_live_ingest_and_compact(spark, tmp_path):
+    """End-to-end proof of the cross-process flock contract: a SECOND
+    PROCESS runs `fsck --heal` in a tight loop over a live store tree
+    while this process ingests four dedup batches and compacts the
+    store between them. The advisory flock must serialize fsck's
+    classify+heal against every ingest/rewrite critical section, so:
+    zero failed batches, zero lost rows, zero resurrected duplicates —
+    and fsck itself never sees an unhealable state (child asserts
+    exit 0 on every pass). Static residue planted next to the live
+    store gives the heal loop real work on top of the racing."""
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        compact_flat_store,
+        incremental_exact_dedup,
+    )
+
+    root = str(tmp_path / "tree")
+    store = f"{root}/fp_store"
+    os.makedirs(root)
+    # real heal work for the loop: residue on SIBLING layouts
+    _mk(f"{root}/other.staging", "part-0.parquet")
+    _mk(f"{root}/dangling.old", "part-0.parquet")
+
+    stop = str(tmp_path / "stop")
+    child_src = (
+        "import os, sys, time\n"
+        "sys.path.insert(0, sys.argv[3])\n"
+        "from bigdata_flightanalysis_spark import fsck\n"
+        "root, stop = sys.argv[1], sys.argv[2]\n"
+        "n = 0\n"
+        "while not os.path.exists(stop):\n"
+        "    rc = fsck.main([root])\n"
+        "    assert rc == 0, 'fsck saw an unhealable state on a live tree'\n"
+        "    n += 1\n"
+        "    time.sleep(0.02)\n"
+        "print('PASSES', n, flush=True)\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src, root, stop, repo],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        # 240 rows / 120 distinct texts, spread over 4 overlapping
+        # batches: every text appears in >=2 batches, so any lock gap
+        # (a heal racing an append, a compact dropping a batch's rows)
+        # shows up as a lost or duplicated survivor.
+        docs = spark.range(240).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text-"), (F.col("id") % 120).cast("string")).alias(
+                "text"
+            ),
+        )
+        kept_texts: list[str] = []
+        for k in range(4):
+            batch = docs.filter(
+                (F.col("doc_id") >= k * 60) & (F.col("doc_id") < (k + 1) * 60)
+            )
+            kept = incremental_exact_dedup(spark, batch, store)
+            kept_texts.extend(r["text"] for r in kept.collect())
+            if k == 1:
+                compact_flat_store(spark, store)
+        compact_flat_store(spark, store)
+    finally:
+        with open(stop, "w") as f:
+            f.write("stop")
+        out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 0, f"fsck loop failed:\n{out}"
+    passes = int(out.strip().rsplit("PASSES", 1)[1])
+    assert passes >= 1, "fsck loop never completed a pass"
+    # zero lost rows, zero resurrected duplicates
+    assert len(kept_texts) == len(set(kept_texts)) == 120
+    # the store's history matches: one fingerprint per distinct text
+    assert spark.read.parquet(store).distinct().count() == 120
+    # the planted residue was healed by the loop
+    assert not os.path.exists(f"{root}/other.staging")
+    assert not os.path.exists(f"{root}/dangling.old")
+    assert os.path.exists(f"{root}/dangling")

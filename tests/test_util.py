@@ -175,3 +175,67 @@ def test_path_lock_threads_still_serialize(tmp_path):
             assert not acquired.wait(1.0), "thread entered a held lock"
     t.join(30)
     assert acquired.is_set()
+
+
+def test_remove_layout_evicts_lock_entry_and_lockfile(tmp_path):
+    """remove_layout's full cleanup contract: the layout dir goes, the
+    sibling lockfile goes, AND the in-memory _PATH_LOCKS entry goes —
+    long-lived processes churning through temp layouts must not
+    accumulate one dead RLock per path forever. A fresh
+    path_lock(path) afterwards mints a new working entry."""
+    from bigdata_flightanalysis_spark import util
+    from bigdata_flightanalysis_spark.util import path_lock, remove_layout
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    with path_lock(store):
+        pass
+    key = os.path.abspath(store)
+    assert key in util._PATH_LOCKS
+    assert os.path.exists(store + ".lock")
+
+    remove_layout(store)
+    assert key not in util._PATH_LOCKS, "dead RLock left behind"
+    assert not os.path.exists(store)
+    assert not os.path.exists(store + ".lock")
+
+    with path_lock(store):  # fresh entry works end-to-end
+        assert key in util._PATH_LOCKS
+        assert os.path.exists(store + ".lock")
+    remove_layout(store)
+
+
+def test_remove_layout_leaves_held_lockfile_alone(tmp_path):
+    """remove_layout must not unlink a lockfile another process holds:
+    unlink + recreate puts two holders on different inodes (the classic
+    flock unlink race). The dir still goes; the lockfile stays until
+    its holder exits."""
+    import subprocess
+    import sys
+
+    from bigdata_flightanalysis_spark.util import remove_layout
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    child_src = (
+        "import fcntl, os, sys, time\n"
+        "fd = os.open(sys.argv[1] + '.lock', os.O_CREAT | os.O_RDWR)\n"
+        "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+        "print('held', flush=True)\n"
+        "time.sleep(60)\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src, store],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert proc.stdout.readline().strip() == "held"
+        remove_layout(store)
+        assert not os.path.exists(store)
+        assert os.path.exists(store + ".lock"), "unlinked a held lockfile"
+    finally:
+        proc.kill()
+        proc.wait(30)
+    remove_layout(store)  # holder gone: cleanup now completes
+    assert not os.path.exists(store + ".lock")
