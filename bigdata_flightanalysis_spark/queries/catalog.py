@@ -55,79 +55,26 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-10 rotation (scripts/stage_rotation.py computed it). After
-# r9, per-query newest-driver-row dates: 27 at r6 (the oldest — the
-# exact set the r9 comment staged below its cut), 50 at r7, 48 at r8,
-# 50 at r9; all 175 green at their newest row. Priority: (1) the 4
-# queries whose code changed this round — the three BM25 lifecycle
-# entries (refresh now detects a torn build via the postings/_SUCCESS
-# completeness marker; serve/compact recovery also reclaims aborted-
-# compact staging residue) and embed_near_dup_incremental (store
-# ingests/rewrites now serialize on a per-store maintenance lock);
-# (2) the 27 r6-dated rows; (3) backfill with the ALPHABETICALLY
-# FIRST 19 of the 50 r7-dated rows. Window = 4 + 27 + 19 = 50. The
-# remaining 31 r7-dated names are listed below the cut and lead the
-# r11 window; steady state holds (after this window lands nothing is
-# older than r7).
+# Round-11 rotation (scripts/stage_rotation.py computed it). After
+# r10, per-query newest-driver-row dates: 29 at r7 (the oldest — the
+# exact set the r10 comment staged below its cut), 48 at r8, 48 at
+# r9, 50 at r10; all 175 green at their newest row. Priority: (1)
+# the 4 BM25 lifecycle queries whose code changed this round
+# (index recovery now reclaims corpus_stats.staging uniformly with
+# postings/doc_stats, and their remove_layout teardown gained
+# flock-guarded lockfile removal + _PATH_LOCKS eviction); (2) the
+# 29 r7-dated rows; (3) backfill with the ALPHABETICALLY FIRST 17
+# of the 48 r8-dated rows. Window = 4 + 29 + 17 = 50. The
+# remaining 31 r8-dated names are listed below the cut and lead
+# the r12 window; steady state holds (after this window lands
+# nothing is older than r8).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) code changed this round (round 10)
+    # (1) code changed this round (round 11)
+    "doc_bm25_index_topk",
     "doc_bm25_refresh_topk",
     "doc_bm25_serve_topk",
     "doc_bm25_compact_topk",
-    "embed_near_dup_incremental",
-    # (2) last driver-checked in r6 — the 27 oldest rows
-    "events_activity_incident_overlap",
-    "events_approx_quantile_contract",
-    "events_cdc_latest_state",
-    "events_cohort_retention",
-    "events_cumulative_new_users",
-    "events_distinct_rollup_sketch",
-    "events_funnel",
-    "events_heavy_hitters_topk",
-    "events_hourly_anomalies",
-    "events_incremental_agg_merge",
-    "events_key_skew_profile",
-    "events_load_heatmap",
-    "events_mad_anomalies",
-    "events_monthly_active_users",
-    "events_rollup_cascade",
-    "events_type_transitions",
-    "events_value_winsorized",
-    "flagship_top_segments",
-    "multimodal_audio_stats",
-    "multimodal_feature_extract",
-    "multimodal_frame_sampling",
-    "multimodal_image_stats",
-    "multimodal_payload_stats",
-    "orders_pit_customer_balance",
-    "orders_profile",
-    "referential_integrity_report",
-    "status_first_last_orders",
-    # (3) r7-dated backfill to the 50-query window (alphabetical)
-    "brand_number_histogram",
-    "corpus_card",
-    "cube_flag_status",
-    "customer_order_recency",
-    "customer_scd2_merge",
-    "doc_bm25_index_topk",
-    "doc_bpe_token_stats",
-    "doc_decontamination",
-    "doc_dup_clusters",
-    "doc_dup_graph_kcore",
-    "doc_exact_dedup",
-    "doc_fingerprints",
-    "doc_jaccard_pairs_sample",
-    "doc_langid",
-    "doc_minhash_signatures",
-    "doc_near_dup_candidates",
-    "doc_near_dup_edit_distance",
-    "doc_quality_scores",
-    "doc_simhash",
-    # The 50-query window ends here (4 changed + 27 r6-stale + 19
-    # r7-dated backfill). The r7-dated entries below are the oldest
-    # remaining rows once this window lands — they lead the r11
-    # window (backfill r11 with the remaining r7 rows, then the
-    # oldest r8-dated rows).
+    # (2) last driver-checked in r7 — the 29 oldest rows
     "doc_simhash_near_dup",
     "doc_token_stats",
     "embed_cosine_topk",
@@ -157,6 +104,60 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "orders_quality_report",
     "status_priority_sets",
     "supplier_trailing_week_quantity",
+    # (3) r8-dated backfill to the 50-query window (alphabetical)
+    "approx_distinct_users_by_type",
+    "bloom_filtered_lineitem_revenue",
+    "count_distinct_parts",
+    "customer_rfm_segments_sketch",
+    "customer_rfm_segments_twopass",
+    "customer_value_deciles",
+    "customer_value_deciles_sketch",
+    "customer_value_deciles_twopass",
+    "delayed_order_label",
+    "distinct_flag_status",
+    "doc_boilerplate_density",
+    "doc_chunk_windows",
+    "doc_dedup_keep_best",
+    "doc_length_histogram",
+    "doc_minhash_estimate_vs_exact",
+    "doc_ngram_topk",
+    "doc_pack_sequences",
+    # The 50-query window ends here (4 changed + 29 r7-stale + 17
+    # r8-dated backfill). The r8-dated entries below are the oldest
+    # remaining rows once this window lands — they lead the r12
+    # window (backfill r12 with the remaining r8 rows, then the
+    # oldest r9-dated rows).
+    "doc_pii_redaction",
+    "doc_quality_weighted_sample",
+    "doc_repetition_scores",
+    "doc_salient_terms",
+    "doc_source_mixture_weights",
+    "doc_stratified_sample",
+    "doc_train_test_split",
+    "doc_url_domains",
+    "events_user_activity_ranked",
+    "latest_order_per_customer_status",
+    "monthly_revenue_delta",
+    "nation_counts_full_outer",
+    "order_priority_count_exists",
+    "orders_above_customer_avg",
+    "price_stddev_by_status",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q1_pricing_summary",
+    "q20_heavy_flow_suppliers",
+    "q21_sole_late_supplier",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "quantity_percentiles_by_flag",
+    "rollup_revenue_region_nation",
+    "salted_user_event_counts",
+    "status_intersect_except",
 )
 
 
