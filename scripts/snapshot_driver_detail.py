@@ -38,11 +38,12 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("round", type=int, help="round number just judged (the N in BENCH_r{N}.json)")
     ap.add_argument("--force", action="store_true", help="overwrite an existing snapshot")
+    ap.add_argument("--repo", default=REPO, help="repo root holding the bench artifacts")
     args = ap.parse_args()
 
-    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
-    wrapper_path = os.path.join(REPO, f"BENCH_r{args.round:02d}.json")
-    out_path = os.path.join(REPO, f"BENCH_DETAIL_driver_r{args.round:02d}.json")
+    detail_path = os.path.join(args.repo, "BENCH_DETAIL.json")
+    wrapper_path = os.path.join(args.repo, f"BENCH_r{args.round:02d}.json")
+    out_path = os.path.join(args.repo, f"BENCH_DETAIL_driver_r{args.round:02d}.json")
 
     if os.path.exists(out_path) and not args.force:
         print(f"{os.path.basename(out_path)} already exists — nothing to do")

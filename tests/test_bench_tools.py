@@ -90,3 +90,63 @@ def test_loader_reads_rev_path_spec_from_git(tmp_path):
     mod.subprocess.run = run_in_fixture
     got = mod._load("HEAD:BENCH_DETAIL.json")
     assert got["queries"] == {"q": 3.0}  # the COMMITTED payload, not disk
+
+
+def _load_snapshot_module():
+    spec = importlib.util.spec_from_file_location(
+        "snapshot_driver_detail_m",
+        Path(__file__).resolve().parents[1]
+        / "scripts"
+        / "snapshot_driver_detail.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run_snapshot(mod, monkeypatch, repo, rnd, extra=()):
+    import sys
+
+    monkeypatch.setattr(
+        sys, "argv", ["snapshot_driver_detail.py", str(rnd), "--repo", str(repo), *extra]
+    )
+    return mod.main()
+
+
+def test_snapshot_archives_matching_driver_detail(tmp_path, monkeypatch):
+    """Happy path: BENCH_DETAIL.json's headline equals the driver
+    wrapper's parsed value → archived as BENCH_DETAIL_driver_r{N}.json;
+    a second invocation is a no-op (refuses to overwrite)."""
+    mod = _load_snapshot_module()
+    detail = {"metric": "headline_queries_detail", "value": 84.57, "queries": {"q": 84.57}}
+    (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(detail))
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"parsed": {"value": 84.57, "sf": 0.1}})
+    )
+    assert _run_snapshot(mod, monkeypatch, tmp_path, 11) == 0
+    out = tmp_path / "BENCH_DETAIL_driver_r11.json"
+    assert json.loads(out.read_text())["value"] == 84.57
+    out.write_text(json.dumps({"value": -1}))  # canary
+    assert _run_snapshot(mod, monkeypatch, tmp_path, 11) == 0
+    assert json.loads(out.read_text())["value"] == -1, "overwrote without --force"
+
+
+def test_snapshot_refuses_clobbered_detail(tmp_path, monkeypatch):
+    """The failure the script exists to catch: a later builder run
+    already overwrote BENCH_DETAIL.json, so its headline disagrees
+    with the driver wrapper — exit 1, nothing archived (recover from
+    the wrapper tail instead)."""
+    mod = _load_snapshot_module()
+    (tmp_path / "BENCH_DETAIL.json").write_text(
+        json.dumps({"value": 99.99, "queries": {}})
+    )
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"parsed": {"value": 84.57}})
+    )
+    assert _run_snapshot(mod, monkeypatch, tmp_path, 11) == 1
+    assert not (tmp_path / "BENCH_DETAIL_driver_r11.json").exists()
+
+
+def test_snapshot_missing_artifacts_exit_2(tmp_path, monkeypatch):
+    mod = _load_snapshot_module()
+    assert _run_snapshot(mod, monkeypatch, tmp_path, 11) == 2
