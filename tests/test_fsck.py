@@ -241,3 +241,73 @@ def test_fsck_heal_loop_races_live_ingest_and_compact(spark, tmp_path):
     assert not os.path.exists(f"{root}/other.staging")
     assert not os.path.exists(f"{root}/dangling.old")
     assert os.path.exists(f"{root}/dangling")
+
+
+def test_fsck_heal_loop_races_bm25_index_lifecycle(spark, tmp_path):
+    """The index-layout twin of the store smoke above: a second
+    process loops `fsck --heal` over a tree holding a LIVE BM25 index
+    while this process runs the full lifecycle — build on half the
+    corpus, refresh with an overlapping batch, replay that refresh
+    (crash simulation), compact, serve. The flock must serialize
+    fsck's classify+heal against every leg, so the raced index serves
+    BIT-IDENTICAL results to the inline computation over the full
+    corpus, and fsck never observes a torn state (a mid-build window
+    where doc_stats exists but postings/_SUCCESS doesn't would exit 1
+    — only lock serialization prevents seeing it)."""
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index_from,
+        compact_text_index,
+        doc_bm25_topk,
+        refresh_text_index,
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "tree")
+    idx = f"{root}/bm25_idx"
+    os.makedirs(root)
+
+    stop = str(tmp_path / "stop")
+    child_src = (
+        "import os, sys, time\n"
+        "sys.path.insert(0, sys.argv[3])\n"
+        "from bigdata_flightanalysis_spark import fsck\n"
+        "root, stop = sys.argv[1], sys.argv[2]\n"
+        "n = 0\n"
+        "while not os.path.exists(stop):\n"
+        "    rc = fsck.main([root])\n"
+        "    assert rc == 0, 'fsck saw a torn/unhealable index state'\n"
+        "    n += 1\n"
+        "    time.sleep(0.02)\n"
+        "print('PASSES', n, flush=True)\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src, root, stop, repo],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        docs = read_table(spark, sf, "documents").select("doc_id", "text")
+        n = docs.count()
+        build_text_index_from(spark, docs.where(F.col("doc_id") < n // 2), idx)
+        batch2 = docs.where(F.col("doc_id") >= n // 3)  # overlapping
+        refresh_text_index(spark, batch2, idx)
+        refresh_text_index(spark, batch2, idx)  # crash-replay
+        compact_text_index(spark, idx)
+        served = [tuple(r) for r in bm25_index_topk(spark, idx).collect()]
+    finally:
+        with open(stop, "w") as f:
+            f.write("stop")
+        out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 0, f"fsck loop failed:\n{out}"
+    assert int(out.strip().rsplit("PASSES", 1)[1]) >= 1
+    inline = [tuple(r) for r in doc_bm25_topk(spark, sf).collect()]
+    assert served == inline and len(served) == 10
