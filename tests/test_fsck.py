@@ -311,3 +311,111 @@ def test_fsck_heal_loop_races_bm25_index_lifecycle(spark, tmp_path):
     assert int(out.strip().rsplit("PASSES", 1)[1]) >= 1
     inline = [tuple(r) for r in doc_bm25_topk(spark, sf).collect()]
     assert served == inline and len(served) == 10
+
+
+def test_fsck_heal_loop_races_cdc_stream_and_compaction(spark, tmp_path):
+    """Third maintained-layout family under the same cross-process
+    proof: `fsck --heal` loops over the state tree while a CDC
+    changelog stream commits its micro-batches (foreachBatch
+    read-merge-swap) and tombstone GC compacts the state afterwards.
+    The snapshot must still equal the batch compaction query — the
+    stream==batch contract survives a concurrent healer — and every
+    fsck pass exits 0."""
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+    from bigdata_flightanalysis_spark.streaming.events import (
+        cdc_compact_tombstones,
+        cdc_snapshot,
+        cdc_upsert_foreach_batch,
+        run_foreach_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "tree")
+    state = f"{root}/cdc_state"
+    os.makedirs(root)
+
+    # stage the events table as 3 files -> one micro-batch per file
+    ev = read_table(spark, sf, "events").withColumn(
+        "part", F.pmod(F.col("event_id"), F.lit(3))
+    )
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    for i in range(3):
+        (
+            ev.filter(F.col("part") == i)
+            .drop("part")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+
+    stop = str(tmp_path / "stop")
+    child_src = (
+        "import os, sys, time\n"
+        "sys.path.insert(0, sys.argv[3])\n"
+        "from bigdata_flightanalysis_spark import fsck\n"
+        "root, stop = sys.argv[1], sys.argv[2]\n"
+        "n = 0\n"
+        "while not os.path.exists(stop):\n"
+        "    rc = fsck.main([root])\n"
+        "    assert rc == 0, 'fsck saw an unhealable state-dir state'\n"
+        "    n += 1\n"
+        "    time.sleep(0.02)\n"
+        "print('PASSES', n, flush=True)\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src, root, stop, repo],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        src = (
+            spark.readStream.schema(read_table(spark, sf, "events").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        sink = cdc_upsert_foreach_batch(
+            state,
+            ["user_id"],
+            order_cols=["ts", "event_id"],
+            tombstone_col="event_type",
+            tombstone_value="error",
+        )
+        run_foreach_batch(src, sink, checkpoint_dir=str(tmp_path / "ckpt"))
+        # retention GC drops only tombstone ROWS the snapshot filters
+        # anyway -> snapshot must be invariant under it
+        dropped = cdc_compact_tombstones(
+            spark,
+            state,
+            tombstone_col="event_type",
+            tombstone_value="error",
+            order_col="ts",
+            older_than="9999-01-01",
+        )
+        snap = cdc_snapshot(spark, state, "event_type", "error").select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        got = sorted(tuple(r) for r in snap.collect())
+    finally:
+        with open(stop, "w") as f:
+            f.write("stop")
+        out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 0, f"fsck loop failed:\n{out}"
+    assert int(out.strip().rsplit("PASSES", 1)[1]) >= 1
+    want = sorted(
+        tuple(r)
+        for r in load_all()["events_cdc_latest_state"].fn(spark, sf).collect()
+    )
+    assert got == want and len(got) > 0
+    assert dropped >= 0
