@@ -200,7 +200,11 @@ def test_dup_clusters_hash_stable_under_env_checkpoint_dir(
 
 def test_no_python_row_udfs_in_oracle_queries(spark, registry):
     """BatchEvalPython (row-at-a-time Python UDF) must never appear;
-    ArrowEvalPython/mapInPandas only in the multimodal path."""
+    ArrowEvalPython/mapInPandas only in the multimodal path. Same
+    sweep also asserts no un-broadcast CartesianProduct anywhere in
+    the registry — the spot checks on the join-heavy queries below
+    guard specific shapes, this guards the long tail (a cross join
+    that loses its equi-key to a refactor shuffles |A|x|B| at scale)."""
     for name, q in registry.items():
         if q.oracle is None:
             continue
@@ -208,6 +212,7 @@ def test_no_python_row_udfs_in_oracle_queries(spark, registry):
         assert "BatchEvalPython" not in plan, name
         if "multimodal" not in name:
             assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
 
 
 def test_range_join_is_not_nested_loop(spark, registry):
