@@ -9,7 +9,9 @@ Two consecutive rounds lost that payload to later builder runs before it
 was preserved (r9 verdict defect #4, r10 verdict finding #1). This
 script makes preservation mechanical:
 
-    python scripts/snapshot_driver_detail.py 11   # start of round 11
+    python scripts/snapshot_driver_detail.py 10   # start of round 11:
+                                                  # archive the JUST-JUDGED
+                                                  # round's driver run
 
 It copies ``BENCH_DETAIL.json`` to ``BENCH_DETAIL_driver_r{N}.json``
 after verifying the payload really is the driver's run for round N —
