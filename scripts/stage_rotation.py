@@ -57,6 +57,15 @@ def main() -> None:
         "staged after the stale leaders regardless of age",
     )
     ap.add_argument("--window", type=int, default=WINDOW)
+    ap.add_argument(
+        "--check",
+        action="store_true",
+        help="validate catalog._VERIFY_FIRST's leading window against "
+        "this script's recommendation instead of printing a staging: "
+        "exit 0 if the first --window names are exactly the computed "
+        "set (order within the window is irrelevant — the driver "
+        "checks all of it), 1 with a diff otherwise",
+    )
     args = ap.parse_args()
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -78,6 +87,22 @@ def main() -> None:
         key=lambda q: (newest[q], q),
     )
     window = (never + changed + by_age)[: args.window]
+
+    if args.check:
+        from bigdata_flightanalysis_spark.queries.catalog import _VERIFY_FIRST
+
+        staged = list(dict.fromkeys(_VERIFY_FIRST))[: args.window]
+        missing = sorted(set(window) - set(staged))
+        extra = sorted(set(staged) - set(window))
+        if not missing and not extra:
+            print(f"window OK: first {args.window} of _VERIFY_FIRST match")
+            return
+        if missing:
+            print(f"expected in window but not staged: {missing}")
+        if extra:
+            print(f"staged but not expected: {extra}")
+        raise SystemExit(1)
+
     # stage the next-next round's leaders below the cut for the handoff
     below = [q for q in by_age if q not in window]
     oldest_below = below[: args.window]
