@@ -55,78 +55,19 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-11 rotation (scripts/stage_rotation.py computed it). After
-# r10, per-query newest-driver-row dates: 29 at r7 (the oldest — the
-# exact set the r10 comment staged below its cut), 48 at r8, 48 at
-# r9, 50 at r10; all 175 green at their newest row. Priority: (1)
-# the 4 BM25 lifecycle queries whose code changed this round
-# (index recovery now reclaims corpus_stats.staging uniformly with
-# postings/doc_stats, and their remove_layout teardown gained
-# flock-guarded lockfile removal + _PATH_LOCKS eviction); (2) the
-# 29 r7-dated rows; (3) backfill with the ALPHABETICALLY FIRST 17
-# of the 48 r8-dated rows. Window = 4 + 29 + 17 = 50. The
-# remaining 31 r8-dated names are listed below the cut and lead
-# the r12 window; steady state holds (after this window lands
-# nothing is older than r8).
+# Round-12 rotation (scripts/stage_rotation.py computed it; validated
+# with --check after restaging). After r11, per-query newest-driver-row
+# dates: 31 at r8 (the oldest — the exact set the r11 comment staged
+# below its cut), 48 at r9, 46 at r10, 50 at r11; all 175 green at
+# their newest row. No query code changed this round, so the window is
+# pure staleness order: (1) the 31 r8-dated rows; (2) backfill with the
+# ALPHABETICALLY FIRST 19 of the 48 r9-dated rows. Window = 31 + 19 =
+# 50. The remaining 29 r9-dated names plus the 21 oldest r10-dated
+# names are listed below the cut and lead the r13 window; steady state
+# holds (after this window lands nothing is older than r9).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) code changed this round (round 11)
-    "doc_bm25_index_topk",
-    "doc_bm25_refresh_topk",
-    "doc_bm25_serve_topk",
-    "doc_bm25_compact_topk",
-    # (2) last driver-checked in r7 — the 29 oldest rows
-    "doc_simhash_near_dup",
-    "doc_token_stats",
-    "embed_cosine_topk",
-    "embed_decontamination",
-    "embed_ivf_topk",
-    "embed_lsh_topk",
-    "embed_near_dup_pairs",
-    "embed_quantize_int8",
-    "embed_standardize",
-    "events_dedup_first_per_user_type",
-    "events_json_extract",
-    "events_mad_anomalies_twopass",
-    "events_session_windows",
-    "events_sliding_hourly",
-    "events_tumbling_hourly",
-    "events_type_pivot",
-    "events_type_trend",
-    "events_value_winsorized_twopass",
-    "grouping_sets_order_stats",
-    "kmeans_embedding_clusters",
-    "large_orders_q18",
-    "lineitem_safe_math",
-    "max_order_per_status_argmax",
-    "order_metrics_unpivot",
-    "order_price_percentile_rank",
-    "orders_profile_approx",
-    "orders_quality_report",
-    "status_priority_sets",
-    "supplier_trailing_week_quantity",
-    # (3) r8-dated backfill to the 50-query window (alphabetical)
-    "approx_distinct_users_by_type",
-    "bloom_filtered_lineitem_revenue",
-    "count_distinct_parts",
-    "customer_rfm_segments_sketch",
-    "customer_rfm_segments_twopass",
-    "customer_value_deciles",
-    "customer_value_deciles_sketch",
-    "customer_value_deciles_twopass",
-    "delayed_order_label",
-    "distinct_flag_status",
-    "doc_boilerplate_density",
-    "doc_chunk_windows",
-    "doc_dedup_keep_best",
-    "doc_length_histogram",
-    "doc_minhash_estimate_vs_exact",
-    "doc_ngram_topk",
-    "doc_pack_sequences",
-    # The 50-query window ends here (4 changed + 29 r7-stale + 17
-    # r8-dated backfill). The r8-dated entries below are the oldest
-    # remaining rows once this window lands — they lead the r12
-    # window (backfill r12 with the remaining r8 rows, then the
-    # oldest r9-dated rows).
+    # (1) last driver-checked in r8 — the 31 oldest rows (the exact set
+    #     the r11 comment staged below its cut)
     "doc_pii_redaction",
     "doc_quality_weighted_sample",
     "doc_repetition_scores",
@@ -158,6 +99,82 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "rollup_revenue_region_nation",
     "salted_user_event_counts",
     "status_intersect_except",
+    # (2) r9-dated backfill to the 50-query window (the 19
+    #     alphabetically-first of the 48 r9-dated rows)
+    "customer_rfm_segments",
+    "customer_snapshot_diff",
+    "doc_bigram_nll_quality",
+    "doc_bm25_topk",
+    "doc_clean_normalize",
+    "doc_dup_canonical_pagerank",
+    "doc_dup_graph_triangles",
+    "doc_duplicate_spans",
+    "doc_near_dup_candidates_largemode",
+    "doc_near_dup_incremental",
+    "doc_shuffle_shards",
+    "doc_split_leakage_check",
+    "doc_stopword_ratio",
+    "doc_temperature_mixture_sample",
+    "doc_term_first_positions",
+    "doc_training_manifest",
+    "doc_weighted_sample_es",
+    "doc_winnow_fingerprints",
+    "embed_label_centroids",
+    # The 50-query window ends here (31 r8-stale + 19 r9-dated
+    # backfill; no query code changed this round). The entries below
+    # are the oldest remaining rows once this window lands — the
+    # remaining 29 r9 rows plus the 21 oldest r10 rows lead the r13
+    # window.
+    "embed_near_dup_pairs_largemode",
+    "embed_pq_topk",
+    "embed_quantized_topk",
+    "events_asof_purchase_click",
+    "events_minutely_gapfill",
+    "events_range_join_error_context",
+    "events_sessionization_gaps",
+    "events_sliding_distinct_users",
+    "nation_share_of_region_revenue",
+    "order_priority_tiers",
+    "order_value_quartiles",
+    "orderdate_parts",
+    "orders_anti_bloom_check",
+    "part_affinity_topk",
+    "parts_never_ordered",
+    "q11_important_parts",
+    "q12_priority_by_flag",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q8_market_share",
+    "returnflag_in_list",
+    "revenue_by_region",
+    "segments_of_open_order_customers",
+    "supplier_running_revenue",
+    "top_customers_per_segment",
+    "union_priority_extremes",
+    "brand_number_histogram",
+    "corpus_card",
+    "cube_flag_status",
+    "customer_order_recency",
+    "customer_scd2_merge",
+    "doc_bpe_token_stats",
+    "doc_decontamination",
+    "doc_dup_clusters",
+    "doc_dup_graph_kcore",
+    "doc_exact_dedup",
+    "doc_fingerprints",
+    "doc_jaccard_pairs_sample",
+    "doc_langid",
+    "doc_minhash_signatures",
+    "doc_near_dup_candidates",
+    "doc_near_dup_edit_distance",
+    "doc_quality_scores",
+    "doc_simhash",
+    "embed_near_dup_incremental",
+    "events_activity_incident_overlap",
+    "events_approx_quantile_contract",
 )
 
 

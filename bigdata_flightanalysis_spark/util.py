@@ -231,18 +231,31 @@ def remove_layout(path: str) -> None:
 
     Owner-only on throwaway layouts by contract (unlinking a lockfile
     another process holds would let a third process create-and-lock a
-    fresh inode — two "holders" at once). Two hardenings back that
-    contract up mechanically:
+    fresh inode — two "holders" at once). Two hardenings narrow — but
+    do NOT close — the ways that contract can be violated; both are
+    best-effort backstops, not a replacement for the contract:
 
     - the unlink happens only after a NON-BLOCKING flock on the
       lockfile succeeds, so a concurrently-held lockfile is left in
-      place instead of being yanked out from under its holder;
+      place instead of being yanked out from under its holder. The
+      open-but-not-yet-flocked window remains (see COVERAGE.md): a
+      process that opened the lockfile before the unlink but flocks
+      after it locks the unlinked inode, while a later opener locks a
+      fresh one — two simultaneous holders. Only the owner-only
+      contract prevents that.
     - the in-memory ``_PATH_LOCKS`` entry for the path is evicted, so
       long-lived processes churning through temp layouts (bench,
       driver, streaming tests) don't accumulate one dead RLock per
       path forever. Safe for the same owner-only reason: nobody else
       in this process may hold the lock at removal time, and a later
-      ``path_lock(path)`` simply mints a fresh entry.
+      ``path_lock(path)`` simply mints a fresh entry. If some thread
+      in this process DOES still hold the lock (never valid — and in
+      particular never call ``remove_layout`` while holding
+      ``path_lock(path)`` yourself), the eviction is skipped: popping
+      a held entry would hand a later ``path_lock(path)`` a fresh
+      ``_PathLock`` whose ``flock(LOCK_EX)`` deadlocks against the
+      holder's own still-open fd, and on non-POSIX hosts would drop
+      in-process exclusion entirely.
     """
     import shutil
 
@@ -264,4 +277,10 @@ def remove_layout(path: str) -> None:
     except OSError:
         pass  # no lockfile was ever created for this layout
     with _PATH_LOCKS_GUARD:
-        _PATH_LOCKS.pop(key, None)
+        existing = _PATH_LOCKS.get(key)
+        # Re-entrancy guard (best-effort: _depth is read without the
+        # entry's own RLock, fine for a forbidden-by-contract state):
+        # a held entry stays so the holder's re-entrant path_lock()
+        # keeps resolving to the RLock it already owns.
+        if existing is None or existing._depth == 0:
+            _PATH_LOCKS.pop(key, None)

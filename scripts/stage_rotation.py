@@ -38,13 +38,25 @@ from bigdata_flightanalysis_spark.queries.catalog import load_all  # noqa: E402
 WINDOW = 50
 
 
-def newest_rounds(repo_root: str) -> dict[str, int]:
+def newest_rounds(
+    repo_root: str,
+) -> tuple[dict[str, int], list[int], set[str]]:
+    """Per-query newest driver round, plus the sorted list of rounds
+    that fed the merge (so --check can state its frame of reference)
+    and the name set of the newest round's file (so --check can tell
+    stale-but-just-verified staging from wrong staging)."""
     newest: dict[str, int] = {}
+    rounds: list[int] = []
+    newest_names: set[str] = set()
     for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-        for name in json.load(open(f, encoding="utf-8")):
+        names = set(json.load(open(f, encoding="utf-8")))
+        for name in names:
             newest[name] = max(newest.get(name, 0), rnd)
-    return newest
+        if not rounds or rnd > max(rounds):
+            newest_names = names
+        rounds.append(rnd)
+    return newest, sorted(rounds), newest_names
 
 
 def main() -> None:
@@ -64,16 +76,31 @@ def main() -> None:
         "this script's recommendation instead of printing a staging: "
         "exit 0 if the first --window names are exactly the computed "
         "set (order within the window is irrelevant — the driver "
-        "checks all of it), 1 with a diff otherwise",
+        "checks all of it), 1 with a diff otherwise. The check is "
+        "only meaningful AFTER restaging for the upcoming round and "
+        "BEFORE that round's CORRECTNESS_r*.json lands, and the same "
+        "--changed flags used for the staging must be re-supplied; "
+        "run at round-end state it sees the next round's inputs and "
+        "reports the still-staged window as stale (diagnosed, not a "
+        "bare diff)",
+    )
+    ap.add_argument(
+        "--repo-root",
+        default=None,
+        help="directory whose CORRECTNESS_r*.json files feed the "
+        "staleness merge (default: the repo this script lives in); "
+        "lets tests replay past/synthetic round states",
     )
     args = ap.parse_args()
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = args.repo_root or os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))
+    )
     registry = set(load_all())
     unknown = [q for q in args.changed if q not in registry]
     if unknown:
         raise SystemExit(f"--changed names not in registry: {unknown}")
-    newest = newest_rounds(repo_root)
+    newest, merged_rounds, just_verified = newest_rounds(repo_root)
     never = sorted(registry - set(newest))  # brand-new queries: lead outright
 
     # A --changed query that is also brand-new already leads via `never`;
@@ -91,16 +118,48 @@ def main() -> None:
     if args.check:
         from bigdata_flightanalysis_spark.queries.catalog import _VERIFY_FIRST
 
+        frame = (
+            f"frame of reference: merged CORRECTNESS rounds "
+            f"r{merged_rounds[0]}..r{merged_rounds[-1]} "
+            f"({len(merged_rounds)} files), --changed={args.changed or 'none'}"
+            if merged_rounds
+            else "frame of reference: no CORRECTNESS files found "
+            "(fresh clone — every query ranks as brand-new)"
+        )
         staged = list(dict.fromkeys(_VERIFY_FIRST))[: args.window]
         missing = sorted(set(window) - set(staged))
         extra = sorted(set(staged) - set(window))
         if not missing and not extra:
             print(f"window OK: first {args.window} of _VERIFY_FIRST match")
+            print(frame)
             return
+        print(frame)
+        # Distinguish "stale staging" (run after the staged round's own
+        # CORRECTNESS file landed — the still-staged window IS the set
+        # the newest file just verified) from actually-wrong staging.
+        if just_verified and set(staged) == just_verified:
+            print(
+                f"staged window is exactly round {merged_rounds[-1]}'s "
+                f"just-verified window — staging is STALE, not wrong: "
+                f"CORRECTNESS_r{merged_rounds[-1]:02d}.json has landed "
+                f"since it was staged. Restage for the next round, then "
+                f"re-run --check."
+            )
+            raise SystemExit(1)
         if missing:
             print(f"expected in window but not staged: {missing}")
         if extra:
             print(f"staged but not expected: {extra}")
+        verified_note = (
+            f"round {merged_rounds[-1]}'s verified window"
+            if merged_rounds
+            else "any verified window"
+        )
+        print(
+            "staged window matches neither this frame's computation nor "
+            f"{verified_note} — staging looks WRONG (or --changed flags "
+            "differ from the ones used to stage)"
+        )
         raise SystemExit(1)
 
     # stage the next-next round's leaders below the cut for the handoff

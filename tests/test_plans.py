@@ -412,18 +412,33 @@ def test_no_cartesian_product_in_any_registry_query(spark, registry):
     correctness tests can't distinguish from a working join. (The
     broadcast crossJoins in the similarity queries plan as
     BroadcastNestedLoopJoin with a bounded build side, which is the
-    point of the check distinguishing them.)"""
+    point of the check distinguishing them.)
+
+    A query whose plan can't even be produced must not silently escape
+    the guard (r11 verdict finding #3): skipped names are collected and
+    asserted against a documented allowlist — expected EMPTY, since
+    every oracle-backed registry query plans cleanly at sf0.001. Other
+    tests own the per-query failure detail; this keeps the guard's
+    coverage honest."""
+    plan_failed_allowlist: set[str] = set()  # expected empty — see above
     offenders = []
+    skipped = []
     for name, q in registry.items():
         if q.oracle is None:
             continue
         try:
             plan = _plan(q.fn(spark, "/root/testdata/sf0.001"))
-        except Exception:  # noqa: BLE001 — other tests own per-query failures
+        except Exception as exc:  # noqa: BLE001 — failure detail owned elsewhere
+            skipped.append((name, f"{type(exc).__name__}: {exc}"[:120]))
             continue
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == []
+    unexpected = [(n, e) for n, e in skipped if n not in plan_failed_allowlist]
+    assert not unexpected, (
+        "queries escaped the CartesianProduct guard (plan could not be "
+        f"produced at sf0.001): {unexpected}"
+    )
 
 
 def test_twopass_robust_stats_have_no_window(spark, registry):

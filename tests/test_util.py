@@ -239,3 +239,28 @@ def test_remove_layout_leaves_held_lockfile_alone(tmp_path):
         proc.wait(30)
     remove_layout(store)  # holder gone: cleanup now completes
     assert not os.path.exists(store + ".lock")
+
+
+def test_remove_layout_while_lock_held_keeps_entry_and_reenters(tmp_path):
+    """Calling remove_layout while holding path_lock(path) is forbidden
+    by contract, but the eviction guard must keep it from deadlocking:
+    the held _PATH_LOCKS entry stays, so the holder's re-entrant
+    path_lock(path) resolves to the RLock it already owns instead of a
+    fresh _PathLock whose flock would block forever against the
+    holder's own fd. Once released, cleanup completes normally."""
+    from bigdata_flightanalysis_spark import util
+    from bigdata_flightanalysis_spark.util import path_lock, remove_layout
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    key = os.path.abspath(store)
+    with path_lock(store):
+        remove_layout(store)
+        assert not os.path.exists(store)  # the dir itself still goes
+        assert key in util._PATH_LOCKS, "evicted a held lock entry"
+        # re-entrant acquire must not deadlock and must be the same entry
+        with path_lock(store):
+            assert util._PATH_LOCKS[key]._depth == 2
+    remove_layout(store)  # lock released: eviction now completes
+    assert key not in util._PATH_LOCKS
+    assert not os.path.exists(store + ".lock")
