@@ -38,6 +38,32 @@ from bigdata_flightanalysis_spark.queries.catalog import load_all  # noqa: E402
 WINDOW = 50
 
 
+def compute_window(
+    registry: set[str],
+    newest: dict[str, int],
+    changed: list[str],
+    window_size: int,
+) -> tuple[list[str], list[str], list[str], list[str]]:
+    """Pure window computation (the staging rule from the module
+    docstring), extracted so the rotation invariants are directly
+    property-testable. Returns (window, never, changed_kept, by_age):
+    brand-new queries lead outright, then code-changed ones, then the
+    rest by staleness (per-query newest round ascending, ties
+    alphabetical); the window is the first ``window_size`` of that."""
+    never = sorted(registry - set(newest))
+    # A --changed query that is also brand-new already leads via
+    # `never`; keeping it in `changed` too would duplicate it inside
+    # the window slice and silently shrink distinct coverage.
+    changed_kept = list(
+        dict.fromkeys(q for q in changed if q in registry and q in newest)
+    )
+    by_age = sorted(
+        (q for q in registry if q in newest and q not in changed_kept),
+        key=lambda q: (newest[q], q),
+    )
+    return (never + changed_kept + by_age)[:window_size], never, changed_kept, by_age
+
+
 def newest_rounds(
     repo_root: str,
 ) -> tuple[dict[str, int], list[int], set[str]]:
@@ -101,19 +127,9 @@ def main() -> None:
     if unknown:
         raise SystemExit(f"--changed names not in registry: {unknown}")
     newest, merged_rounds, just_verified = newest_rounds(repo_root)
-    never = sorted(registry - set(newest))  # brand-new queries: lead outright
-
-    # A --changed query that is also brand-new already leads via `never`;
-    # keeping it in `changed` too would duplicate it inside the window
-    # slice and silently shrink the distinct coverage below --window.
-    changed = list(
-        dict.fromkeys(q for q in args.changed if q in registry and q in newest)
+    window, never, changed, by_age = compute_window(
+        registry, newest, args.changed, args.window
     )
-    by_age = sorted(
-        (q for q in registry if q in newest and q not in changed),
-        key=lambda q: (newest[q], q),
-    )
-    window = (never + changed + by_age)[: args.window]
 
     if args.check:
         from bigdata_flightanalysis_spark.queries.catalog import _VERIFY_FIRST

@@ -84,3 +84,102 @@ def test_check_diagnoses_wrong_staging(tmp_path):
     assert "staging looks WRONG" in res.stdout
     assert "expected in window but not staged" in res.stdout
     assert "STALE" not in res.stdout
+
+
+def test_check_on_live_repo_is_never_wrong():
+    """Repo-state invariant: on a legitimately-maintained repo the
+    check may pass (mid-round, freshly restaged) or diagnose stale
+    staging (round-end, the staged round's CORRECTNESS file landed) —
+    but must NEVER report WRONG. A WRONG here means _VERIFY_FIRST
+    drifted from the rotation rule (hand-edit typo, forgotten
+    restage-after-code-change) and the driver would burn its ~50-row
+    window on the wrong queries.
+
+    Caveat shared with --check itself: a mid-round staging that used
+    --changed flags can look WRONG to this flagless run; if that state
+    is ever committed, encode the round's flags here.
+    """
+    res = _run_check(REPO)
+    assert res.returncode == 0 or "STALE, not wrong" in res.stdout, (
+        res.stdout + res.stderr
+    )
+    assert "staging looks WRONG" not in res.stdout, res.stdout
+
+
+def _load_rotation_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("stage_rotation", SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_window_computation_properties():
+    """Property sweep of the pure window rule over synthetic
+    registries/histories — the invariants every round's staging rides:
+
+    1. window size = min(window_size, |registry|), no duplicates,
+       all names from the registry;
+    2. brand-new queries (no driver row) always lead — all inside the
+       window whenever they fit;
+    3. --changed queries are in the window whenever never+changed fit;
+    4. every stalest query (oldest newest-round on record) is in the
+       window whenever never+changed+stalest fit — the unbounded-
+       staleness guard test_rotation_window_contains_every_stalest_query
+       pins on the real repo, proven here over the input space;
+    5. deterministic: same inputs, same output.
+    """
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    mod = _load_rotation_module()
+
+    names = st.text(alphabet="abcdefgh_", min_size=1, max_size=8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        registry=st.sets(names, min_size=1, max_size=40),
+        data=st.data(),
+        window_size=st.integers(min_value=1, max_value=20),
+    )
+    def prop(registry, data, window_size):
+        newest = {
+            q: data.draw(st.integers(min_value=1, max_value=5))
+            for q in registry
+            if data.draw(st.booleans())
+        }
+        changed = data.draw(
+            st.lists(st.sampled_from(sorted(registry)), max_size=5)
+            if registry
+            else st.just([])
+        )
+        window, never, changed_kept, by_age = mod.compute_window(
+            registry, newest, changed, window_size
+        )
+        # (1) shape
+        assert len(window) == min(window_size, len(registry))
+        assert len(set(window)) == len(window)
+        assert set(window) <= registry
+        # (2) brand-new lead
+        if len(never) <= window_size:
+            assert set(never) <= set(window)
+        else:
+            assert set(window) <= set(never)
+        # (3) changed next
+        if len(never) + len(changed_kept) <= window_size:
+            assert set(changed_kept) <= set(window)
+        # (4) stalest covered
+        aged = {q: r for q, r in newest.items() if q in registry}
+        if aged:
+            oldest = min(aged.values())
+            stalest = {
+                q for q, r in aged.items() if r == oldest and q not in changed_kept
+            }
+            if len(never) + len(changed_kept) + len(stalest) <= window_size:
+                assert stalest <= set(window)
+        # (5) determinism
+        again, *_ = mod.compute_window(registry, newest, changed, window_size)
+        assert again == window
+
+    prop()
