@@ -189,11 +189,13 @@ def main() -> None:
     print(f"# below the cut — next round's leaders (first {len(oldest_below)}):")
     for q in oldest_below:
         print(f'    "{q}",  # r{newest[q]}')
-    oldest_now = min(newest[q] for q in registry if q in newest)
+    aged = [newest[q] for q in registry if q in newest]
     remaining = [newest[q] for q in registry if q in newest and q not in window]
+    oldest_now = f"r{min(aged)}" if aged else "none (no driver rows yet)"
+    oldest_rem = f"r{min(remaining)}" if remaining else "none (all rows in window)"
     print(
-        f"# age audit: oldest row now r{oldest_now}; after this window "
-        f"lands, oldest remaining r{min(remaining)}"
+        f"# age audit: oldest row now {oldest_now}; after this window "
+        f"lands, oldest remaining {oldest_rem}"
     )
 
 

@@ -183,3 +183,19 @@ def test_window_computation_properties():
         assert again == window
 
     prop()
+
+
+def test_staging_print_works_on_fresh_clone(tmp_path):
+    """The print path must work end-to-end on a repo with no
+    CORRECTNESS files at all (fresh clone): every query ranks as
+    brand-new and the age audit degrades gracefully instead of
+    min()-crashing on an empty sequence."""
+    res = subprocess.run(
+        [sys.executable, SCRIPT, "--repo-root", str(tmp_path)],
+        capture_output=True,
+        text=True,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "# window (50):" in res.stdout
+    assert "NEW" in res.stdout
+    assert "oldest row now none (no driver rows yet)" in res.stdout
