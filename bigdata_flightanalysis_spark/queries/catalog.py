@@ -55,76 +55,20 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-12 rotation (scripts/stage_rotation.py computed it; validated
-# with --check after restaging). After r11, per-query newest-driver-row
-# dates: 31 at r8 (the oldest — the exact set the r11 comment staged
-# below its cut), 48 at r9, 46 at r10, 50 at r11; all 175 green at
+# Round-13 rotation (scripts/stage_rotation.py computed it; validated
+# with --check after restaging). After r12, per-query newest-driver-row
+# dates: 29 at r9 (the oldest — the exact set the r12 comment staged
+# below its cut), 46 at r10, 50 at r11, 50 at r12; all 175 green at
 # their newest row. No query code changed this round, so the window is
-# pure staleness order: (1) the 31 r8-dated rows; (2) backfill with the
-# ALPHABETICALLY FIRST 19 of the 48 r9-dated rows. Window = 31 + 19 =
-# 50. The remaining 29 r9-dated names plus the 21 oldest r10-dated
-# names are listed below the cut and lead the r13 window; steady state
-# holds (after this window lands nothing is older than r9).
+# pure staleness order: (1) the 29 r9-dated rows; (2) backfill with the
+# 21 OLDEST (alphabetically-first) of the 46 r10-dated rows. Window =
+# 29 + 21 = 50. The remaining 25 r10-dated names plus the 25 oldest
+# r11-dated names are listed below the cut and lead the r14 window;
+# steady state holds (after this window lands nothing is older than
+# r10).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) last driver-checked in r8 — the 31 oldest rows (the exact set
-    #     the r11 comment staged below its cut)
-    "doc_pii_redaction",
-    "doc_quality_weighted_sample",
-    "doc_repetition_scores",
-    "doc_salient_terms",
-    "doc_source_mixture_weights",
-    "doc_stratified_sample",
-    "doc_train_test_split",
-    "doc_url_domains",
-    "events_user_activity_ranked",
-    "latest_order_per_customer_status",
-    "monthly_revenue_delta",
-    "nation_counts_full_outer",
-    "order_priority_count_exists",
-    "orders_above_customer_avg",
-    "price_stddev_by_status",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q1_pricing_summary",
-    "q20_heavy_flow_suppliers",
-    "q21_sole_late_supplier",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "quantity_percentiles_by_flag",
-    "rollup_revenue_region_nation",
-    "salted_user_event_counts",
-    "status_intersect_except",
-    # (2) r9-dated backfill to the 50-query window (the 19
-    #     alphabetically-first of the 48 r9-dated rows)
-    "customer_rfm_segments",
-    "customer_snapshot_diff",
-    "doc_bigram_nll_quality",
-    "doc_bm25_topk",
-    "doc_clean_normalize",
-    "doc_dup_canonical_pagerank",
-    "doc_dup_graph_triangles",
-    "doc_duplicate_spans",
-    "doc_near_dup_candidates_largemode",
-    "doc_near_dup_incremental",
-    "doc_shuffle_shards",
-    "doc_split_leakage_check",
-    "doc_stopword_ratio",
-    "doc_temperature_mixture_sample",
-    "doc_term_first_positions",
-    "doc_training_manifest",
-    "doc_weighted_sample_es",
-    "doc_winnow_fingerprints",
-    "embed_label_centroids",
-    # The 50-query window ends here (31 r8-stale + 19 r9-dated
-    # backfill; no query code changed this round). The entries below
-    # are the oldest remaining rows once this window lands — the
-    # remaining 29 r9 rows plus the 21 oldest r10 rows lead the r13
-    # window.
+    # (1) last driver-checked in r9 — the 29 oldest rows (the exact set
+    #     the r12 comment staged below its cut)
     "embed_near_dup_pairs_largemode",
     "embed_pq_topk",
     "embed_quantized_topk",
@@ -154,6 +98,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "supplier_running_revenue",
     "top_customers_per_segment",
     "union_priority_extremes",
+    # (2) r10-dated backfill to the 50-query window (the 21
+    #     alphabetically-first of the 46 r10-dated rows)
     "brand_number_histogram",
     "corpus_card",
     "cube_flag_status",
@@ -175,6 +121,61 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embed_near_dup_incremental",
     "events_activity_incident_overlap",
     "events_approx_quantile_contract",
+    # The 50-query window ends here (29 r9-stale + 21 r10-dated
+    # backfill; no query code changed this round). The entries below
+    # are the oldest remaining rows once this window lands — the
+    # remaining 25 r10 rows plus the 25 oldest r11 rows lead the r14
+    # window.
+    "events_cdc_latest_state",
+    "events_cohort_retention",
+    "events_cumulative_new_users",
+    "events_distinct_rollup_sketch",
+    "events_funnel",
+    "events_heavy_hitters_topk",
+    "events_hourly_anomalies",
+    "events_incremental_agg_merge",
+    "events_key_skew_profile",
+    "events_load_heatmap",
+    "events_mad_anomalies",
+    "events_monthly_active_users",
+    "events_rollup_cascade",
+    "events_type_transitions",
+    "events_value_winsorized",
+    "flagship_top_segments",
+    "multimodal_audio_stats",
+    "multimodal_feature_extract",
+    "multimodal_frame_sampling",
+    "multimodal_image_stats",
+    "multimodal_payload_stats",
+    "orders_pit_customer_balance",
+    "orders_profile",
+    "referential_integrity_report",
+    "status_first_last_orders",
+    "approx_distinct_users_by_type",
+    "bloom_filtered_lineitem_revenue",
+    "count_distinct_parts",
+    "customer_rfm_segments_sketch",
+    "customer_rfm_segments_twopass",
+    "customer_value_deciles",
+    "customer_value_deciles_sketch",
+    "customer_value_deciles_twopass",
+    "delayed_order_label",
+    "distinct_flag_status",
+    "doc_bm25_compact_topk",
+    "doc_bm25_index_topk",
+    "doc_bm25_refresh_topk",
+    "doc_bm25_serve_topk",
+    "doc_boilerplate_density",
+    "doc_chunk_windows",
+    "doc_dedup_keep_best",
+    "doc_length_histogram",
+    "doc_minhash_estimate_vs_exact",
+    "doc_ngram_topk",
+    "doc_pack_sequences",
+    "doc_simhash_near_dup",
+    "doc_token_stats",
+    "embed_cosine_topk",
+    "embed_decontamination",
 )
 
 
