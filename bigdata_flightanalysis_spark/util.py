@@ -278,9 +278,23 @@ def remove_layout(path: str) -> None:
         pass  # no lockfile was ever created for this layout
     with _PATH_LOCKS_GUARD:
         existing = _PATH_LOCKS.get(key)
-        # Re-entrancy guard (best-effort: _depth is read without the
-        # entry's own RLock, fine for a forbidden-by-contract state):
-        # a held entry stays so the holder's re-entrant path_lock()
+        # Re-entrancy guard: evict only when no thread holds — or is
+        # mid-``__enter__`` on — the entry, checked by taking the
+        # entry's own RLock non-blocking. This also covers the window
+        # between ``_rlock.acquire()`` and ``_depth += 1`` in
+        # ``__enter__`` where a bare ``_depth`` read would see 0: a
+        # thread in that gap holds the RLock, so the try-acquire fails
+        # and the entry stays. Non-blocking, so holding
+        # _PATH_LOCKS_GUARD here cannot deadlock (and the calling
+        # thread holding the lock itself — contract-forbidden —
+        # re-acquires and is caught by the depth check instead). A
+        # held entry stays so the holder's re-entrant path_lock()
         # keeps resolving to the RLock it already owns.
-        if existing is None or existing._depth == 0:
-            _PATH_LOCKS.pop(key, None)
+        if existing is None:
+            pass
+        elif existing._rlock.acquire(blocking=False):
+            try:
+                if existing._depth == 0:
+                    _PATH_LOCKS.pop(key, None)
+            finally:
+                existing._rlock.release()

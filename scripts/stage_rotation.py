@@ -37,6 +37,25 @@ from bigdata_flightanalysis_spark.queries.catalog import load_all  # noqa: E402
 
 WINDOW = 50
 
+# The --changed flags used to stage the CURRENT catalog._VERIFY_FIRST
+# window. Update this tuple with every restage that passes --changed,
+# and reset it to () when a restage is flag-free — it is the committed
+# record of the staging's frame of reference, so a flagless `--check`
+# (CI, tests/test_stage_rotation.py's live-repo invariant) replays the
+# same frame instead of misreporting a legitimately-staged window as
+# WRONG. Explicit --changed flags on the command line override it.
+#
+# r13 staging: no query code changed — flag-free.
+STAGED_CHANGED: tuple[str, ...] = ()
+
+# --check: a staged window within (1 - fraction) * window names of the
+# just-verified set IN EACH DIRECTION still diagnoses "likely STALE"
+# rather than WRONG, so a driver round that verified a slightly
+# different set (a query renamed mid-round, a 49/51-row window)
+# doesn't degrade a genuinely stale round-end state into a misleading
+# WRONG. Substantial divergence either way still reports WRONG.
+STALE_OVERLAP_FRACTION = 0.9
+
 
 def compute_window(
     registry: set[str],
@@ -104,11 +123,20 @@ def main() -> None:
         "set (order within the window is irrelevant — the driver "
         "checks all of it), 1 with a diff otherwise. The check is "
         "only meaningful AFTER restaging for the upcoming round and "
-        "BEFORE that round's CORRECTNESS_r*.json lands, and the same "
-        "--changed flags used for the staging must be re-supplied; "
-        "run at round-end state it sees the next round's inputs and "
-        "reports the still-staged window as stale (diagnosed, not a "
-        "bare diff)",
+        "BEFORE that round's CORRECTNESS_r*.json lands. A flagless "
+        "--check replays the committed STAGED_CHANGED constant (the "
+        "flags used for the current staging); explicit --changed "
+        "flags override it. Run at round-end state it sees the next "
+        "round's inputs and reports the still-staged window as stale "
+        "(diagnosed, not a bare diff)",
+    )
+    ap.add_argument(
+        "--no-staged-changed",
+        action="store_true",
+        help="with --check: do NOT default to the committed "
+        "STAGED_CHANGED flags when no --changed is given (replay a "
+        "genuinely flag-free frame, e.g. against a synthetic "
+        "--repo-root state)",
     )
     ap.add_argument(
         "--repo-root",
@@ -118,6 +146,16 @@ def main() -> None:
         "lets tests replay past/synthetic round states",
     )
     args = ap.parse_args()
+
+    # A flagless --check replays the committed staging frame so a
+    # legitimately --changed-staged window is not misreported as WRONG
+    # by CI or the live-repo invariant test. Explicit flags override;
+    # --no-staged-changed forces a genuinely flag-free frame (synthetic
+    # --repo-root replays in tests).
+    changed_source = "cli"
+    if args.check and not args.changed and not args.no_staged_changed:
+        args.changed = list(STAGED_CHANGED)
+        changed_source = "STAGED_CHANGED"
 
     repo_root = args.repo_root or os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))
@@ -137,7 +175,13 @@ def main() -> None:
         frame = (
             f"frame of reference: merged CORRECTNESS rounds "
             f"r{merged_rounds[0]}..r{merged_rounds[-1]} "
-            f"({len(merged_rounds)} files), --changed={args.changed or 'none'}"
+            f"({len(merged_rounds)} files), --changed="
+            f"{args.changed or 'none'}"
+            + (
+                f" (replayed from committed {changed_source})"
+                if args.changed and changed_source == "STAGED_CHANGED"
+                else ""
+            )
             if merged_rounds
             else "frame of reference: no CORRECTNESS files found "
             "(fresh clone — every query ranks as brand-new)"
@@ -160,6 +204,27 @@ def main() -> None:
                 f"CORRECTNESS_r{merged_rounds[-1]:02d}.json has landed "
                 f"since it was staged. Restage for the next round, then "
                 f"re-run --check."
+            )
+            raise SystemExit(1)
+        # Near-match: the driver occasionally verifies a slightly
+        # different set than was staged (a query renamed mid-round, a
+        # 49/51-row window). A genuinely stale round-end state must not
+        # degrade to the WRONG message over a tiny divergence — report
+        # "likely STALE" with the small symmetric difference instead,
+        # falling back to WRONG only on substantial divergence.
+        slack = len(staged) - max(1, round(STALE_OVERLAP_FRACTION * len(staged)))
+        if (
+            just_verified
+            and len(set(staged) - just_verified) <= slack
+            and len(just_verified - set(staged)) <= slack
+        ):
+            sym = sorted(set(staged) ^ just_verified)
+            print(
+                f"staged window is within {slack} names of round "
+                f"{merged_rounds[-1]}'s just-verified window — staging "
+                f"is likely STALE, not wrong (symmetric difference: "
+                f"{sym}). Restage for the next round, then re-run "
+                f"--check."
             )
             raise SystemExit(1)
         if missing:

@@ -70,15 +70,32 @@ def test_check_diagnoses_stale_staging(tmp_path):
     assert "expected in window but not staged" not in res.stdout
 
 
-def test_check_diagnoses_wrong_staging(tmp_path):
-    # The staged names' only driver rows are in the newest file (so
-    # they rank freshest and fall out of the computed window), and that
-    # file is NOT exactly the staged set (one extra name) — neither
-    # frame explains the staging, so the check must call it wrong and
-    # still print the diff.
+def test_check_diagnoses_near_stale_staging(tmp_path):
+    # The newest CORRECTNESS file is the staged window plus one extra
+    # name (the driver verified a 51-row window, or a query was renamed
+    # mid-round): a genuinely stale round-end state must NOT degrade to
+    # the WRONG message over that tiny divergence (r12 ADVICE #2) — the
+    # check reports "likely STALE" with the small symmetric difference.
     staged, rest = _staged_and_rest()
     _write(tmp_path, "CORRECTNESS_r01.json", rest)
     _write(tmp_path, "CORRECTNESS_r02.json", staged + rest[:1])
+    res = _run_check(tmp_path)
+    assert res.returncode == 1
+    assert "likely STALE" in res.stdout
+    assert rest[0] in res.stdout  # the symmetric difference is printed
+    assert "staging looks WRONG" not in res.stdout
+
+
+def test_check_diagnoses_wrong_staging(tmp_path):
+    # The staged names' only driver rows are in the newest file (so
+    # they rank freshest and fall out of the computed window), and that
+    # file diverges substantially from the staged set (only 30 of the
+    # staged 50 appear, padded with 20 others) — neither the exact nor
+    # the near-match stale frame explains the staging, so the check
+    # must call it wrong and still print the diff.
+    staged, rest = _staged_and_rest()
+    _write(tmp_path, "CORRECTNESS_r01.json", rest)
+    _write(tmp_path, "CORRECTNESS_r02.json", staged[:30] + rest[:20])
     res = _run_check(tmp_path)
     assert res.returncode == 1
     assert "staging looks WRONG" in res.stdout
@@ -95,15 +112,67 @@ def test_check_on_live_repo_is_never_wrong():
     restage-after-code-change) and the driver would burn its ~50-row
     window on the wrong queries.
 
-    Caveat shared with --check itself: a mid-round staging that used
-    --changed flags can look WRONG to this flagless run; if that state
-    is ever committed, encode the round's flags here.
+    A flagless run replays the committed stage_rotation.STAGED_CHANGED
+    constant (r12 ADVICE #1), so a mid-round staging that used
+    --changed flags is validated in its own frame as long as each
+    restage updates that constant — the restage workflow's committed
+    record, not contributor memory.
     """
     res = _run_check(REPO)
     assert res.returncode == 0 or "STALE, not wrong" in res.stdout, (
         res.stdout + res.stderr
     )
     assert "staging looks WRONG" not in res.stdout, res.stdout
+
+
+def test_check_flagless_replays_staged_changed(tmp_path, monkeypatch):
+    """A mid-round staging that used --changed flags must not be
+    misdiagnosed by a flagless --check (r12 ADVICE #1): the flags are
+    committed as stage_rotation.STAGED_CHANGED and a flagless check
+    replays them automatically; --no-staged-changed opts back out to a
+    genuinely flag-free frame."""
+    import contextlib
+    import io
+
+    import pytest
+
+    staged, rest = _staged_and_rest()
+    # Ages are set so the flag-free frame can NEVER reproduce the
+    # staged window (the 30 r2-dated staged names rank freshest and
+    # fall out of it) and the newest file diverges substantially from
+    # the staged set (20/50 overlap slack) — flagless says WRONG, while
+    # the staged-changed frame (all 50 staged names changed) says OK.
+    _write(tmp_path, "CORRECTNESS_r01.json", staged + rest)
+    _write(tmp_path, "CORRECTNESS_r02.json", staged[:30] + rest[:20])
+
+    mod = _load_rotation_module()
+    monkeypatch.setattr(mod, "STAGED_CHANGED", tuple(staged))
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["stage_rotation.py", "--check", "--repo-root", str(tmp_path)],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mod.main()  # OK path returns; any SystemExit fails the test
+    assert "window OK" in buf.getvalue()
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "stage_rotation.py",
+            "--check",
+            "--repo-root",
+            str(tmp_path),
+            "--no-staged-changed",
+        ],
+    )
+    buf = io.StringIO()
+    with pytest.raises(SystemExit), contextlib.redirect_stdout(buf):
+        mod.main()
+    assert "staging looks WRONG" in buf.getvalue()
 
 
 def _load_rotation_module():

@@ -264,3 +264,46 @@ def test_remove_layout_while_lock_held_keeps_entry_and_reenters(tmp_path):
     remove_layout(store)  # lock released: eviction now completes
     assert key not in util._PATH_LOCKS
     assert not os.path.exists(store + ".lock")
+
+
+def test_remove_layout_keeps_entry_mid_enter(tmp_path):
+    """The eviction guard must cover the window INSIDE _PathLock.__enter__
+    between ``_rlock.acquire()`` and ``_depth += 1``: a thread sitting
+    there holds the RLock but ``_depth`` still reads 0, so a bare depth
+    check would evict the entry out from under it (r12 ADVICE #3). The
+    guard now try-acquires the entry's RLock instead, so a
+    mid-__enter__ holder keeps the entry. Simulated by acquiring the
+    entry's RLock directly from another thread with depth untouched."""
+    import threading
+
+    from bigdata_flightanalysis_spark import util
+    from bigdata_flightanalysis_spark.util import path_lock, remove_layout
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    key = os.path.abspath(store)
+    entry = path_lock(store)
+
+    acquired = threading.Event()
+    release = threading.Event()
+
+    def hold_rlock_bare():
+        # what __enter__ looks like between its first two statements:
+        # RLock held, _depth still 0
+        entry._rlock.acquire()
+        acquired.set()
+        release.wait(timeout=30)
+        entry._rlock.release()
+
+    t = threading.Thread(target=hold_rlock_bare, daemon=True)
+    t.start()
+    assert acquired.wait(timeout=30)
+    try:
+        remove_layout(store)
+        assert key in util._PATH_LOCKS, "evicted a mid-__enter__ entry"
+        assert util._PATH_LOCKS[key] is entry
+    finally:
+        release.set()
+        t.join(timeout=30)
+    remove_layout(store)  # holder gone: eviction now completes
+    assert key not in util._PATH_LOCKS
