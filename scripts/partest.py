@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Run the test suite as N concurrent pytest processes, one file at a
+time per worker, to keep the per-commit cadence affordable as tests
+accrete (the serial suite passed 21:48 wall at r12).
+
+Why not pytest-xdist: it is not installed in this environment and
+installs are forbidden; a file-granular work queue over subprocesses
+needs no plugin and gives each worker its own JVM/SparkSession anyway
+(sessions are per-process, so two workers can never share Spark
+state). Workers run local[8]/8g sessions (tests/conftest.py), so the
+default 5 workers fit a 32-core / 128 GiB host (measured r13: two
+consecutive zero-flake full runs, 525 passed / 2 skipped, 7.5 min
+each vs 21:48 serial).
+
+Scheduling: longest-expected-first (LPT) from the committed timings
+file `scripts/partest_timings.json` (falls back to file size for new
+files), drained from a shared queue — no static partitioning to
+rebalance as tests move. Each run rewrites the timings file so the
+next run schedules from fresh durations; the copy in git is a seed,
+refreshed whenever convenient.
+
+Isolation notes (why per-file processes are safe here):
+- pytest tmp_path roots are per-process-numbered and lock-protected;
+- no test touches a shared warehouse/metastore (grep-verified: no
+  enableHiveSupport, no spark-warehouse writes);
+- `-p no:cacheprovider` avoids concurrent .pytest_cache writes.
+
+Timing-sensitive files (streaming trigger waits, cross-process lock
+races) are listed in LOAD_SENSITIVE and scheduled onto ONE dedicated
+worker so they never run concurrently with each other — they still
+overlap ordinary files, which measurement showed they tolerate.
+
+Exit code: 0 only if every pytest invocation exited 0. A per-file
+summary plus the aggregate pass/fail/skip counts print at the end.
+
+    python scripts/partest.py              # 4 workers
+    python scripts/partest.py --workers 6
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import queue
+import re
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TESTS = os.path.join(REPO, "tests")
+TIMINGS = os.path.join(REPO, "scripts", "partest_timings.json")
+
+# Files whose tests wait on wall-clock (streaming triggers,
+# cross-process flock races): one dedicated worker runs them
+# back-to-back so they never compete with EACH OTHER for timers.
+LOAD_SENSITIVE = (
+    "test_streaming.py",
+    "test_streaming_late_data.py",
+    "test_streaming_recovery.py",
+    "test_streaming_sinks.py",
+    "test_fsck.py",
+)
+
+_SUMMARY = re.compile(r"(\d+) (passed|failed|skipped|error|errors)")
+
+
+def discover() -> list[str]:
+    return sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(TESTS, "test_*.py"))
+    )
+
+
+def expected_cost(fname: str, timings: dict[str, float]) -> float:
+    if fname in timings:
+        return timings[fname]
+    # new file: rank by source size (roughly proportional to runtime
+    # here), scaled into the timing range so it schedules early-ish
+    return os.path.getsize(os.path.join(TESTS, fname)) / 1000.0
+
+
+def run_file(fname: str) -> tuple[int, float, dict[str, int], str]:
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            os.path.join("tests", fname),
+            "-q",
+            "--tb=short",
+            "-p",
+            "no:cacheprovider",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    wall = time.monotonic() - t0
+    counts: dict[str, int] = {}
+    for n, kind in _SUMMARY.findall(proc.stdout):
+        counts[kind] = counts.get(kind, 0) + int(n)
+    tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-25:])
+    return proc.returncode, wall, counts, tail
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--workers",
+        type=int,
+        default=int(os.environ.get("PARTEST_WORKERS", "5")),
+        help="concurrent pytest processes (each local[8]/8g)",
+    )
+    args = ap.parse_args()
+
+    timings: dict[str, float] = {}
+    if os.path.exists(TIMINGS):
+        timings = json.load(open(TIMINGS, encoding="utf-8"))
+
+    files = discover()
+    sensitive = [f for f in files if f in LOAD_SENSITIVE]
+    ordinary = [f for f in files if f not in LOAD_SENSITIVE]
+    ordinary.sort(key=lambda f: -expected_cost(f, timings))
+    sensitive.sort(key=lambda f: -expected_cost(f, timings))
+
+    q: queue.Queue[str] = queue.Queue()
+    for f in ordinary:
+        q.put(f)
+
+    results: dict[str, tuple[int, float, dict[str, int], str]] = {}
+    lock = threading.Lock()
+
+    def ordinary_worker() -> None:
+        while True:
+            try:
+                f = q.get_nowait()
+            except queue.Empty:
+                return
+            res = run_file(f)
+            with lock:
+                results[f] = res
+                print(
+                    f"  {f}: rc={res[0]} {res[1]:.1f}s {res[2]}",
+                    flush=True,
+                )
+
+    def sensitive_worker() -> None:
+        # back-to-back on one worker: load-sensitive files never
+        # overlap each other
+        for f in sensitive:
+            res = run_file(f)
+            with lock:
+                results[f] = res
+                print(
+                    f"  {f}: rc={res[0]} {res[1]:.1f}s {res[2]} [serial-lane]",
+                    flush=True,
+                )
+
+    t0 = time.monotonic()
+    n_ordinary = max(1, args.workers - (1 if sensitive else 0))
+    threads = [
+        threading.Thread(target=ordinary_worker, daemon=True)
+        for _ in range(n_ordinary)
+    ]
+    if sensitive:
+        threads.append(threading.Thread(target=sensitive_worker, daemon=True))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t0
+
+    total: dict[str, int] = {}
+    failed = []
+    for f, (rc, dur, counts, tail) in sorted(results.items()):
+        for k, v in counts.items():
+            total[k] = total.get(k, 0) + v
+        if rc != 0:
+            failed.append(f)
+            print(f"\n=== FAILED {f} (rc={rc}) ===\n{tail}\n")
+
+    json.dump(
+        {f: round(results[f][1], 2) for f in results},
+        open(TIMINGS, "w", encoding="utf-8"),
+        indent=0,
+        sort_keys=True,
+    )
+
+    print(
+        f"partest: {len(results)} files in {wall / 60:.1f} min "
+        f"({args.workers} workers) — {total}"
+    )
+    if failed:
+        print(f"FAILED files: {failed}")
+        raise SystemExit(1)
+    missing = set(files) - set(results)
+    if missing:
+        print(f"files never ran: {sorted(missing)}")
+        raise SystemExit(2)
+    print("all green")
+
+
+if __name__ == "__main__":
+    main()

@@ -228,20 +228,35 @@ def test_bm25_index_refresh_converges_to_full_build(spark, tmp_path):
     assert len(served_inc) == 10
 
 
-def test_bm25_lifecycle_entries_leave_no_temp_index(spark):
+def test_bm25_lifecycle_entries_leave_no_temp_index(spark, tmp_path, monkeypatch):
     """The two lifecycle registry entries build into tempfile.mkdtemp;
     after returning (result pinned via localCheckpoint) the index dir
     must be GONE — repeated driver/bench runs must not accumulate
-    corpus-sized index dirs under /tmp (round-7 defect)."""
+    corpus-sized index dirs under /tmp (round-7 defect).
+
+    mkdtemp is redirected into this test's own tmp_path: the cleanup
+    contract is process-local, and snapshot-diffing the SHARED temp
+    root made the assert trip on a sibling pytest process's in-flight
+    bm25_index_* dir when the suite runs files concurrently
+    (scripts/partest.py, observed r13) — that dir is the sibling's
+    live build, not a leak."""
     import os
     import tempfile
 
-    tmp = tempfile.gettempdir()
+    real_mkdtemp = tempfile.mkdtemp
+    made: list[str] = []
+
+    def redirected(*a, **kw):
+        path = real_mkdtemp(*a, **{**kw, "dir": str(tmp_path)})
+        made.append(path)
+        return path
+
+    monkeypatch.setattr(tempfile, "mkdtemp", redirected)
 
     def _index_dirs():
         return {
             d
-            for d in os.listdir(tmp)
+            for d in os.listdir(tmp_path)
             if d.startswith(("bm25_index_", "bm25_refresh_"))
         }
 
@@ -249,6 +264,12 @@ def test_bm25_lifecycle_entries_leave_no_temp_index(spark):
     rows_idx = REG["doc_bm25_index_topk"].fn(spark, SF).collect()
     rows_ref = REG["doc_bm25_refresh_topk"].fn(spark, SF).collect()
     assert len(rows_idx) == 10 and len(rows_ref) == 10
+    # the redirect really hit the queries' mkdtemp call sites (else
+    # this test would silently stop checking anything)
+    assert any(
+        os.path.basename(p).startswith(("bm25_index_", "bm25_refresh_"))
+        for p in made
+    ), "queries did not build under the redirected temp root"
     assert _index_dirs() == before, "temp index dirs leaked"
 
 
