@@ -19,6 +19,30 @@ def registry():
     return load_all()
 
 
+@pytest.fixture(scope="module")
+def registry_plans(spark, registry):
+    """Executed-plan string per oracle-backed registry query, built
+    ONCE and shared by the four registry-wide sweeps below — each used
+    to rebuild all 175 plans itself, which was 4x the suite's single
+    biggest cost (4 x ~70 s). Returns (plans, errors): a query whose
+    plan can't be produced lands in `errors` so each sweep keeps its
+    own error semantics (the UDF and CartesianProduct guards fail on
+    any error; the scan/window guards skip, their failure detail owned
+    elsewhere). Built at sf0.01 — the stricter frame for
+    size-dependent planning: a cross join whose build side broadcasts
+    at sf0.001 can degrade to CartesianProduct at sf0.01."""
+    plans: dict[str, str] = {}
+    errors: dict[str, str] = {}
+    for name, q in registry.items():
+        if q.oracle is None:
+            continue
+        try:
+            plans[name] = _plan(q.fn(spark, SF))
+        except Exception as exc:  # noqa: BLE001 — consumers decide severity
+            errors[name] = f"{type(exc).__name__}: {exc}"[:120]
+    return plans, errors
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -198,17 +222,18 @@ def test_dup_clusters_hash_stable_under_env_checkpoint_dir(
         assert str(tmp_path) not in after
 
 
-def test_no_python_row_udfs_in_oracle_queries(spark, registry):
+def test_no_python_row_udfs_in_oracle_queries(registry_plans):
     """BatchEvalPython (row-at-a-time Python UDF) must never appear;
     ArrowEvalPython/mapInPandas only in the multimodal path. Same
     sweep also asserts no un-broadcast CartesianProduct anywhere in
     the registry — the spot checks on the join-heavy queries below
     guard specific shapes, this guards the long tail (a cross join
-    that loses its equi-key to a refactor shuffles |A|x|B| at scale)."""
-    for name, q in registry.items():
-        if q.oracle is None:
-            continue
-        plan = _plan(q.fn(spark, SF))
+    that loses its equi-key to a refactor shuffles |A|x|B| at scale).
+    A query whose plan can't be built at all fails here too (this
+    sweep never skipped errors)."""
+    plans, errors = registry_plans
+    assert errors == {}
+    for name, plan in plans.items():
         assert "BatchEvalPython" not in plan, name
         if "multimodal" not in name:
             assert "ArrowEvalPython" not in plan, name
@@ -406,7 +431,7 @@ def test_incremental_agg_merge_stays_partial(spark, registry):
     assert "HashAggregate" in plan
 
 
-def test_no_cartesian_product_in_any_registry_query(spark, registry):
+def test_no_cartesian_product_in_any_registry_query(registry_plans):
     """Registry-wide structural guard: no query may plan a
     CartesianProduct — the unbounded-blowup operator that small-SF
     correctness tests can't distinguish from a working join. (The
@@ -415,29 +440,21 @@ def test_no_cartesian_product_in_any_registry_query(spark, registry):
     point of the check distinguishing them.)
 
     A query whose plan can't even be produced must not silently escape
-    the guard (r11 verdict finding #3): skipped names are collected and
+    the guard (r11 verdict finding #3): failed names are collected and
     asserted against a documented allowlist — expected EMPTY, since
-    every oracle-backed registry query plans cleanly at sf0.001. Other
-    tests own the per-query failure detail; this keeps the guard's
-    coverage honest."""
+    every oracle-backed registry query plans cleanly. Other tests own
+    the per-query failure detail; this keeps the guard's coverage
+    honest."""
     plan_failed_allowlist: set[str] = set()  # expected empty — see above
-    offenders = []
-    skipped = []
-    for name, q in registry.items():
-        if q.oracle is None:
-            continue
-        try:
-            plan = _plan(q.fn(spark, "/root/testdata/sf0.001"))
-        except Exception as exc:  # noqa: BLE001 — failure detail owned elsewhere
-            skipped.append((name, f"{type(exc).__name__}: {exc}"[:120]))
-            continue
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+    plans, errors = registry_plans
+    offenders = [name for name, plan in plans.items() if "CartesianProduct" in plan]
     assert offenders == []
-    unexpected = [(n, e) for n, e in skipped if n not in plan_failed_allowlist]
+    unexpected = [
+        (n, e) for n, e in errors.items() if n not in plan_failed_allowlist
+    ]
     assert not unexpected, (
         "queries escaped the CartesianProduct guard (plan could not be "
-        f"produced at sf0.001): {unexpected}"
+        f"produced at sf0.01): {unexpected}"
     )
 
 
@@ -535,7 +552,7 @@ def test_activity_ranked_topk_is_take_ordered(spark, registry):
     assert win < top, "window must consume the limited frame, not feed it"
 
 
-def test_no_full_width_scan_in_any_registry_query(spark, registry):
+def test_no_full_width_scan_in_any_registry_query(registry_plans):
     """Registry-wide structural guard (the 100 TB I/O tax): no query
     may scan EVERY column of a wide table — column pruning must reach
     the parquet scan. The only allowed full-width readers are the
@@ -546,9 +563,8 @@ def test_no_full_width_scan_in_any_registry_query(spark, registry):
 
     import pyarrow.parquet as pq
 
-    sf = "/root/testdata/sf0.001"
     widths = {
-        t: len(pq.read_schema(f"{sf}/{t}.parquet").names)
+        t: len(pq.read_schema(f"{SF}/{t}.parquet").names)
         for t in (
             "customer", "supplier", "part", "orders",
             "lineitem", "events", "documents",
@@ -557,12 +573,9 @@ def test_no_full_width_scan_in_any_registry_query(spark, registry):
     allowed = {"orders_profile", "orders_profile_approx"}
     pat = re.compile(r"FileScan parquet \[([^\]]*)\].*?/(\w+)\.parquet")
     offenders = []
-    for name, q in registry.items():
+    plans, _errors = registry_plans  # errors skip: failure detail owned elsewhere
+    for name, plan in plans.items():
         if name in allowed:
-            continue
-        try:
-            plan = q.fn(spark, sf)._jdf.queryExecution().executedPlan().treeString()
-        except Exception:  # noqa: BLE001 — other tests own per-query failures
             continue
         for line in plan.splitlines():
             m = pat.search(line)
@@ -610,7 +623,7 @@ def test_segmentation_approx_mode_partitions_all_customers(spark):
         ), code
 
 
-def test_global_windows_only_on_documented_bounded_inputs(spark, registry):
+def test_global_windows_only_on_documented_bounded_inputs(registry_plans):
     """Registry-wide structural guard (round-8 verdict ask): a Window
     with NO partition spec executes in ONE task over its whole input —
     harmless when that input is provably small (per-day/per-month
@@ -641,12 +654,9 @@ def test_global_windows_only_on_documented_bounded_inputs(spark, registry):
     # itself means the partition spec is empty
     first_arg = re.compile(r"windowspecdefinition\(([^,)]+)")
     offenders = []
-    for name, q in registry.items():
+    plans, _errors = registry_plans  # errors skip: failure detail owned elsewhere
+    for name, plan in plans.items():
         if name in allowed:
-            continue
-        try:
-            plan = q.fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
-        except Exception:  # noqa: BLE001 — other tests own per-query failures
             continue
         for line in plan.splitlines():
             if not re.search(r"\bWindow \[", line):
