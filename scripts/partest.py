@@ -8,8 +8,8 @@ installs are forbidden; a file-granular work queue over subprocesses
 needs no plugin and gives each worker its own JVM/SparkSession anyway
 (sessions are per-process, so two workers can never share Spark
 state). Workers run local[8]/8g sessions (tests/conftest.py), so the
-default 5 workers fit a 32-core / 128 GiB host (measured r13: two
-consecutive zero-flake full runs, 525 passed / 2 skipped, 7.5 min
+default 5 workers fit a 32-core / 128 GiB host (measured r13: four
+consecutive zero-flake full runs, 525 passed / 2 skipped, 6.3-7.5 min
 each vs 21:48 serial).
 
 Scheduling: longest-expected-first (LPT) from the committed timings
