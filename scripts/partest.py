@@ -124,6 +124,10 @@ def main() -> None:
     files = discover()
     sensitive = [f for f in files if f in LOAD_SENSITIVE]
     ordinary = [f for f in files if f not in LOAD_SENSITIVE]
+    if args.workers <= 1:
+        # a single worker is already fully serial — no second lane
+        ordinary += sensitive
+        sensitive = []
     ordinary.sort(key=lambda f: -expected_cost(f, timings))
     sensitive.sort(key=lambda f: -expected_cost(f, timings))
 

@@ -1,0 +1,75 @@
+"""Unit tests for scripts/partest.py's pure parts — the scheduling
+order and summary parsing the parallel suite runner rides. The runner
+itself is exercised by being how the suite runs; these pin the logic
+that would fail silently (a mis-parsed summary under-counts, a broken
+LPT order quietly doubles wall time)."""
+
+import importlib.util
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "partest.py")
+
+
+def _load():
+    spec = importlib.util.spec_from_file_location("partest", SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_summary_regex_parses_pytest_tails():
+    mod = _load()
+    counts = {}
+    for n, kind in mod._SUMMARY.findall(
+        "1 failed, 27 passed, 2 skipped in 172.17s (0:02:52)"
+    ):
+        counts[kind] = counts.get(kind, 0) + int(n)
+    assert counts == {"failed": 1, "passed": 27, "skipped": 2}
+    # "errors" must still count under the "error" key, not be dropped
+    counts = {}
+    for n, kind in mod._SUMMARY.findall("3 errors in 1.0s"):
+        counts[kind] = counts.get(kind, 0) + int(n)
+    assert counts.get("error") == 3
+
+
+def test_expected_cost_prefers_recorded_timings_over_size():
+    mod = _load()
+    timings = {"test_util.py": 3.6, "test_plans.py": 123.0}
+    assert mod.expected_cost("test_util.py", timings) == 3.6
+    # a discovered file absent from timings falls back to its size
+    # scale — nonzero, so it still schedules
+    real = mod.discover()[0]
+    assert mod.expected_cost(real, {}) > 0
+
+
+def test_discover_finds_this_file_and_load_sensitive_exists():
+    mod = _load()
+    files = mod.discover()
+    assert "test_partest.py" in files
+    # every LOAD_SENSITIVE entry must be a real file — a renamed
+    # streaming test silently leaving the serial lane is the failure
+    # mode this guards
+    missing = [f for f in mod.LOAD_SENSITIVE if f not in files]
+    assert missing == []
+
+
+def test_single_worker_merges_sensitive_lane(tmp_path, monkeypatch):
+    """--workers 1 must be truly serial: the dedicated
+    load-sensitive lane would otherwise make it two-concurrent."""
+    mod = _load()
+    launched = []
+
+    def fake_run_file(fname):
+        launched.append(fname)
+        return 0, 0.01, {"passed": 1}, ""
+
+    monkeypatch.setattr(mod, "run_file", fake_run_file)
+    monkeypatch.setattr(mod, "TIMINGS", str(tmp_path / "t.json"))
+    monkeypatch.setattr(
+        sys, "argv", ["partest.py", "--workers", "1"]
+    )
+    mod.main()
+    files = mod.discover()
+    assert sorted(launched) == sorted(files)  # nothing ran twice/missed
