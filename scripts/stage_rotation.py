@@ -83,6 +83,37 @@ def compute_window(
     return (never + changed_kept + by_age)[:window_size], never, changed_kept, by_age
 
 
+def diagnose_staging(
+    staged: list[str],
+    computed: list[str],
+    just_verified: set[str],
+) -> str:
+    """Pure --check diagnosis, extracted so the STALE/likely-STALE/
+    WRONG rule is directly property-testable. Returns one of:
+
+    - "OK": staged set == the computed window for this frame;
+    - "STALE": staged set == exactly the just-verified set (the
+      driver verified it since it was staged — old, not wrong);
+    - "LIKELY_STALE": staged is within the two-sided slack
+      ((1 - STALE_OVERLAP_FRACTION) * window per direction) of the
+      just-verified set — the driver verified a slightly different
+      set (a rename, a 49/51-row window), still old-not-wrong;
+    - "WRONG": none of the above explains the staging.
+    """
+    if set(staged) == set(computed):
+        return "OK"
+    if just_verified and set(staged) == just_verified:
+        return "STALE"
+    slack = len(staged) - max(1, round(STALE_OVERLAP_FRACTION * len(staged)))
+    if (
+        just_verified
+        and len(set(staged) - just_verified) <= slack
+        and len(just_verified - set(staged)) <= slack
+    ):
+        return "LIKELY_STALE"
+    return "WRONG"
+
+
 def newest_rounds(
     repo_root: str,
 ) -> tuple[dict[str, int], list[int], set[str]]:
@@ -187,17 +218,16 @@ def main() -> None:
             "(fresh clone — every query ranks as brand-new)"
         )
         staged = list(dict.fromkeys(_VERIFY_FIRST))[: args.window]
-        missing = sorted(set(window) - set(staged))
-        extra = sorted(set(staged) - set(window))
-        if not missing and not extra:
+        verdict = diagnose_staging(staged, window, just_verified)
+        if verdict == "OK":
             print(f"window OK: first {args.window} of _VERIFY_FIRST match")
             print(frame)
             return
         print(frame)
-        # Distinguish "stale staging" (run after the staged round's own
-        # CORRECTNESS file landed — the still-staged window IS the set
-        # the newest file just verified) from actually-wrong staging.
-        if just_verified and set(staged) == just_verified:
+        if verdict == "STALE":
+            # run after the staged round's own CORRECTNESS file landed
+            # — the still-staged window IS the set the newest file just
+            # verified: old, not wrong.
             print(
                 f"staged window is exactly round {merged_rounds[-1]}'s "
                 f"just-verified window — staging is STALE, not wrong: "
@@ -206,18 +236,14 @@ def main() -> None:
                 f"re-run --check."
             )
             raise SystemExit(1)
-        # Near-match: the driver occasionally verifies a slightly
-        # different set than was staged (a query renamed mid-round, a
-        # 49/51-row window). A genuinely stale round-end state must not
-        # degrade to the WRONG message over a tiny divergence — report
-        # "likely STALE" with the small symmetric difference instead,
-        # falling back to WRONG only on substantial divergence.
-        slack = len(staged) - max(1, round(STALE_OVERLAP_FRACTION * len(staged)))
-        if (
-            just_verified
-            and len(set(staged) - just_verified) <= slack
-            and len(just_verified - set(staged)) <= slack
-        ):
+        if verdict == "LIKELY_STALE":
+            # the driver verified a slightly different set than was
+            # staged (a query renamed mid-round, a 49/51-row window) —
+            # a genuinely stale round-end state must not degrade to the
+            # WRONG message over a tiny divergence.
+            slack = len(staged) - max(
+                1, round(STALE_OVERLAP_FRACTION * len(staged))
+            )
             sym = sorted(set(staged) ^ just_verified)
             print(
                 f"staged window is within {slack} names of round "
@@ -227,6 +253,8 @@ def main() -> None:
                 f"--check."
             )
             raise SystemExit(1)
+        missing = sorted(set(window) - set(staged))
+        extra = sorted(set(staged) - set(window))
         if missing:
             print(f"expected in window but not staged: {missing}")
         if extra:

@@ -254,6 +254,55 @@ def test_window_computation_properties():
     prop()
 
 
+def test_diagnose_staging_properties():
+    """Property sweep of the pure STALE/likely-STALE/WRONG rule
+    (extracted r13 alongside the r12 advice's near-match heuristic):
+
+    1. staged == computed (as sets) is always OK — the just-verified
+       set can never demote a correctly-staged window;
+    2. staged == just_verified (and != computed) is always STALE;
+    3. a non-OK staged window within the two-sided slack of the
+       just-verified set is never WRONG;
+    4. WRONG requires divergence beyond the slack in some direction
+       (or no just-verified set at all);
+    5. deterministic.
+    """
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    mod = _load_rotation_module()
+    names = st.text(alphabet="abcdefgh_", min_size=1, max_size=6)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        staged=st.lists(names, min_size=1, max_size=20, unique=True),
+        computed=st.lists(names, min_size=0, max_size=20, unique=True),
+        just_verified=st.sets(names, min_size=0, max_size=25),
+    )
+    def prop(staged, computed, just_verified):
+        verdict = mod.diagnose_staging(staged, computed, just_verified)
+        assert verdict in ("OK", "STALE", "LIKELY_STALE", "WRONG")
+        if set(staged) == set(computed):
+            assert verdict == "OK"
+            return
+        if just_verified and set(staged) == just_verified:
+            assert verdict == "STALE"
+            return
+        slack = len(staged) - max(
+            1, round(mod.STALE_OVERLAP_FRACTION * len(staged))
+        )
+        near = (
+            bool(just_verified)
+            and len(set(staged) - just_verified) <= slack
+            and len(just_verified - set(staged)) <= slack
+        )
+        assert verdict == ("LIKELY_STALE" if near else "WRONG")
+        # determinism
+        assert verdict == mod.diagnose_staging(staged, computed, just_verified)
+
+    prop()
+
+
 def test_staging_print_works_on_fresh_clone(tmp_path):
     """The print path must work end-to-end on a repo with no
     CORRECTNESS files at all (fresh clone): every query ranks as
