@@ -17,7 +17,9 @@ round until now):
 
 This script PRINTS the suggested tuple body plus an age audit; it does
 not edit catalog.py — the staging comment explaining each round's
-choices is written by a person.
+choices is written by a person. When a restage passes --changed flags,
+also update the STAGED_CHANGED constant below (flagless --check
+replays it as its frame; reset it to () on a flag-free restage).
 
     python scripts/stage_rotation.py --changed q1 --changed q2
 """
