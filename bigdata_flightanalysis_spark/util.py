@@ -290,6 +290,14 @@ def remove_layout(path: str) -> None:
         # re-acquires and is caught by the depth check instead). A
         # held entry stays so the holder's re-entrant path_lock()
         # keeps resolving to the RLock it already owns.
+        #
+        # Deliberate trade: racing a holder's ``__exit__`` between its
+        # ``_depth -= 1`` and ``_rlock.release()`` also fails the
+        # try-acquire and skips eviction — a dead entry then stays in
+        # _PATH_LOCKS forever (remove_layout is one-shot per layout).
+        # That state is contract-forbidden anyway; a bounded leak
+        # there beats the old bare-depth read, whose failure mode was
+        # evicting an entry out from under a mid-__enter__ holder.
         if existing is None:
             pass
         elif existing._rlock.acquire(blocking=False):

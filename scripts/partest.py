@@ -33,7 +33,7 @@ overlap ordinary files, which measurement showed they tolerate.
 Exit code: 0 only if every pytest invocation exited 0. A per-file
 summary plus the aggregate pass/fail/skip counts print at the end.
 
-    python scripts/partest.py              # 4 workers
+    python scripts/partest.py              # 5 workers
     python scripts/partest.py --workers 6
 """
 
@@ -100,9 +100,16 @@ def run_file(fname: str) -> tuple[int, float, dict[str, int], str]:
         cwd=REPO,
     )
     wall = time.monotonic() - t0
+    # parse only the LAST summary-shaped line: a failing test's captured
+    # stdout can itself contain "N passed"-shaped text, and regexing the
+    # whole output would double-count it into the aggregate
     counts: dict[str, int] = {}
-    for n, kind in _SUMMARY.findall(proc.stdout):
-        counts[kind] = counts.get(kind, 0) + int(n)
+    for line in reversed(proc.stdout.splitlines()):
+        found = _SUMMARY.findall(line)
+        if found:
+            for n, kind in found:
+                counts[kind] = counts.get(kind, 0) + int(n)
+            break
     tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-25:])
     return proc.returncode, wall, counts, tail
 
@@ -119,7 +126,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     if os.path.exists(TIMINGS):
-        timings = json.load(open(TIMINGS, encoding="utf-8"))
+        try:
+            with open(TIMINGS, encoding="utf-8") as fh:
+                timings = json.load(fh)
+        except (ValueError, OSError):
+            # a truncated timings file (interrupted previous run) must
+            # not brick the runner — size-fallback scheduling instead
+            timings = {}
 
     files = discover()
     sensitive = [f for f in files if f in LOAD_SENSITIVE]
@@ -187,23 +200,33 @@ def main() -> None:
             failed.append(f)
             print(f"\n=== FAILED {f} (rc={rc}) ===\n{tail}\n")
 
-    json.dump(
-        {f: round(results[f][1], 2) for f in results},
-        open(TIMINGS, "w", encoding="utf-8"),
-        indent=0,
-        sort_keys=True,
-    )
+    # Merge into the loaded seed rather than replace it: a failed file's
+    # fail-fast duration (2 s collection error for a 180 s file) must
+    # not skew the next run's LPT order, and files a crashed run never
+    # reached keep their old timing. Written atomically so an
+    # interrupted dump can't leave truncated JSON for the next run.
+    for f, (rc, dur, _counts, _tail) in results.items():
+        if rc == 0:
+            timings[f] = round(dur, 2)
+    timings = {f: t for f, t in timings.items() if f in set(files)}
+    tmp = TIMINGS + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(timings, fh, indent=0, sort_keys=True)
+    os.replace(tmp, TIMINGS)
 
     print(
         f"partest: {len(results)} files in {wall / 60:.1f} min "
         f"({args.workers} workers) — {total}"
     )
-    if failed:
-        print(f"FAILED files: {failed}")
-        raise SystemExit(1)
+    # report incomplete coverage even when some file also failed — a
+    # dead worker's abandoned files must not hide behind exit 1
     missing = set(files) - set(results)
     if missing:
         print(f"files never ran: {sorted(missing)}")
+    if failed:
+        print(f"FAILED files: {failed}")
+        raise SystemExit(1)
+    if missing:
         raise SystemExit(2)
     print("all green")
 

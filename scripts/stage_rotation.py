@@ -59,6 +59,13 @@ STAGED_CHANGED: tuple[str, ...] = ()
 STALE_OVERLAP_FRACTION = 0.9
 
 
+def _slack(window_len: int) -> int:
+    """Per-direction name budget for the likely-STALE diagnosis — the
+    single definition both diagnose_staging and the --check message
+    use (5 at the standard 50-name window)."""
+    return window_len - max(1, round(STALE_OVERLAP_FRACTION * window_len))
+
+
 def compute_window(
     registry: set[str],
     newest: dict[str, int],
@@ -106,7 +113,7 @@ def diagnose_staging(
         return "OK"
     if just_verified and set(staged) == just_verified:
         return "STALE"
-    slack = len(staged) - max(1, round(STALE_OVERLAP_FRACTION * len(staged)))
+    slack = _slack(len(staged))
     if (
         just_verified
         and len(set(staged) - just_verified) <= slack
@@ -243,9 +250,7 @@ def main() -> None:
             # staged (a query renamed mid-round, a 49/51-row window) —
             # a genuinely stale round-end state must not degrade to the
             # WRONG message over a tiny divergence.
-            slack = len(staged) - max(
-                1, round(STALE_OVERLAP_FRACTION * len(staged))
-            )
+            slack = _slack(len(staged))
             sym = sorted(set(staged) ^ just_verified)
             print(
                 f"staged window is within {slack} names of round "

@@ -24,23 +24,32 @@ def registry_plans(spark, registry):
     """Executed-plan string per oracle-backed registry query, built
     ONCE and shared by the four registry-wide sweeps below — each used
     to rebuild all 175 plans itself, which was 4x the suite's single
-    biggest cost (4 x ~70 s). Returns (plans, errors): a query whose
-    plan can't be produced lands in `errors` so each sweep keeps its
+    biggest cost (4 x ~70 s). Returns (plans, errors, oracle_backed):
+    a query whose plan can't be produced lands in `errors` so each
+    sweep keeps its
     own error semantics (the UDF and CartesianProduct guards fail on
     any error; the scan/window guards skip, their failure detail owned
     elsewhere). Built at sf0.01 — the stricter frame for
     size-dependent planning: a cross join whose build side broadcasts
-    at sf0.001 can degrade to CartesianProduct at sf0.01."""
+    at sf0.001 can degrade to CartesianProduct at sf0.01.
+
+    Covers the WHOLE registry, including any oracle-less entry
+    (EngineQuery.oracle permits None) — the scan and window guards
+    always swept every query, and an oracle-less query must not
+    silently escape them. `oracle_backed` carries the names the UDF
+    and CartesianProduct sweeps restrict themselves to, preserving
+    their historical scope."""
     plans: dict[str, str] = {}
     errors: dict[str, str] = {}
+    oracle_backed: set[str] = set()
     for name, q in registry.items():
-        if q.oracle is None:
-            continue
+        if q.oracle is not None:
+            oracle_backed.add(name)
         try:
             plans[name] = _plan(q.fn(spark, SF))
         except Exception as exc:  # noqa: BLE001 — consumers decide severity
             errors[name] = f"{type(exc).__name__}: {exc}"[:120]
-    return plans, errors
+    return plans, errors, oracle_backed
 
 
 def _plan(df) -> str:
@@ -231,9 +240,11 @@ def test_no_python_row_udfs_in_oracle_queries(registry_plans):
     that loses its equi-key to a refactor shuffles |A|x|B| at scale).
     A query whose plan can't be built at all fails here too (this
     sweep never skipped errors)."""
-    plans, errors = registry_plans
-    assert errors == {}
+    plans, errors, oracle_backed = registry_plans
+    assert {n: e for n, e in errors.items() if n in oracle_backed} == {}
     for name, plan in plans.items():
+        if name not in oracle_backed:
+            continue
         assert "BatchEvalPython" not in plan, name
         if "multimodal" not in name:
             assert "ArrowEvalPython" not in plan, name
@@ -446,11 +457,17 @@ def test_no_cartesian_product_in_any_registry_query(registry_plans):
     the per-query failure detail; this keeps the guard's coverage
     honest."""
     plan_failed_allowlist: set[str] = set()  # expected empty — see above
-    plans, errors = registry_plans
-    offenders = [name for name, plan in plans.items() if "CartesianProduct" in plan]
+    plans, errors, oracle_backed = registry_plans
+    offenders = [
+        name
+        for name, plan in plans.items()
+        if name in oracle_backed and "CartesianProduct" in plan
+    ]
     assert offenders == []
     unexpected = [
-        (n, e) for n, e in errors.items() if n not in plan_failed_allowlist
+        (n, e)
+        for n, e in errors.items()
+        if n in oracle_backed and n not in plan_failed_allowlist
     ]
     assert not unexpected, (
         "queries escaped the CartesianProduct guard (plan could not be "
@@ -573,7 +590,7 @@ def test_no_full_width_scan_in_any_registry_query(registry_plans):
     allowed = {"orders_profile", "orders_profile_approx"}
     pat = re.compile(r"FileScan parquet \[([^\]]*)\].*?/(\w+)\.parquet")
     offenders = []
-    plans, _errors = registry_plans  # errors skip: failure detail owned elsewhere
+    plans, _errors, _oracle_backed = registry_plans  # errors skip: detail owned elsewhere
     for name, plan in plans.items():
         if name in allowed:
             continue
@@ -654,7 +671,7 @@ def test_global_windows_only_on_documented_bounded_inputs(registry_plans):
     # itself means the partition spec is empty
     first_arg = re.compile(r"windowspecdefinition\(([^,)]+)")
     offenders = []
-    plans, _errors = registry_plans  # errors skip: failure detail owned elsewhere
+    plans, _errors, _oracle_backed = registry_plans  # errors skip: detail owned elsewhere
     for name, plan in plans.items():
         if name in allowed:
             continue

@@ -31,9 +31,14 @@ def _staged_and_rest():
     return names[:50], names[50:]
 
 
-def _run_check(repo_root):
+def _run_check(repo_root, *flags):
+    """Run --check against a repo root. Synthetic --repo-root states
+    pass --no-staged-changed so the frame stays genuinely flag-free
+    even after a future restage commits a non-empty STAGED_CHANGED
+    tuple (which a flagless check would replay, letting the committed
+    flags leak into the synthetic scenario and flip its verdict)."""
     return subprocess.run(
-        [sys.executable, SCRIPT, "--check", "--repo-root", str(repo_root)],
+        [sys.executable, SCRIPT, "--check", "--repo-root", str(repo_root), *flags],
         capture_output=True,
         text=True,
     )
@@ -50,7 +55,7 @@ def test_check_ok_states_frame_of_reference(tmp_path):
     # brand-new, lead the computed window outright, and the check passes.
     staged, rest = _staged_and_rest()
     _write(tmp_path, "CORRECTNESS_r01.json", rest)
-    res = _run_check(tmp_path)
+    res = _run_check(tmp_path, "--no-staged-changed")
     assert res.returncode == 0, res.stdout + res.stderr
     assert "window OK" in res.stdout
     assert "frame of reference: merged CORRECTNESS rounds r1..r1" in res.stdout
@@ -63,7 +68,7 @@ def test_check_diagnoses_stale_staging(tmp_path):
     staged, rest = _staged_and_rest()
     _write(tmp_path, "CORRECTNESS_r01.json", rest)
     _write(tmp_path, "CORRECTNESS_r02.json", staged)
-    res = _run_check(tmp_path)
+    res = _run_check(tmp_path, "--no-staged-changed")
     assert res.returncode == 1
     assert "STALE, not wrong" in res.stdout
     assert "round 2's just-verified window" in res.stdout
@@ -79,7 +84,7 @@ def test_check_diagnoses_near_stale_staging(tmp_path):
     staged, rest = _staged_and_rest()
     _write(tmp_path, "CORRECTNESS_r01.json", rest)
     _write(tmp_path, "CORRECTNESS_r02.json", staged + rest[:1])
-    res = _run_check(tmp_path)
+    res = _run_check(tmp_path, "--no-staged-changed")
     assert res.returncode == 1
     assert "likely STALE" in res.stdout
     assert rest[0] in res.stdout  # the symmetric difference is printed
@@ -96,7 +101,7 @@ def test_check_diagnoses_wrong_staging(tmp_path):
     staged, rest = _staged_and_rest()
     _write(tmp_path, "CORRECTNESS_r01.json", rest)
     _write(tmp_path, "CORRECTNESS_r02.json", staged[:30] + rest[:20])
-    res = _run_check(tmp_path)
+    res = _run_check(tmp_path, "--no-staged-changed")
     assert res.returncode == 1
     assert "staging looks WRONG" in res.stdout
     assert "expected in window but not staged" in res.stdout
