@@ -228,15 +228,25 @@ def fsck_tree(root: str, heal: bool = True) -> list[dict]:
         for d in index_roots:
             findings.extend(_fsck_index(os.path.join(parent, d), heal))
         # don't recurse into index internals (their residue is relation-
-        # scoped and already handled), nor into residue dirs themselves
+        # scoped and already handled), nor into residue dirs themselves,
+        # nor into a live Spark writer's commit dir (`_temporary` is
+        # owned by the FileOutputCommitter and vanishes at job commit —
+        # walking it on a live tree raced exactly that deletion, r13)
         dirnames[:] = [
             d
             for d in dirnames
             if d not in index_roots
             and not d.endswith((".old", ".staging"))
             and d != "corpus_stats.new"
+            and d != "_temporary"
         ]
-        findings.extend(_fsck_generic(parent, sorted(os.listdir(parent)), heal))
+        try:
+            entries = sorted(os.listdir(parent))
+        except FileNotFoundError:
+            # the dir vanished between the walk yielding it and this
+            # listing (live writer committed/cleaned) — nothing to check
+            continue
+        findings.extend(_fsck_generic(parent, entries, heal))
     return findings
 
 

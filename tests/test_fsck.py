@@ -419,3 +419,52 @@ def test_fsck_heal_loop_races_cdc_stream_and_compaction(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert dropped >= 0
+
+
+def test_fsck_ignores_live_spark_commit_dirs(tmp_path, capsys):
+    """A live Spark writer's `_temporary` commit dir (owned by the
+    FileOutputCommitter, deleted at job commit) is not crash residue:
+    fsck must neither walk into it nor report anything under it — the
+    r13 heal-loop race crashed fsck mid-walk when that dir vanished
+    between listing and descent."""
+    root = str(tmp_path / "tree")
+    # residue-shaped names INSIDE _temporary must be invisible to fsck
+    _mk(f"{root}/fp_store/_temporary/0/task_x/x.staging", "part-0")
+    _mk(f"{root}/fp_store/_temporary/0/task_x/y.old", "part-0")
+    _mk(f"{root}/fp_store", "part-0.parquet")
+    rc = fsck.main([root])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "_temporary" not in out
+    assert "0 finding(s)" in out
+    # the live writer's dir is untouched
+    assert os.path.exists(f"{root}/fp_store/_temporary/0/task_x/x.staging")
+
+
+def test_fsck_tolerates_dirs_vanishing_mid_walk(tmp_path, monkeypatch):
+    """A directory the walk yielded can be deleted by a concurrent
+    writer before fsck lists it (the other half of the r13 race).
+    Simulated deterministically: the first listdir of the doomed dir
+    rmtree's it and raises the same FileNotFoundError the live race
+    produced. fsck must skip it and finish the rest of the tree."""
+    import shutil
+
+    root = str(tmp_path / "tree")
+    doomed = f"{root}/store_a/ephemeral"
+    _mk(doomed, "part-0")
+    _mk(f"{root}/store_b.old", "part-0.parquet")  # real work elsewhere
+
+    real_listdir = os.listdir
+
+    def racy_listdir(path="."):
+        if os.path.abspath(str(path)) == os.path.abspath(doomed):
+            shutil.rmtree(doomed, ignore_errors=True)
+            raise FileNotFoundError(2, "No such file or directory", path)
+        return real_listdir(path)
+
+    monkeypatch.setattr(fsck.os, "listdir", racy_listdir)
+    findings = fsck.fsck_tree(root, heal=True)
+    # the vanished dir contributed nothing; the dangling .old healed
+    assert [f for f in findings if "store_b" in f["path"]]
+    assert all("ephemeral" not in f["path"] for f in findings)
+    assert os.path.exists(f"{root}/store_b")  # .old restored to live
