@@ -687,3 +687,51 @@ def test_global_windows_only_on_documented_bounded_inputs(registry_plans):
                 ):
                     offenders.append((name, fa))
     assert offenders == []
+
+
+def test_nested_loop_joins_only_on_documented_bounded_builds(registry_plans):
+    """Registry-wide structural guard (completes the join-shape trio
+    next to the CartesianProduct and global-window sweeps): a
+    BroadcastNestedLoopJoin is O(|stream| x |build|) compute — fine
+    when the build side is a 1-row scalar aggregate or a bounded
+    broadcast frame, a scale wall when a real relation degrades to it
+    (the per-query join tests assert their own shapes, but a NEW query
+    could quietly plan one without tripping any of them). Every query
+    that plans a BNLJ must therefore be in this allowlist, each entry
+    one of two audited bounded-build patterns; anything else fails CI
+    until re-planned as an equi-join or consciously allowlisted."""
+    allowed = {
+        # pattern 1 — crossJoin on a ONE-ROW scalar-aggregate frame
+        # (global thresholds/corpus stats joined to every row; the
+        # build side is a single row by construction):
+        "customer_rfm_segments_twopass",      # global R/F/M percentile bounds
+        "customer_rfm_segments_sketch",       # one sketch row per axis (3 joins)
+        "customer_value_deciles_twopass",     # global decile bounds row
+        "customer_value_deciles_sketch",      # one sketch row per axis
+        "doc_bm25_topk",                      # corpus stats row (N, avgdl)
+        "doc_bm25_serve_topk",                # served index's stats row
+        "doc_dup_graph_triangles",            # nodes/wedges + triangles + edges rows
+        "doc_source_mixture_weights",         # total-docs row -> per-source share
+        "doc_temperature_mixture_sample",     # totals + alpha-normalizer rows
+        "doc_training_manifest",              # mixture stage reuses the same rows
+        "embed_standardize",                  # per-dimension mean/std stats row
+        "kmeans_embedding_clusters",          # contract booleans vs corpus-size row
+        "q11_important_parts",                # scalar value-share threshold
+        "q22_idle_rich_customers",            # scalar avg-balance threshold
+        # pattern 2 — broadcast of a BOUNDED frame (query vectors,
+        # limit-k candidates, or a fixed doc slice), never a corpus:
+        "doc_jaccard_pairs_sample",           # fixed 40-doc calibration slice
+        "doc_minhash_estimate_vs_exact",      # same 40-doc slice, pair join
+        "embed_cosine_topk",                  # broadcast query-vector set
+        "embed_ivf_topk",                     # broadcast probe/query vectors
+        "embed_pq_topk",                      # broadcast queries vs codebook
+        "embed_quantized_topk",               # broadcast queries + scale rows
+        "part_affinity_topk",                 # broadcast top-k anchor parts
+    }
+    plans, _errors, _oracle_backed = registry_plans  # errors fail the CartesianProduct guard
+    offenders = [
+        name
+        for name, plan in plans.items()
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed
+    ]
+    assert offenders == []
