@@ -204,6 +204,16 @@ def _fsck_generic(parent: str, entries: list[str], heal: bool) -> list[dict]:
     for base in sorted(bases):
         store = os.path.join(parent, base)
         if heal:
+            # a live writer may have deleted this whole tree after the
+            # walk listed it; taking the lock then would RESURRECT the
+            # deleted parent (the lockfile's makedirs + O_CREAT) and
+            # plant residue in a dir the writer just cleaned. Best-effort
+            # narrowing (the isdir→lock window remains — concurrent
+            # fsck-vs-remove already violates the owner-only maintenance
+            # contract); under the lock _classify_layout re-stats, so a
+            # residue healed meanwhile simply yields no finding.
+            if not os.path.isdir(parent):
+                break
             with _store_lock(store):
                 findings.extend(_classify_layout(store, healed=True))
                 _recover_store_dir(store)
@@ -221,7 +231,13 @@ def fsck_tree(root: str, heal: bool = True) -> list[dict]:
     findings: list[dict] = []
     if _is_index_root(root):
         return _fsck_index(root, heal)
-    for parent, dirnames, _files in os.walk(root, topdown=True):
+    for parent, dirnames, files in os.walk(root, topdown=True):
+        # snapshot parent's full listing from the walk's own data BEFORE
+        # pruning dirnames in place — this is the same name set a fresh
+        # listdir would give (modulo live-writer races), without the
+        # extra syscall or its FileNotFoundError window (the walk
+        # already survived listing this dir; r13 review)
+        entries = sorted(dirnames + files)
         index_roots = [
             d for d in dirnames if _is_index_root(os.path.join(parent, d))
         ]
@@ -240,12 +256,6 @@ def fsck_tree(root: str, heal: bool = True) -> list[dict]:
             and d != "corpus_stats.new"
             and d != "_temporary"
         ]
-        try:
-            entries = sorted(os.listdir(parent))
-        except FileNotFoundError:
-            # the dir vanished between the walk yielding it and this
-            # listing (live writer committed/cleaned) — nothing to check
-            continue
         findings.extend(_fsck_generic(parent, entries, heal))
     return findings
 

@@ -54,20 +54,35 @@ try:
     cols = len(df.columns)
 finally:
     spark.stop()
-assert n >= 0 and cols > 0, (n, cols)
+assert n > 0 and cols > 0, (n, cols)
 print(f"entry(): {n} rows x {cols} cols")
 """
 
 
-def _run(step: str, cmd: list[str], cwd: str) -> None:
+def _run(step: str, cmd: list[str], cwd: str, ok_if=None) -> None:
     proc = subprocess.run(cmd, cwd=cwd, capture_output=True, text=True)
-    if proc.returncode != 0:
+    passed = proc.returncode == 0 or (
+        ok_if is not None and ok_if(proc.returncode, proc.stdout)
+    )
+    if not passed:
         print(f"FAIL [{step}]: {' '.join(cmd)}", file=sys.stderr)
         sys.stderr.write(proc.stdout[-4000:])
         sys.stderr.write(proc.stderr[-4000:])
         sys.exit(1)
     tail = proc.stdout.strip().splitlines()
     print(f"ok   [{step}]" + (f": {tail[-1]}" if tail else ""))
+
+
+def _stale_is_healthy(rc: int, out: str) -> bool:
+    """Round-end state: the staged round's CORRECTNESS file has landed
+    but the next restage hasn't happened yet. stage_rotation --check
+    exits 1 with a STALE diagnosis there — a healthy committed tree at
+    exactly the smoke's intended usage time (mirrors
+    test_check_on_live_repo_is_never_wrong, which accepts the same).
+    Only the WRONG diagnosis is a real staging failure."""
+    return rc == 1 and (
+        "STALE, not wrong" in out or "likely STALE" in out
+    ) and "staging looks WRONG" not in out
 
 
 def main() -> None:
@@ -86,6 +101,7 @@ def main() -> None:
             "rotation --check",
             [sys.executable, "scripts/stage_rotation.py", "--check"],
             cwd=clone,
+            ok_if=_stale_is_healthy,
         )
         _run(
             "tooling tests",

@@ -66,6 +66,10 @@ LOAD_SENSITIVE = (
 )
 
 _SUMMARY = re.compile(r"(\d+) (passed|failed|skipped|error|errors)")
+# pytest's terminal summary line always carries the run duration
+# ("5 passed in 1.23s", "no tests ran in 0.10s"); count-shaped text in a
+# test's captured output does not — this is what anchors the scan below
+_SUMMARY_LINE = re.compile(r"\bin \d+\.\d+s\b")
 
 
 def discover() -> list[str]:
@@ -100,18 +104,27 @@ def run_file(fname: str) -> tuple[int, float, dict[str, int], str]:
         cwd=REPO,
     )
     wall = time.monotonic() - t0
-    # parse only the LAST summary-shaped line: a failing test's captured
-    # stdout can itself contain "N passed"-shaped text, and regexing the
-    # whole output would double-count it into the aggregate
-    counts: dict[str, int] = {}
-    for line in reversed(proc.stdout.splitlines()):
-        found = _SUMMARY.findall(line)
-        if found:
-            for n, kind in found:
-                counts[kind] = counts.get(kind, 0) + int(n)
-            break
+    counts = parse_counts(proc.stdout)
     tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-25:])
     return proc.returncode, wall, counts, tail
+
+
+def parse_counts(stdout: str) -> dict[str, int]:
+    """Counts from the LAST duration-stamped summary line only: a
+    test's captured stdout can itself contain "N passed"-shaped text
+    (the subprocess-running tooling tests echo inner pytest output on
+    failure), and a tail like "no tests ran in 0.10s" or
+    "5 deselected in 0.01s" has no count tokens at all — anchoring on
+    the "... in 1.23s" stamp stops the scan at the real terminal
+    summary in both cases instead of walking up into test output."""
+    counts: dict[str, int] = {}
+    for line in reversed(stdout.splitlines()):
+        if not _SUMMARY_LINE.search(line):
+            continue
+        for n, kind in _SUMMARY.findall(line):
+            counts[kind] = counts.get(kind, 0) + int(n)
+        break
+    return counts
 
 
 def main() -> None:

@@ -441,30 +441,62 @@ def test_fsck_ignores_live_spark_commit_dirs(tmp_path, capsys):
     assert os.path.exists(f"{root}/fp_store/_temporary/0/task_x/x.staging")
 
 
+def test_fsck_heal_does_not_resurrect_a_deleted_tree(tmp_path):
+    """A live writer can delete a whole tree AFTER the walk snapshots
+    its entries but BEFORE the heal loop locks a layout in it (the
+    r13-review race: the lockfile's makedirs + O_CREAT would recreate
+    the deleted parent and plant a .lock in a dir the writer just
+    cleaned). The heal loop must detect the vanished parent, skip, and
+    leave NOTHING behind. Exercised at the _fsck_generic seam — the
+    exact state fsck_tree hands it when the race fires."""
+    import shutil
+
+    parent = str(tmp_path / "tree" / "stores")
+    _mk(f"{parent}/fp_store.old", "part-0.parquet")
+    entries = sorted(os.listdir(parent))  # the walk's stale snapshot
+    shutil.rmtree(str(tmp_path / "tree"))  # concurrent writer cleanup
+
+    findings = fsck._fsck_generic(parent, entries, heal=True)
+    assert findings == []
+    # the deleted tree stays deleted: no resurrected parent, no lockfile
+    assert not os.path.exists(parent)
+    assert not os.path.exists(str(tmp_path / "tree"))
+
+
 def test_fsck_tolerates_dirs_vanishing_mid_walk(tmp_path, monkeypatch):
     """A directory the walk yielded can be deleted by a concurrent
-    writer before fsck lists it (the other half of the r13 race).
-    Simulated deterministically: the first listdir of the doomed dir
-    rmtree's it and raises the same FileNotFoundError the live race
-    produced. fsck must skip it and finish the rest of the tree."""
+    writer while fsck processes it (the other half of the r13 race).
+    Entries now come from the walk's OWN snapshot (no re-listing to
+    crash), so the simulation deletes the doomed dir the moment the
+    walk reaches it — via the _is_index_root probe, the first
+    per-entry call after the snapshot — and fsck must skip it and
+    finish the rest of the tree."""
     import shutil
 
     root = str(tmp_path / "tree")
     doomed = f"{root}/store_a/ephemeral"
     _mk(doomed, "part-0")
+    _mk(f"{doomed}/sub.old", "part-0")  # stale residue in the snapshot
     _mk(f"{root}/store_b.old", "part-0.parquet")  # real work elsewhere
 
-    real_listdir = os.listdir
+    real_probe = fsck._is_index_root
 
-    def racy_listdir(path="."):
-        if os.path.abspath(str(path)) == os.path.abspath(doomed):
+    def racy_probe(path):
+        # fire only for entries strictly INSIDE the doomed dir: the
+        # walk must still yield the doomed dir itself (with its stale
+        # snapshot naming sub.old) so the heal loop's vanished-parent
+        # guard is what handles it
+        if os.path.abspath(str(path)).startswith(
+            os.path.abspath(doomed) + os.sep
+        ):
             shutil.rmtree(doomed, ignore_errors=True)
-            raise FileNotFoundError(2, "No such file or directory", path)
-        return real_listdir(path)
+            return False
+        return real_probe(path)
 
-    monkeypatch.setattr(fsck.os, "listdir", racy_listdir)
+    monkeypatch.setattr(fsck, "_is_index_root", racy_probe)
     findings = fsck.fsck_tree(root, heal=True)
     # the vanished dir contributed nothing; the dangling .old healed
     assert [f for f in findings if "store_b" in f["path"]]
     assert all("ephemeral" not in f["path"] for f in findings)
     assert os.path.exists(f"{root}/store_b")  # .old restored to live
+    assert not os.path.exists(doomed)  # and nothing resurrected it

@@ -34,6 +34,28 @@ def test_summary_regex_parses_pytest_tails():
     assert counts.get("error") == 3
 
 
+def test_parse_counts_anchors_on_the_duration_stamped_summary():
+    mod = _load()
+    # counts come from the REAL terminal summary, not from "N passed"
+    # text a test echoed (e.g. inner pytest output on failure)
+    out = (
+        "some test output\n"
+        "FAILED inner run: 27 passed\n"
+        "1 failed, 3 passed in 4.56s\n"
+    )
+    assert mod.parse_counts(out) == {"failed": 1, "passed": 3}
+    # a count-less terminal summary must STOP the scan, not let it
+    # walk upward into captured output that happens to contain counts
+    out = "captured: 27 passed\nno tests ran in 0.10s\n"
+    assert mod.parse_counts(out) == {}
+    out = "captured: 9 passed\n5 deselected in 0.01s\n"
+    assert mod.parse_counts(out) == {}
+    # and plain success still parses
+    assert mod.parse_counts("12 passed in 172.17s (0:02:52)\n") == {
+        "passed": 12
+    }
+
+
 def test_expected_cost_prefers_recorded_timings_over_size():
     mod = _load()
     timings = {"test_util.py": 3.6, "test_plans.py": 123.0}

@@ -728,7 +728,12 @@ def test_nested_loop_joins_only_on_documented_bounded_builds(registry_plans):
         "embed_quantized_topk",               # broadcast queries + scale rows
         "part_affinity_topk",                 # broadcast top-k anchor parts
     }
-    plans, _errors, _oracle_backed = registry_plans  # errors fail the CartesianProduct guard
+    plans, errors, _oracle_backed = registry_plans  # errors fail the CartesianProduct guard
+    stale = allowed - set(plans) - set(errors)
+    assert not stale, (
+        "BNLJ allowlist names no longer in the registry (renamed/"
+        f"deleted query keeping an unaudited exemption alive): {stale}"
+    )
     offenders = [
         name
         for name, plan in plans.items()
