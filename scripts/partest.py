@@ -30,8 +30,10 @@ races) are listed in LOAD_SENSITIVE and scheduled onto ONE dedicated
 worker so they never run concurrently with each other — they still
 overlap ordinary files, which measurement showed they tolerate.
 
-Exit code: 0 only if every pytest invocation exited 0. A per-file
-summary plus the aggregate pass/fail/skip counts print at the end.
+Exit code: 0 only if every pytest invocation exited 0 (or 5 — "no
+tests collected", an empty file, not a failure; serial pytest over the
+whole dir would have passed). A per-file summary plus the aggregate
+pass/fail/skip counts print at the end.
 
     python scripts/partest.py              # 5 workers
     python scripts/partest.py --workers 6
@@ -65,7 +67,7 @@ LOAD_SENSITIVE = (
     "test_fsck.py",
 )
 
-_SUMMARY = re.compile(r"(\d+) (passed|failed|skipped|error|errors)")
+_SUMMARY = re.compile(r"(\d+) (passed|failed|skipped|error)")
 # pytest's terminal summary line always carries the run duration
 # ("5 passed in 1.23s", "no tests ran in 0.10s"); count-shaped text in a
 # test's captured output does not — this is what anchors the scan below
@@ -105,7 +107,14 @@ def run_file(fname: str) -> tuple[int, float, dict[str, int], str]:
     )
     wall = time.monotonic() - t0
     counts = parse_counts(proc.stdout)
-    tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-25:])
+    # keep the streams separate in the failure tail: chatty stderr
+    # (JVM/log4j shutdown noise) must not push pytest's traceback and
+    # summary — which live in stdout — out of the FAILED block
+    out_tail = proc.stdout.strip().splitlines()[-20:]
+    err_tail = proc.stderr.strip().splitlines()[-8:]
+    tail = "\n".join(
+        out_tail + (["--- stderr ---", *err_tail] if err_tail else [])
+    )
     return proc.returncode, wall, counts, tail
 
 
@@ -189,6 +198,12 @@ def main() -> None:
                     f"  {f}: rc={res[0]} {res[1]:.1f}s {res[2]} [serial-lane]",
                     flush=True,
                 )
+        # lane drained: help with the ordinary queue instead of idling
+        # one of the N workers for the rest of the run (sensitive files
+        # tolerate overlapping ORDINARY files — see module docstring —
+        # only sensitive-vs-sensitive overlap is forbidden, and by now
+        # none of those is left to start)
+        ordinary_worker()
 
     t0 = time.monotonic()
     n_ordinary = max(1, args.workers - (1 if sensitive else 0))
@@ -209,7 +224,12 @@ def main() -> None:
     for f, (rc, dur, counts, tail) in sorted(results.items()):
         for k, v in counts.items():
             total[k] = total.get(k, 0) + v
-        if rc != 0:
+        if rc == 5:
+            # "no tests collected" — an empty/fully-deselected file is
+            # not a failure (serial pytest over the whole dir would
+            # have passed); surface it without going red
+            print(f"note: {f} collected no tests (rc=5)")
+        elif rc != 0:
             failed.append(f)
             print(f"\n=== FAILED {f} (rc={rc}) ===\n{tail}\n")
 

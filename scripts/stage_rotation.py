@@ -134,8 +134,15 @@ def newest_rounds(
     rounds: list[int] = []
     newest_names: set[str] = set()
     for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-        names = set(json.load(open(f, encoding="utf-8")))
+        m = re.search(r"r(\d+)", os.path.basename(f))
+        if m is None:
+            # a mis-named scratch file (CORRECTNESS_rerun.json) matches
+            # the glob but carries no round number — skip it rather
+            # than brick every staging/--check run
+            continue
+        rnd = int(m.group(1))
+        with open(f, encoding="utf-8") as fh:
+            names = set(json.load(fh))
         for name in names:
             newest[name] = max(newest.get(name, 0), rnd)
         if not rounds or rnd > max(rounds):
@@ -151,7 +158,8 @@ def main() -> None:
         action="append",
         default=[],
         help="query whose code changed this round (repeatable); "
-        "staged after the stale leaders regardless of age",
+        "enters the window outright — right after brand-new queries, "
+        "BEFORE the staleness-ranked rest — regardless of age",
     )
     ap.add_argument("--window", type=int, default=WINDOW)
     ap.add_argument(
@@ -186,6 +194,8 @@ def main() -> None:
         "lets tests replay past/synthetic round states",
     )
     args = ap.parse_args()
+    if args.window < 1:
+        ap.error("--window must be >= 1")
 
     # A flagless --check replays the committed staging frame so a
     # legitimately --changed-staged window is not misreported as WRONG
@@ -202,7 +212,17 @@ def main() -> None:
     )
     registry = set(load_all())
     unknown = [q for q in args.changed if q not in registry]
-    if unknown:
+    if unknown and changed_source == "STAGED_CHANGED":
+        # the committed constant can reference a query that was later
+        # renamed/removed — exactly the drift --check exists to survive;
+        # ignore those names (compute_window would drop them anyway)
+        # instead of dying with an error about flags nobody typed
+        print(
+            "note: committed STAGED_CHANGED names no longer in the "
+            f"registry (renamed/removed) — ignored: {unknown}"
+        )
+        args.changed = [q for q in args.changed if q in registry]
+    elif unknown:
         raise SystemExit(f"--changed names not in registry: {unknown}")
     newest, merged_rounds, just_verified = newest_rounds(repo_root)
     window, never, changed, by_age = compute_window(
@@ -226,7 +246,9 @@ def main() -> None:
             else "frame of reference: no CORRECTNESS files found "
             "(fresh clone — every query ranks as brand-new)"
         )
-        staged = list(dict.fromkeys(_VERIFY_FIRST))[: args.window]
+        # load_all() above already fail-fasted on duplicated or unknown
+        # _VERIFY_FIRST names, so the tuple is duplicate-free here
+        staged = list(_VERIFY_FIRST)[: args.window]
         verdict = diagnose_staging(staged, window, just_verified)
         if verdict == "OK":
             print(f"window OK: first {args.window} of _VERIFY_FIRST match")

@@ -77,6 +77,48 @@ def test_discover_finds_this_file_and_load_sensitive_exists():
     assert missing == []
 
 
+def test_no_tests_collected_is_not_a_failure(tmp_path, monkeypatch, capsys):
+    """pytest exit code 5 ('no tests collected' — an empty or fully
+    guarded-out file) must not go red: serial pytest over the whole
+    dir would have passed (r13 review)."""
+    mod = _load()
+    files = mod.discover()
+
+    def fake_run_file(fname):
+        if fname == files[0]:
+            return 5, 0.01, {}, "no tests ran in 0.10s"
+        return 0, 0.01, {"passed": 1}, ""
+
+    monkeypatch.setattr(mod, "run_file", fake_run_file)
+    monkeypatch.setattr(mod, "TIMINGS", str(tmp_path / "t.json"))
+    monkeypatch.setattr(sys, "argv", ["partest.py", "--workers", "1"])
+    mod.main()  # SystemExit would fail the test
+    out = capsys.readouterr().out
+    assert f"note: {files[0]} collected no tests (rc=5)" in out
+    assert "all green" in out
+
+
+def test_sensitive_worker_joins_ordinary_queue_after_lane(
+    tmp_path, monkeypatch
+):
+    """With multiple workers, the sensitive-lane thread must fall
+    through to the ordinary queue once its lane drains instead of
+    idling (r13 review) — and nothing may run twice or be missed."""
+    mod = _load()
+    launched = []
+
+    def fake_run_file(fname):
+        launched.append(fname)
+        return 0, 0.01, {"passed": 1}, ""
+
+    monkeypatch.setattr(mod, "run_file", fake_run_file)
+    monkeypatch.setattr(mod, "TIMINGS", str(tmp_path / "t.json"))
+    monkeypatch.setattr(sys, "argv", ["partest.py", "--workers", "2"])
+    mod.main()
+    files = mod.discover()
+    assert sorted(launched) == sorted(files)  # each exactly once
+
+
 def test_single_worker_merges_sensitive_lane(tmp_path, monkeypatch):
     """--workers 1 must be truly serial: the dedicated
     load-sensitive lane would otherwise make it two-concurrent."""

@@ -180,6 +180,65 @@ def test_check_flagless_replays_staged_changed(tmp_path, monkeypatch):
     assert "staging looks WRONG" in buf.getvalue()
 
 
+def test_check_replayed_staged_changed_tolerates_renamed_query(
+    tmp_path, monkeypatch
+):
+    """The committed STAGED_CHANGED constant can name a query that was
+    later renamed/removed — the exact drift --check exists to survive.
+    A flagless check must IGNORE such names (with a note) and still
+    diagnose the staging, not die with an 'unknown --changed names'
+    error about flags nobody typed (r13 review)."""
+    import contextlib
+    import io
+
+    staged, rest = _staged_and_rest()
+    _write(tmp_path, "CORRECTNESS_r01.json", staged + rest)
+    _write(tmp_path, "CORRECTNESS_r02.json", staged[:30] + rest[:20])
+
+    mod = _load_rotation_module()
+    monkeypatch.setattr(
+        mod, "STAGED_CHANGED", tuple(staged) + ("renamed_away_query",)
+    )
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["stage_rotation.py", "--check", "--repo-root", str(tmp_path)],
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mod.main()  # OK path returns; SystemExit would fail the test
+    out = buf.getvalue()
+    assert "window OK" in out
+    assert "renamed_away_query" in out and "ignored" in out
+
+
+def test_newest_rounds_skips_digitless_correctness_files(tmp_path):
+    """A mis-named scratch file matching the CORRECTNESS_r*.json glob
+    but carrying no round number (CORRECTNESS_rerun.json) must be
+    skipped, not crash every staging/--check run (r13 review)."""
+    staged, rest = _staged_and_rest()
+    _write(tmp_path, "CORRECTNESS_r01.json", rest)
+    with open(
+        os.path.join(tmp_path, "CORRECTNESS_rerun.json"), "w", encoding="utf-8"
+    ) as f:
+        f.write("{}")
+    mod = _load_rotation_module()
+    newest, rounds, just_verified = mod.newest_rounds(str(tmp_path))
+    assert rounds == [1]
+    assert set(newest) == set(rest)
+    # and the subprocess path stays green end-to-end
+    res = _run_check(tmp_path, "--no-staged-changed")
+    assert res.returncode == 0, res.stdout + res.stderr
+
+
+def test_window_flag_must_be_positive(tmp_path):
+    """--window 0 would make --check vacuously green ([:0] == []);
+    zero/negative values must be rejected at the flag (r13 review)."""
+    res = _run_check(tmp_path, "--no-staged-changed", "--window", "0")
+    assert res.returncode == 2
+    assert "--window must be >= 1" in res.stderr
+
+
 def _load_rotation_module():
     import importlib.util
 
