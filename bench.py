@@ -147,12 +147,22 @@ def main() -> None:
     # I/O or classloading.
     from bigdata_flightanalysis_spark.sources.readers import TABLE_NAMES, read_table
 
+    # Warmup failures must not kill the run before any output exists
+    # (the timed loop below owns per-query error recording; a broken
+    # warmup just means that query's first-touch cost lands in its
+    # timed number instead).
     for t in TABLE_NAMES:
-        read_table(spark, sf_dir, t).count()
-    registry["flagship_top_segments"].fn(spark, sf_dir).count()
-    # Build the session BM25 index outside the timed window so the
-    # doc_bm25_serve_topk headline number measures pure serve.
-    registry["doc_bm25_serve_topk"].fn(spark, sf_dir).count()
+        try:
+            read_table(spark, sf_dir, t).count()
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
+    for warm in ("flagship_top_segments", "doc_bm25_serve_topk"):
+        # doc_bm25_serve_topk also builds the session BM25 index outside
+        # the timed window so its headline number measures pure serve
+        try:
+            registry[warm].fn(spark, sf_dir).count()
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
 
     # One query failing must never cost the whole run its numbers
     # (round 4 lost all perf signal to a single AnalysisException):
@@ -169,6 +179,12 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     for name in HEADLINE:
+        if name not in registry:
+            # a HEADLINE typo or a registry rename must cost one
+            # errors{} row, not the whole run's numbers (KeyError
+            # before any output)
+            errors[name] = "KeyError: not in registry"
+            continue
         timed(name, registry[name].fn)
 
     # Sweep: every registry query not in the headline set, once each
@@ -214,9 +230,16 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    with open(detail_path, "w", encoding="utf-8") as f:
-        json.dump(full, f, indent=1)
-        f.write("\n")
+    try:
+        with open(detail_path, "w", encoding="utf-8") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError as exc:
+        # a full disk / read-only checkout must not leave the huge
+        # detail line as the LAST stdout line (the tail-buffered driver
+        # would parse a truncated payload) — the compact line below is
+        # the contract and must always print
+        print(f"warning: could not write {detail_path}: {exc}", file=sys.stderr)
     compact: dict = {
         "metric": "headline_queries_total",
         "value": headline_total,

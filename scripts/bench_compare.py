@@ -28,15 +28,42 @@ def _read_text(path: str) -> str:
     is read from git history (how past rounds' committed
     BENCH_DETAIL.json is reached without checkouts)."""
     if not os.path.exists(path) and ":" in path:
-        return subprocess.run(
+        proc = subprocess.run(
             ["git", "show", path],
-            check=True,
             capture_output=True,
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
+        )
+        if proc.returncode != 0:
+            # surface git's own explanation (bad revision vs bad
+            # in-repo path) — the most likely operator error here
+            raise SystemExit(f"git show {path}: {proc.stderr.strip()}")
+        return proc.stdout
     with open(path) as f:
         return f.read()
+
+
+def _pick(candidates: list[str], path: str) -> dict:
+    """The payload-selection policy, defined once for both the
+    multi-line-file and driver-wrapper paths: parse every candidate,
+    prefer the LAST payload carrying per-query detail (bench.py prints
+    detail first, compact last; a tail can hold more than one run),
+    fall back to the last payload of any kind."""
+    payloads = []
+    for line in candidates:
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            payloads.append(json.loads(line))
+        except json.JSONDecodeError:
+            continue  # truncated mid-line (the round-6 failure mode)
+    detailed = [p for p in payloads if "queries" in p]
+    if detailed:
+        return detailed[-1]
+    if payloads:
+        return payloads[-1]
+    raise SystemExit(f"{path}: no bench payload found")
 
 
 def _load(path: str) -> dict:
@@ -48,22 +75,12 @@ def _load(path: str) -> dict:
         # payload first, compact headline last) — a whole-file parse
         # fails with "Extra data". Prefer the line carrying per-query
         # detail, else the last parseable one.
-        payloads = []
-        for line in text.splitlines():
-            line = line.strip()
-            if not line.startswith("{"):
-                continue
-            try:
-                payloads.append(json.loads(line))
-            except json.JSONDecodeError:
-                continue
-        detailed = [p for p in payloads if "queries" in p]
-        if detailed:
-            return detailed[-1]
-        if payloads:
-            return payloads[-1]
-        raise SystemExit(f"{path}: no bench payload found")
+        return _pick(text.splitlines(), path)
     if "queries" in d:
+        return d
+    if "tail" not in d:
+        # a compact headline payload saved on its own (e.g. a captured
+        # last line) — totals-only, main() compares the values
         return d
     # Driver wrapper: bench.py prints the detail payload (has
     # "queries") first and a compact headline object last. Scan every
@@ -71,18 +88,7 @@ def _load(path: str) -> dict:
     # per-query detail; fall back to the last payload of any kind.
     # (The old re.search took the FIRST match — wrong run when the
     # tail held more than one.)
-    payloads = []
-    for m in re.findall(r'\{"metric".*', d.get("tail", "")):
-        try:
-            payloads.append(json.loads(m))
-        except json.JSONDecodeError:
-            continue  # truncated mid-line (the round-6 failure mode)
-    detailed = [p for p in payloads if "queries" in p]
-    if detailed:
-        return detailed[-1]
-    if payloads:
-        return payloads[-1]
-    raise SystemExit(f"{path}: no bench payload found")
+    return _pick(re.findall(r'\{"metric".*', d.get("tail", "")), path)
 
 
 def main() -> None:
@@ -103,7 +109,7 @@ def main() -> None:
     ta, tb = sum(qa[q] for q in common), sum(qb[q] for q in common)
     print(
         f"common {len(common)} queries: {ta:.2f}s -> {tb:.2f}s "
-        f"(ratio {tb / ta:.3f})"
+        f"(ratio {tb / max(ta, 1e-9):.3f})"
     )
     rows = sorted(
         ((qb[q] / max(qa[q], 1e-9), q, qa[q], qb[q]) for q in common),
@@ -115,6 +121,12 @@ def main() -> None:
     only_b = sorted(set(qb) - set(qa))
     if only_b:
         print("new (no baseline):", ", ".join(only_b))
+    only_a = sorted(set(qa) - set(qb))
+    if only_a:
+        # a query that regressed from working to ERRORING disappears
+        # from the new run's timings — the worst possible regression
+        # must not vanish from the triage output
+        print("in baseline but MISSING from new run:", ", ".join(only_a))
 
 
 if __name__ == "__main__":

@@ -55,6 +55,51 @@ def test_loader_compact_only_fallback(tmp_path):
     assert got["value"] == 3.0 and "queries" not in got
 
 
+def test_loader_accepts_bare_compact_payload(tmp_path):
+    """A file holding ONLY bench.py's compact last line (what a
+    tail-buffered reader naturally captures) is a totals-only payload,
+    not a malformed driver wrapper (r13 review)."""
+    mod = _load_module()
+    compact = {"metric": "headline_queries_total", "value": 4.5, "n_queries": 9}
+    p = tmp_path / "compact.json"
+    p.write_text(json.dumps(compact))
+    got = mod._load(str(p))
+    assert got["value"] == 4.5 and "queries" not in got
+
+
+def test_loader_bad_rev_spec_shows_gits_error(tmp_path):
+    """A bad rev:path spec must surface git's own explanation, not a
+    bare CalledProcessError traceback (r13 review)."""
+    import pytest
+
+    mod = _load_module()
+    with pytest.raises(SystemExit) as exc:
+        mod._load("no-such-tag-xyz:BENCH_DETAIL.json")
+    assert "git show" in str(exc.value)
+
+
+def test_compare_reports_queries_missing_from_new_run(tmp_path, capsys):
+    """A query that regressed from working to erroring vanishes from
+    the new run's timings — the triage output must name it, not print
+    a clean comparison (r13 review)."""
+    import sys as _sys
+
+    mod = _load_module()
+    a = {"metric": "d", "value": 3.0, "queries": {"q1": 1.0, "q_dead": 2.0}}
+    b = {"metric": "d", "value": 1.1, "queries": {"q1": 1.1}}
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa.write_text(json.dumps(a))
+    pb.write_text(json.dumps(b))
+    old_argv = _sys.argv
+    _sys.argv = ["bench_compare.py", str(pa), str(pb)]
+    try:
+        mod.main()
+    finally:
+        _sys.argv = old_argv
+    out = capsys.readouterr().out
+    assert "MISSING from new run" in out and "q_dead" in out
+
+
 def test_loader_reads_rev_path_spec_from_git(tmp_path):
     """A rev:path argument that isn't a file on disk is read from git
     history — how past rounds' committed BENCH_DETAIL.json stays
