@@ -10,7 +10,9 @@ any query whose two runs differ is listed in the output JSON.
 
     python scripts/determinism_sweep.py [sf_dir]
 
-Exit code 1 if any query is nondeterministic.
+Exit code 1 if any query is nondeterministic OR any query errored
+(an erroring query proved nothing about its determinism — read the
+"errors" key of the output JSON to tell the two classes apart).
 """
 
 from __future__ import annotations

@@ -3,8 +3,14 @@
 
 Vanilla SparkSession (NOT get_session — catches session-config
 dependencies) → entry() returns rows → every queries() entry vs its
-oracle_sql() through DuckDB, order-insensitive exact compare; rows-only
-entries must at least execute.
+oracle_sql() through DuckDB: column-set equality both directions, then
+order-insensitive exact row compare (NaN normalized, as the driver's
+value hash and tests/test_oracle_parity.py do); rows-only entries must
+at least execute end-to-end (full count, like the driver's weaker
+rows-only check — not a limit(3) that short-circuits the plan).
+
+A broken query costs one report line, not the rest of the sweep: every
+failure lands in the mismatch list and the summary always prints.
 
     python scripts/verify_driver_surface.py [sf_dir] [query_name ...]
 
@@ -15,15 +21,23 @@ iteration on a new query); with none, the full registry runs.
 from __future__ import annotations
 
 import importlib
+import math
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+# the canonical table list — a hardcoded copy here would silently drift
+# when a table is added (tests already import the same tuple)
+from bigdata_flightanalysis_spark.schemas import TABLE_NAMES  # noqa: E402
+
+
+def _norm(v):
+    # NaN != NaN under tuple equality; both engines producing NaN must
+    # compare equal (same normalization as tests/test_oracle_parity.py)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
 
 
 def main() -> int:
@@ -38,7 +52,10 @@ def main() -> int:
         .getOrCreate()
     )
     e = importlib.import_module("__spark_entry__")
-    assert len(e.entry(spark).collect()) > 0, "entry() returned no rows"
+    # explicit raise, not assert: assert is stripped under python -O
+    # (same convention as catalog.py's registry validation)
+    if len(e.entry(spark).collect()) == 0:
+        raise SystemExit("entry() returned no rows")
     qs, oracles = e.queries(), e.oracle_sql()
     only = set(sys.argv[2:])
     if only:
@@ -48,26 +65,49 @@ def main() -> int:
         qs = {n: f for n, f in qs.items() if n in only}
         oracles = {n: s for n, s in oracles.items() if n in only}
     con = duckdb.connect()
-    for t in TABLES:
+    for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     bad = []
     for name, sql in oracles.items():
-        sdf = qs[name](spark, sf)
-        scols = sorted(sdf.columns)
-        srows = sorted(
-            [tuple(r[c] for c in scols) for r in sdf.collect()], key=repr
-        )
-        rel = con.execute(sql)
-        dcols = [d[0] for d in rel.description]
-        drows = sorted(
-            [tuple(r[dcols.index(c)] for c in scols) for r in rel.fetchall()],
-            key=repr,
-        )
+        try:
+            sdf = qs[name](spark, sf)
+            scols = sorted(sdf.columns)
+            srows = sorted(
+                [tuple(_norm(r[c]) for c in scols) for r in sdf.collect()],
+                key=repr,
+            )
+            rel = con.execute(sql)
+            dcols = sorted(d[0] for d in rel.description)
+            if scols != dcols:
+                # both directions: a Spark column the oracle lacks AND
+                # an oracle-only extra column are schema mismatches the
+                # driver's gate would flag
+                bad.append(name)
+                print(f"MISMATCH {name}: columns {scols} vs {dcols}")
+                continue
+            didx = [d[0] for d in rel.description]
+            drows = sorted(
+                [
+                    tuple(_norm(r[didx.index(c)]) for c in scols)
+                    for r in rel.fetchall()
+                ],
+                key=repr,
+            )
+        except Exception as exc:  # noqa: BLE001 — one query, one report line
+            bad.append(name)
+            print(f"MISMATCH {name}: {type(exc).__name__}: {exc}"[:300])
+            continue
         if srows != drows:
             bad.append(name)
             print(f"MISMATCH {name}")
     for name in sorted(set(qs) - set(oracles)):
-        qs[name](spark, sf).limit(3).collect()
+        try:
+            # full count like the driver's rows-only check — limit(3)
+            # would short-circuit the plan and miss late-row failures
+            qs[name](spark, sf).count()
+        except Exception as exc:  # noqa: BLE001 — one query, one report line
+            bad.append(name)
+            print(f"MISMATCH {name}: {type(exc).__name__}: {exc}"[:300])
     print(f"checked {len(oracles)} oracle + {len(qs) - len(oracles)} "
           f"rows-only queries; mismatches: {bad}")
     return 1 if bad else 0
