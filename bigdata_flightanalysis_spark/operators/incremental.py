@@ -94,6 +94,13 @@ def incremental_exact_dedup(
        only grows, and replaying a FAILED batch before its append
        committed is safe: survivors are recomputed identically).
 
+    Input contract: ``id_col`` is unique per batch row. The final
+    semi-join maps survivors back to full rows BY ID, so a malformed
+    batch carrying one id with two DIFFERENT texts returns both rows
+    whenever either text survives — ids are document identities here,
+    not row numbers (same identity contract as the band and embedding
+    stores' update rule).
+
     The survivor set is MATERIALIZED (eager ``localCheckpoint``)
     before the append: the anti-join plan reads ``state_path``, so a
     lazy return value re-evaluated after the append (file-listing
@@ -192,8 +199,16 @@ def incremental_near_dup_pairs(
     if os.path.exists(store_path):
         store = spark.read.parquet(store_path)
         probe = store.unionByName(batch_bands)
+        # bucket is in the replay key, matching the embed twin: a
+        # replayed doc carries identical buckets (appends nothing),
+        # while an out-of-contract re-send of a doc_id with DIFFERENT
+        # text lands as second rows in the new buckets — both versions
+        # then participate in later probes — instead of being silently
+        # dropped (which would miss every near-dup of the new text).
+        # Updates still require rebuilding the store, as documented on
+        # incremental_embed_near_dup_pairs.
         to_append = batch_bands.join(
-            store, ["doc_id", "band"], "left_anti"
+            store, ["doc_id", "band", "bucket"], "left_anti"
         )
     else:
         probe = batch_bands
@@ -331,10 +346,18 @@ def incremental_embed_near_dup_pairs(
     # +10%/batch ingest drift at 4 batches); with it each non-empty
     # bucket gets exactly ONE file per batch, and write parallelism
     # is the bucket count (the n_planes granularity knob).
-    to_append.repartition("bucket").write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(store_path)
-    _record_store_granularity(store_path, n_planes)
+    # An EMPTY append to a hive-partitioned path writes a dir holding
+    # only _SUCCESS (no schema-bearing data file, unlike flat writes),
+    # and every later read of that store dies with UNABLE_TO_INFER_SCHEMA
+    # — an empty FIRST batch would permanently brick the store
+    # (reproduced; regression-tested). Skip the write instead; the
+    # granularity stamp only applies once the store dir exists.
+    if not to_append.isEmpty():
+        to_append.repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(store_path)
+    if os.path.exists(store_path):
+        _record_store_granularity(store_path, n_planes)
     return pairs
 
 
@@ -413,15 +436,26 @@ def _legacy_band_store_check(store_path: str, n_perm: int, band_size: int) -> st
 
 
 def _legacy_embed_store_check(store_path: str, n_planes: int) -> str | None:
+    entries = os.listdir(store_path)
     buckets = [
         int(d.split("=", 1)[1])
-        for d in os.listdir(store_path)
+        for d in entries
         if d.startswith("bucket=")
     ]
     if buckets and (min(buckets) < 0 or max(buckets) >= 1 << n_planes):
         return (
             f"bucket dirs span [{min(buckets)}, {max(buckets)}], "
             f"outside n_planes={n_planes} (< {1 << n_planes} required)"
+        )
+    if any(e.endswith(".parquet") for e in entries):
+        # root-level data files = a FLAT layout (bucket as a data
+        # column, the query-side near-dup form) — appending
+        # hive-partitioned dirs into it would leave a mixed layout
+        # that breaks partition discovery on every later read
+        return (
+            "flat layout (root-level parquet files, no bucket= "
+            "partition dirs) — rebuild via rebucket_embed_store "
+            "before incremental ingest"
         )
     return None
 
@@ -555,6 +589,19 @@ def compact_flat_store(spark: SparkSession, store_path: str) -> None:
     import shutil
 
     _recover_store_dir(store_path)
+    from bigdata_flightanalysis_spark.util import read_sidecar as _rs
+
+    if _rs(_meta_path(store_path)).get("n_planes") is not None:
+        # the n_planes stamp marks a bucket-PARTITIONED embed store: a
+        # flat rewrite here would demote bucket to a data column while
+        # keeping the stamp valid, and the next partitioned ingest
+        # append would leave a mixed layout that breaks every later
+        # read — point at the partition-preserving compactor instead
+        raise ValueError(
+            f"{store_path} is a bucket-partitioned embedding store "
+            "(n_planes stamped) — use compact_embed_store, which "
+            "preserves the partition layout"
+        )
     total_bytes = sum(
         os.path.getsize(os.path.join(root, f))
         for root, _d, files in os.walk(store_path)
@@ -604,6 +651,14 @@ def partial_aggregate(df: DataFrame, keys: list[str], value_col: str) -> DataFra
     order-independent (double partials would make the final sum depend
     on batch arrival order); the double cast happens once, in
     :func:`finalize_aggregate`.
+
+    ``n`` is a ROW count (``COUNT(*)``), not a non-null value count —
+    so :func:`finalize_aggregate`'s ``avg_value = sum/n`` divides the
+    null-skipping sum by ALL rows, which differs from SQL ``AVG`` when
+    ``value_col`` has NULLs. This is the semantics the driver-checked
+    oracle pins (``events_incremental_agg_merge``: ``COUNT(*)`` and
+    ``SUM/COUNT(*)``); pass a pre-filtered frame if NULL-skipping
+    averages are wanted.
     """
     return df.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

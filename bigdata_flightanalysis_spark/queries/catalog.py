@@ -67,6 +67,11 @@ def register(
 # steady state holds (after this window lands nothing is older than
 # r10).
 _VERIFY_FIRST: tuple[str, ...] = (
+    # (0) code-changed this round (r13 store-machinery review fixes:
+    #     band-store replay key gained bucket; embed ingest empty-batch
+    #     guard) — changed queries enter the window outright
+    "doc_near_dup_incremental",
+    "embed_near_dup_incremental",
     # (1) last driver-checked in r9 — the 29 oldest rows (the exact set
     #     the r12 comment staged below its cut)
     "embed_near_dup_pairs_largemode",
@@ -98,8 +103,11 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "supplier_running_revenue",
     "top_customers_per_segment",
     "union_priority_extremes",
-    # (2) r10-dated backfill to the 50-query window (the 21
-    #     alphabetically-first of the 46 r10-dated rows)
+    # (2) r10-dated backfill to the 50-query window (the
+    #     alphabetically-first of the 46 r10-dated rows; two of the
+    #     original 21 were displaced when the changed pair above
+    #     entered: embed_near_dup_incremental moved into (0) and
+    #     events_approx_quantile_contract dropped below the cut)
     "brand_number_histogram",
     "corpus_card",
     "cube_flag_status",
@@ -118,14 +126,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_near_dup_edit_distance",
     "doc_quality_scores",
     "doc_simhash",
-    "embed_near_dup_incremental",
     "events_activity_incident_overlap",
+    # The 50-query window ends here (2 code-changed + 29 r9-stale +
+    # 19 r10-dated backfill). The entries below are the oldest
+    # remaining rows once this window lands — the remaining 27 r10
+    # rows plus the oldest r11 rows lead the r14 window.
     "events_approx_quantile_contract",
-    # The 50-query window ends here (29 r9-stale + 21 r10-dated
-    # backfill; no query code changed this round). The entries below
-    # are the oldest remaining rows once this window lands — the
-    # remaining 25 r10 rows plus the 25 oldest r11 rows lead the r14
-    # window.
     "events_cdc_latest_state",
     "events_cohort_retention",
     "events_cumulative_new_users",

@@ -217,8 +217,15 @@ _PATH_LOCKS_GUARD = _threading.Lock()
 
 
 def path_lock(path: str) -> _PathLock:
-    """The per-path maintenance lock for a store/index/state dir."""
-    key = os.path.abspath(path)
+    """The per-path maintenance lock for a store/index/state dir.
+
+    Keyed by ``os.path.realpath`` — two spellings of the same store
+    through a symlink must map to ONE RLock and ONE ``.lock`` inode,
+    or a compaction and an ingest addressing different spellings
+    would run unserialized (abspath does not resolve symlinks;
+    realpath resolves the existing prefix even for not-yet-created
+    store paths)."""
+    key = os.path.realpath(path)
     with _PATH_LOCKS_GUARD:
         return _PATH_LOCKS.setdefault(key, _PathLock(key))
 
@@ -259,7 +266,9 @@ def remove_layout(path: str) -> None:
     """
     import shutil
 
-    key = os.path.abspath(path)
+    # same keying as path_lock — the eviction below must address the
+    # exact registry entry (and lockfile inode) path_lock created
+    key = os.path.realpath(path)
     shutil.rmtree(key, ignore_errors=True)
     lockfile = key + ".lock"
     try:

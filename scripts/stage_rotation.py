@@ -47,8 +47,13 @@ WINDOW = 50
 # same frame instead of misreporting a legitimately-staged window as
 # WRONG. Explicit --changed flags on the command line override it.
 #
-# r13 staging: no query code changed — flag-free.
-STAGED_CHANGED: tuple[str, ...] = ()
+# r13 restage (store-machinery review fixes): the band-store replay
+# key gained bucket and the embed ingest got the empty-batch guard —
+# both maintained-store queries rotate in as changed.
+STAGED_CHANGED: tuple[str, ...] = (
+    "doc_near_dup_incremental",
+    "embed_near_dup_incremental",
+)
 
 # --check: a staged window within (1 - fraction) * window names of the
 # just-verified set IN EACH DIRECTION still diagnoses "likely STALE"

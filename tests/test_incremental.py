@@ -951,3 +951,106 @@ def test_orphaned_staging_reclaimed_on_next_ingest(spark, tmp_path):
         spark, emb.where(F.col("vec_id") % 2 == 1), store
     )
     assert not _os.path.exists(v_staging)
+
+
+def test_empty_first_embed_batch_does_not_brick_store(spark, tmp_path):
+    """An empty FIRST batch through the embedding ingest must not
+    create a store dir holding only _SUCCESS (a hive-partitioned
+    empty write emits no schema-bearing data file, so every later
+    read would die with UNABLE_TO_INFER_SCHEMA — reproduced before
+    the guard; r13 review). Empty appends are skipped; later real
+    batches see a clean slate, and empty batches against an EXISTING
+    store are harmless."""
+    import os as _os
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_embed_near_dup_pairs,
+    )
+
+    store = str(tmp_path / "emb_store")
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert incremental_embed_near_dup_pairs(spark, empty, store).count() == 0
+    assert not _os.path.exists(store)  # no half-created dir to brick
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    pairs = incremental_embed_near_dup_pairs(spark, emb, store)
+    assert _os.path.exists(store)
+    n_pairs = pairs.count()
+    # an empty batch against the now-populated store is also a no-op
+    assert incremental_embed_near_dup_pairs(spark, empty, store).count() == 0
+    assert spark.read.parquet(store).count() == emb.count()
+    assert n_pairs >= 0
+
+
+def test_band_store_resend_with_new_text_lands_new_buckets(spark, tmp_path):
+    """Re-sending a doc_id with DIFFERENT text is out of contract
+    (updates require a rebuild), but it must degrade the same way the
+    embed store documents — the new text's bands land as second rows
+    and later batches can still find near-dups of the NEW text — not
+    by silently dropping every new band on the (doc_id, band) key
+    (r13 review)."""
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_near_dup_pairs,
+    )
+
+    store = str(tmp_path / "band_store")
+    text_a = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    text_b = "one two three four five six seven eight nine ten " * 4
+    b1 = spark.createDataFrame([(1, text_a)], "doc_id bigint, text string")
+    incremental_near_dup_pairs(spark, b1, store)
+    # out-of-contract re-send: same id, entirely different text
+    b2 = spark.createDataFrame([(1, text_b)], "doc_id bigint, text string")
+    incremental_near_dup_pairs(spark, b2, store)
+    # a NEW doc duplicating the re-sent text must be caught
+    b3 = spark.createDataFrame([(2, text_b)], "doc_id bigint, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_near_dup_pairs(spark, b3, store).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_legacy_flat_embed_store_rejected(spark, tmp_path):
+    """An unstamped legacy store laid out FLAT (bucket as a data
+    column, root-level parquet files) must fail the structural vet:
+    a hive-partitioned append into it would leave a mixed layout that
+    breaks partition discovery on every later read (r13 review)."""
+    import pytest as _pytest
+
+    from bigdata_flightanalysis_spark.functions.vector import l2_norm
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        incremental_embed_near_dup_pairs,
+    )
+    from bigdata_flightanalysis_spark.queries.similarity import _spark_bucket
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    store = str(tmp_path / "flat_store")
+    (
+        emb.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            l2_norm(F.col("embedding")).alias("nrm"),
+            _spark_bucket(F.col("embedding"), 12).alias("bucket"),
+        ).write.parquet(store)  # flat: bucket is a column, not a dir
+    )
+    with _pytest.raises(ValueError, match="flat layout"):
+        incremental_embed_near_dup_pairs(spark, emb.limit(5), store, n_planes=12)
+
+
+def test_compact_flat_store_refuses_partitioned_embed_store(spark, tmp_path):
+    """compact_flat_store pointed at a bucket-partitioned embedding
+    store would silently rewrite it flat (stamp intact) and the next
+    partitioned append would mix layouts — it must refuse and point at
+    compact_embed_store (r13 review)."""
+    import pytest as _pytest
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        compact_flat_store,
+        incremental_embed_near_dup_pairs,
+    )
+
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    store = str(tmp_path / "emb_store")
+    incremental_embed_near_dup_pairs(spark, emb, store)
+    with _pytest.raises(ValueError, match="compact_embed_store"):
+        compact_flat_store(spark, store)

@@ -307,3 +307,27 @@ def test_remove_layout_keeps_entry_mid_enter(tmp_path):
         t.join(timeout=30)
     remove_layout(store)  # holder gone: eviction now completes
     assert key not in util._PATH_LOCKS
+
+
+def test_path_lock_resolves_symlinked_spellings_to_one_lock(tmp_path):
+    """Two spellings of the same store through a symlink must map to
+    ONE lock entry and ONE .lock inode — distinct locks would let a
+    compaction and an ingest addressing different spellings run
+    unserialized, the exact lost-append race the lock closes (r13
+    review)."""
+    import os
+
+    from bigdata_flightanalysis_spark import util
+    from bigdata_flightanalysis_spark.util import path_lock
+
+    real_parent = tmp_path / "data"
+    real_parent.mkdir()
+    (tmp_path / "current").symlink_to(real_parent, target_is_directory=True)
+    direct = str(real_parent / "fp_store")
+    via_link = str(tmp_path / "current" / "fp_store")
+    assert path_lock(direct) is path_lock(via_link)
+    with path_lock(direct):
+        pass
+    # one lockfile, at the resolved path
+    assert os.path.exists(direct + ".lock")
+    assert len(util._PATH_LOCKS) >= 1
