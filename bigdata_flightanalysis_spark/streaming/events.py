@@ -78,7 +78,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stage must outlive the (lazy) stream, so defer cleanup to
     # interpreter exit — it holds one symlink, never data
     atexit.register(shutil.rmtree, stage, ignore_errors=True)
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    # absolute target: a relative sf_dir would make the link resolve
+    # relative to the /tmp stage dir and dangle
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        f"{stage}/events.parquet",
+    )
     raw = spark.readStream.schema(schema).parquet(stage)
     return normalize_event_ts(raw)
 
@@ -297,7 +302,15 @@ def run_to_memory(
     )
     q.awaitTermination()
     q.stop()
-    return spark.table(name)
+    # snapshot the (now-static) sink contents and drop the memory
+    # table: the query is stopped so the view can only ever hold this
+    # data, and leaving one uuid-named in-memory table per call leaks
+    # driver memory for the session's lifetime (bench loops, long test
+    # sessions). localCheckpoint ties the data's lifetime to the
+    # returned DataFrame instead.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def streaming_enrich_with_dim(
@@ -330,8 +343,18 @@ def upsert_foreach_batch(path: str, key_cols: list[str]):
     highest ``_v`` (ingest version = batch id) per key, writes the new
     state to a staging dir, and atomically renames it in. Replaying a
     batch after a crash-restart converges to the same state (same keys,
-    same version → same winner), which together with the checkpoint's
-    batch-id tracking gives end-to-end exactly-once.
+    same version → same winner; intra-version ties content-hash-broken,
+    so the winner is a pure function of the data), which together with
+    the checkpoint's batch-id tracking gives end-to-end exactly-once.
+
+    Lineage contract: ``_v`` IS the checkpoint's batch id, so the
+    state dir is bound to ONE checkpoint lineage. Re-attaching with a
+    fresh (or anonymous, ``checkpoint_dir=None``) checkpoint against
+    EXISTING state restarts batch ids at 0 and the old state's higher
+    ``_v`` out-wins every new row until the ids catch up — pair a
+    durable ``checkpoint_dir`` with a durable state path, or reset the
+    state (``rmtree``, the defined reset) together with the
+    checkpoint.
 
     The directory rename is atomic on POSIX and HDFS; object stores
     (S3/GCS) need a table format (Delta/Iceberg/Hudi) for the same
@@ -357,7 +380,16 @@ def upsert_foreach_batch(path: str, key_cols: list[str]):
             new = batch_df.withColumn("_v", F.lit(batch_id).cast("long"))
             if os.path.exists(path):
                 new = new.unionByName(spark.read.parquet(path))
-            w = Window.partitionBy(*key_cols).orderBy(F.col("_v").desc())
+            # content-hash tie-break: two rows for one key in one
+            # micro-batch share _v, and row_number over a tied order
+            # picks by partition order — nondeterministic across
+            # replays, so a crash-replayed batch could converge to a
+            # DIFFERENT state than the first attempt. The hash is a
+            # pure function of row content, so the winner is too.
+            content = F.xxhash64(*[F.col(c) for c in batch_df.columns])
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.col("_v").desc(), content.desc()
+            )
             merged = (
                 new.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
@@ -462,8 +494,6 @@ def _swap_state_dir(merged: DataFrame, path: str) -> None:
     not — :func:`_recover_state_dir` (called before every read) closes
     the crash window between them. Object stores need a table format
     (Delta/Iceberg/Hudi) for the same guarantee."""
-    import shutil
-
     staging = path + ".staging"
     merged.write.mode("overwrite").parquet(staging)
     old = path + ".old"
@@ -560,8 +590,12 @@ def cdc_upsert_foreach_batch(
             new = batch_df.withColumn("_v", F.lit(batch_id).cast("long"))
             if os.path.exists(path):
                 new = new.unionByName(spark.read.parquet(path))
+            # content hash as the FINAL tie-break (after order_cols and
+            # _v) — same replay-convergence reasoning as the plain
+            # upsert sink: ties must not be broken by partition order
             order = [F.col(c).desc() for c in order_cols] + [
-                F.col("_v").desc()
+                F.col("_v").desc(),
+                F.xxhash64(*[F.col(c) for c in batch_df.columns]).desc(),
             ]
             w = Window.partitionBy(*key_cols).orderBy(*order)
             merged = (
@@ -600,14 +634,24 @@ def cdc_snapshot(
     the stream is live: at worst it raises path-not-found during the
     microseconds-wide swap window instead of mutating foreign
     state."""
+    # negated null-safe equality: a NULL tombstone column must mean
+    # "not tombstoned" (plain != would be NULL and filter the row out,
+    # silently dropping never-deleted keys from the live view)
+    live = ~F.col(tombstone_col).eqNullSafe(F.lit(tombstone_value))
     if heal:
         with path_lock(path):
             _recover_state_dir(path)
-    return (
-        spark.read.parquet(path)
-        .where(F.col(tombstone_col) != F.lit(tombstone_value))
-        .drop("_v")
-    )
+            # resolve the parquet footer INSIDE the lock: a sink
+            # blocked on this lock could otherwise reach its swap's
+            # no-live-dir instant between our heal and our read.
+            # (The returned frame is lazy — a swap between this return
+            # and the caller's action re-exposes the window; readers
+            # needing a pinned view materialize it, same residual as
+            # every maintained-layout reader.)
+            return (
+                spark.read.parquet(path).where(live).drop("_v")
+            )
+    return spark.read.parquet(path).where(live).drop("_v")
 
 
 def cdc_compact_tombstones(
@@ -645,6 +689,36 @@ def cdc_compact_tombstones(
     # read-count-swap, exactly like the dedup stores' compactions.
     with path_lock(path):
         _recover_state_dir(path)
+        # Verify the caller's parameters against the recorded sink
+        # contract BEFORE the irreversible drop: compacting with a
+        # wrong tombstone_value (or the wrong column) would classify
+        # LIVE rows as dead tombstones and permanently delete them —
+        # the one operation in this family where a parameter mismatch
+        # destroys data instead of raising downstream. An unstamped
+        # (legacy) state dir has nothing to check against and is
+        # accepted, same policy as the stores' legacy vets.
+        from bigdata_flightanalysis_spark.util import read_sidecar
+
+        recorded = read_sidecar(path + ".contract.json")
+        for param, got in (
+            ("tombstone_col", tombstone_col),
+            ("tombstone_value", tombstone_value),
+        ):
+            want = recorded.get(param)
+            if want is not None and want != got:
+                raise ValueError(
+                    f"{path}: {param}={got!r} does not match the "
+                    f"recorded sink contract ({want!r}) — compacting "
+                    "with mismatched parameters would drop live rows"
+                )
+        rec_order = recorded.get("order_cols")
+        if rec_order is not None and order_col not in rec_order:
+            raise ValueError(
+                f"{path}: order_col={order_col!r} is not one of the "
+                f"recorded changelog order columns {rec_order} — the "
+                "retention cutoff must be on the ordering the sink "
+                "merges by"
+            )
         state = spark.read.parquet(path)
         is_dead_tombstone = (
             F.col(tombstone_col) == F.lit(tombstone_value)

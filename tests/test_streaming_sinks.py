@@ -730,3 +730,146 @@ def test_state_maintenance_serializes_against_sink(spark, tmp_path):
         for r in cdc_snapshot(spark, state, "event_type", "error").collect()
     }
     assert snap == {2, 3, 4}
+
+
+def test_compaction_rejects_mismatched_contract(spark, tmp_path):
+    """cdc_compact_tombstones is the one operation whose parameter
+    mismatch DESTROYS data (live rows classified as dead tombstones),
+    so it must verify the caller's parameters against the recorded
+    sink contract before the irreversible drop (r13 review)."""
+    from datetime import datetime
+
+    import pytest
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        cdc_compact_tombstones,
+        cdc_upsert_foreach_batch,
+    )
+
+    state = str(tmp_path / "state")
+    sink = cdc_upsert_foreach_batch(
+        state,
+        ["user_id"],
+        order_cols=["ts", "event_id"],
+        tombstone_col="event_type",
+        tombstone_value="error",
+    )
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    sink(
+        spark.createDataFrame(
+            [(1, t.replace(hour=1), 1, "click", 1.0, "{}")], schema
+        ),
+        0,
+    )
+    # wrong tombstone_value: would drop the live 'click' row
+    with pytest.raises(ValueError, match="tombstone_value"):
+        cdc_compact_tombstones(
+            spark,
+            state,
+            tombstone_col="event_type",
+            tombstone_value="click",
+            order_col="ts",
+            older_than=t,
+        )
+    # wrong order column: the cutoff wouldn't trail the merge ordering
+    with pytest.raises(ValueError, match="order_col"):
+        cdc_compact_tombstones(
+            spark,
+            state,
+            tombstone_col="event_type",
+            tombstone_value="error",
+            order_col="value",
+            older_than=0.0,
+        )
+    # matching parameters still run (nothing to drop here)
+    assert (
+        cdc_compact_tombstones(
+            spark,
+            state,
+            tombstone_col="event_type",
+            tombstone_value="error",
+            order_col="ts",
+            older_than=t,
+        )
+        == 0
+    )
+    assert spark.read.parquet(state).count() == 1  # live row intact
+
+
+def test_cdc_snapshot_keeps_null_tombstone_rows(spark, tmp_path):
+    """A NULL tombstone column means 'not tombstoned': plain != would
+    evaluate NULL and silently drop never-deleted keys from the live
+    view (r13 review)."""
+    from datetime import datetime
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        cdc_snapshot,
+        cdc_upsert_foreach_batch,
+    )
+
+    state = str(tmp_path / "state")
+    sink = cdc_upsert_foreach_batch(
+        state,
+        ["user_id"],
+        order_cols=["ts", "event_id"],
+        tombstone_col="event_type",
+        tombstone_value="error",
+    )
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    sink(
+        spark.createDataFrame(
+            [
+                (1, t, 1, None, 1.0, "{}"),      # NULL marker: live
+                (2, t, 2, "error", 0.0, "{}"),   # tombstoned
+                (3, t, 3, "click", 3.0, "{}"),   # live
+            ],
+            schema,
+        ),
+        0,
+    )
+    live = {
+        r["user_id"]
+        for r in cdc_snapshot(spark, state, "event_type", "error").collect()
+    }
+    assert live == {1, 3}
+
+
+def test_run_to_memory_drops_its_sink_table(spark):
+    """Each run_to_memory call must not leak a uuid-named in-memory
+    table for the session's lifetime; the returned frame stays usable
+    after the view is dropped (r13 review)."""
+    views_before = {t.name for t in spark.catalog.listTables()}
+    got = run_to_memory(
+        stream_events(spark, SF_DIR).select("event_id"),
+        spark,
+        output_mode="append",
+    )
+    assert got.count() > 0  # usable after the drop
+    views_after = {t.name for t in spark.catalog.listTables()}
+    assert not {v for v in views_after - views_before if v.startswith("sink_")}
+
+
+def test_upsert_intra_batch_ties_break_deterministically(spark, tmp_path):
+    """Two rows for one key in one micro-batch share _v; the winner
+    must be a pure function of the data (content-hash tie-break), not
+    of partition order — two independent applies of the same batch
+    must produce byte-identical state (r13 review)."""
+    rows = [(7, "a", 1.0), (7, "b", 2.0), (8, "c", 3.0)]
+    schema = "user_id bigint, tag string, value double"
+    states = []
+    for i, nparts in enumerate((1, 7)):  # different partitionings too
+        state = str(tmp_path / f"state_{i}")
+        sink = upsert_foreach_batch(state, ["user_id"])
+        sink(spark.createDataFrame(rows, schema).repartition(nparts), 0)
+        states.append(
+            sorted(tuple(r) for r in spark.read.parquet(state).collect())
+        )
+    assert states[0] == states[1]
