@@ -55,82 +55,22 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-13 rotation (scripts/stage_rotation.py computed it; validated
-# with --check after restaging). After r12, per-query newest-driver-row
-# dates: 29 at r9 (the oldest — the exact set the r12 comment staged
-# below its cut), 46 at r10, 50 at r11, 50 at r12; all 175 green at
-# their newest row. No query code changed this round, so the window is
-# pure staleness order: (1) the 29 r9-dated rows; (2) backfill with the
-# 21 OLDEST (alphabetically-first) of the 46 r10-dated rows. Window =
-# 29 + 21 = 50. The remaining 25 r10-dated names plus the 25 oldest
-# r11-dated names are listed below the cut and lead the r14 window;
-# steady state holds (after this window lands nothing is older than
-# r10).
+# Round-14 rotation (scripts/stage_rotation.py computed it; validated
+# with --check after restaging). After r13, per-query newest-driver-row
+# dates: 26 at r10 (the oldest), 50 at r11, 49 at r12, 50 at r13; all
+# 175 green at their newest row. No query code changed this round, so
+# the window is pure staleness order: (1) the 26 r10-dated rows;
+# (2) backfill with the 24 OLDEST (alphabetically-first) of the 50
+# r11-dated rows. Window = 26 + 24 = 50 — exactly the set the r13
+# comment staged below its cut. The remaining 26 r11-dated names plus
+# the 24 oldest r12-dated names are listed below the cut and lead the
+# r15 window; steady state holds (after this window lands nothing is
+# older than r11).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (0) code-changed this round (r13 store-machinery review fixes:
-    #     band-store replay key gained bucket; embed ingest empty-batch
-    #     guard) — changed queries enter the window outright
-    "doc_near_dup_incremental",
-    "embed_near_dup_incremental",
-    # (1) last driver-checked in r9 — the 29 oldest rows (the exact set
-    #     the r12 comment staged below its cut)
-    "embed_near_dup_pairs_largemode",
-    "embed_pq_topk",
-    "embed_quantized_topk",
-    "events_asof_purchase_click",
-    "events_minutely_gapfill",
-    "events_range_join_error_context",
-    "events_sessionization_gaps",
-    "events_sliding_distinct_users",
-    "nation_share_of_region_revenue",
-    "order_priority_tiers",
-    "order_value_quartiles",
-    "orderdate_parts",
-    "orders_anti_bloom_check",
-    "part_affinity_topk",
-    "parts_never_ordered",
-    "q11_important_parts",
-    "q12_priority_by_flag",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q8_market_share",
-    "returnflag_in_list",
-    "revenue_by_region",
-    "segments_of_open_order_customers",
-    "supplier_running_revenue",
-    "top_customers_per_segment",
-    "union_priority_extremes",
-    # (2) r10-dated backfill to the 50-query window (the
-    #     alphabetically-first of the 46 r10-dated rows; two of the
-    #     original 21 were displaced when the changed pair above
-    #     entered: embed_near_dup_incremental moved into (0) and
-    #     events_approx_quantile_contract dropped below the cut)
-    "brand_number_histogram",
-    "corpus_card",
-    "cube_flag_status",
-    "customer_order_recency",
-    "customer_scd2_merge",
-    "doc_bpe_token_stats",
-    "doc_decontamination",
-    "doc_dup_clusters",
-    "doc_dup_graph_kcore",
-    "doc_exact_dedup",
-    "doc_fingerprints",
-    "doc_jaccard_pairs_sample",
-    "doc_langid",
-    "doc_minhash_signatures",
-    "doc_near_dup_candidates",
-    "doc_near_dup_edit_distance",
-    "doc_quality_scores",
-    "doc_simhash",
-    "events_activity_incident_overlap",
-    # The 50-query window ends here (2 code-changed + 29 r9-stale +
-    # 19 r10-dated backfill). The entries below are the oldest
-    # remaining rows once this window lands — the remaining 27 r10
-    # rows plus the oldest r11 rows lead the r14 window.
+    # (1) the r14 window: the 26 r10-dated rows (oldest remaining
+    #     after r13) plus the 24 alphabetically-first r11-dated rows —
+    #     exactly the set the r13 comment staged below its cut. No query
+    #     code changed this round, so the window is pure staleness order.
     "events_approx_quantile_contract",
     "events_cdc_latest_state",
     "events_cohort_retention",
@@ -181,7 +121,60 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_simhash_near_dup",
     "doc_token_stats",
     "embed_cosine_topk",
+    # The 50-query window ends here (26 r10-stale + 24 r11-dated
+    # backfill). The entries below are the oldest remaining rows once
+    # this window lands — the remaining 26 r11 rows plus the 24 oldest
+    # r12 rows lead the r15 window.
     "embed_decontamination",
+    "embed_ivf_topk",
+    "embed_lsh_topk",
+    "embed_near_dup_pairs",
+    "embed_quantize_int8",
+    "embed_standardize",
+    "events_dedup_first_per_user_type",
+    "events_json_extract",
+    "events_mad_anomalies_twopass",
+    "events_session_windows",
+    "events_sliding_hourly",
+    "events_tumbling_hourly",
+    "events_type_pivot",
+    "events_type_trend",
+    "events_value_winsorized_twopass",
+    "grouping_sets_order_stats",
+    "kmeans_embedding_clusters",
+    "large_orders_q18",
+    "lineitem_safe_math",
+    "max_order_per_status_argmax",
+    "order_metrics_unpivot",
+    "order_price_percentile_rank",
+    "orders_profile_approx",
+    "orders_quality_report",
+    "status_priority_sets",
+    "supplier_trailing_week_quantity",
+    "customer_rfm_segments",
+    "customer_snapshot_diff",
+    "doc_bigram_nll_quality",
+    "doc_bm25_topk",
+    "doc_clean_normalize",
+    "doc_dup_canonical_pagerank",
+    "doc_dup_graph_triangles",
+    "doc_duplicate_spans",
+    "doc_near_dup_candidates_largemode",
+    "doc_pii_redaction",
+    "doc_quality_weighted_sample",
+    "doc_repetition_scores",
+    "doc_salient_terms",
+    "doc_shuffle_shards",
+    "doc_source_mixture_weights",
+    "doc_split_leakage_check",
+    "doc_stopword_ratio",
+    "doc_stratified_sample",
+    "doc_temperature_mixture_sample",
+    "doc_term_first_positions",
+    "doc_train_test_split",
+    "doc_training_manifest",
+    "doc_url_domains",
+    "doc_weighted_sample_es",
 )
 
 

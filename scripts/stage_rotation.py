@@ -47,13 +47,9 @@ WINDOW = 50
 # same frame instead of misreporting a legitimately-staged window as
 # WRONG. Explicit --changed flags on the command line override it.
 #
-# r13 restage (store-machinery review fixes): the band-store replay
-# key gained bucket and the embed ingest got the empty-batch guard —
-# both maintained-store queries rotate in as changed.
-STAGED_CHANGED: tuple[str, ...] = (
-    "doc_near_dup_incremental",
-    "embed_near_dup_incremental",
-)
+# r14 restage: flag-free — no query code changed this round, the
+# window is pure staleness order (26 r10-dated + 24 oldest r11-dated).
+STAGED_CHANGED: tuple[str, ...] = ()
 
 # --check: a staged window within (1 - fraction) * window names of the
 # just-verified set IN EACH DIRECTION still diagnoses "likely STALE"
