@@ -137,6 +137,46 @@ HEADLINE += [
 ]
 
 
+def emit_detail(full: dict, detail_path: str) -> None:
+    """Print the per-query detail line and persist it to
+    ``BENCH_DETAIL.json`` — without EVER raising: the compact headline
+    object that follows is the driver's tail-buffer contract, so a
+    serialization or filesystem failure here must degrade to a stderr
+    warning, never abort between the two stdout lines."""
+    # default=str: a non-serializable value that slips into the detail
+    # payload (e.g. an exception object recorded as an error) must not
+    # abort the run between the detail line and the compact contract
+    # line — stringify it rather than raise. The residue default=str
+    # can't absorb (a circular payload) degrades to a minimal
+    # placeholder line instead of raising.
+    try:
+        print(json.dumps(full, default=str))
+    except (TypeError, ValueError) as exc:
+        print(
+            f"warning: detail payload not serializable: {exc}",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_detail",
+                    "error": f"payload not serializable: {exc}",
+                }
+            )
+        )
+    try:
+        with open(detail_path, "w", encoding="utf-8") as f:
+            json.dump(full, f, indent=1, default=str)
+            f.write("\n")
+    except (OSError, TypeError, ValueError) as exc:
+        # a full disk / read-only checkout — or any serialization
+        # failure default=str can't absorb (circular payload) — must
+        # not leave the huge detail line as the LAST stdout line (the
+        # tail-buffered driver would parse a truncated payload): the
+        # compact line below is the contract and must always print
+        print(f"warning: could not write {detail_path}: {exc}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
@@ -221,25 +261,17 @@ def main() -> None:
     # Detail line first; the compact headline object LAST so a
     # tail-buffered reader parsing the final line always gets a
     # complete (short) JSON object.
-    print(json.dumps(full))
-    # Persist the detail payload in-repo (the driver's tail buffer
-    # keeps only the last line, so per-query history was lost to
-    # archaeology before round 9): overwritten per run, committed per
-    # round — git history IS the per-round archive, and
+    # Detail to stdout + the in-repo BENCH_DETAIL.json (the driver's
+    # tail buffer keeps only the last line, so per-query history was
+    # lost to archaeology before round 9): overwritten per run,
+    # committed per round — git history IS the per-round archive, and
     # scripts/bench_compare.py reads past rounds via rev:path specs.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    emit_detail(
+        full,
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        ),
     )
-    try:
-        with open(detail_path, "w", encoding="utf-8") as f:
-            json.dump(full, f, indent=1)
-            f.write("\n")
-    except OSError as exc:
-        # a full disk / read-only checkout must not leave the huge
-        # detail line as the LAST stdout line (the tail-buffered driver
-        # would parse a truncated payload) — the compact line below is
-        # the contract and must always print
-        print(f"warning: could not write {detail_path}: {exc}", file=sys.stderr)
     compact: dict = {
         "metric": "headline_queries_total",
         "value": headline_total,

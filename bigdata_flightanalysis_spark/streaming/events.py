@@ -700,6 +700,21 @@ def cdc_compact_tombstones(
         from bigdata_flightanalysis_spark.util import read_sidecar
 
         recorded = read_sidecar(path + ".contract.json")
+        # The sink kind comes first: a dir stamped by the PLAIN upsert
+        # sink ({"sink": "upsert", "key_cols": ...}) has none of the
+        # CDC parameter keys, so every per-parameter .get() below
+        # returns None and the checks would all vacuously pass —
+        # letting the irreversible drop proceed against a non-CDC
+        # state dir, the exact wrong-target loss this guard exists to
+        # prevent. Unstamped legacy dirs (no sidecar → no "sink" key)
+        # stay accepted, same policy as the per-parameter checks.
+        rec_sink = recorded.get("sink")
+        if rec_sink is not None and rec_sink != "cdc_upsert":
+            raise ValueError(
+                f"{path}: state dir was written by the {rec_sink!r} "
+                "sink, not cdc_upsert — it holds no tombstone "
+                "semantics, and compacting it would drop live rows"
+            )
         for param, got in (
             ("tombstone_col", tombstone_col),
             ("tombstone_value", tombstone_value),

@@ -270,6 +270,16 @@ def remove_layout(path: str) -> None:
     # exact registry entry (and lockfile inode) path_lock created
     key = os.path.realpath(path)
     shutil.rmtree(key, ignore_errors=True)
+    # When ``path`` itself is a symlink, the rmtree above removed its
+    # TARGET tree but left the now-dangling link behind — a later
+    # recreate through the same spelling would then fail (mkdir/write
+    # through a dangling symlink) instead of starting clean. Unlink
+    # the spelling too so the layout is fully reset.
+    if os.path.islink(path):
+        try:
+            os.unlink(path)
+        except OSError:
+            pass  # raced away concurrently — already gone
     lockfile = key + ".lock"
     try:
         if _HAS_FLOCK:

@@ -195,3 +195,51 @@ def test_snapshot_refuses_clobbered_detail(tmp_path, monkeypatch):
 def test_snapshot_missing_artifacts_exit_2(tmp_path, monkeypatch):
     mod = _load_snapshot_module()
     assert _run_snapshot(mod, monkeypatch, tmp_path, 11) == 2
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench_m", Path(__file__).resolve().parents[1] / "bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_emit_detail_survives_non_serializable_payload(tmp_path, capsys):
+    """A non-serializable value in the detail payload (e.g. an
+    exception object recorded as an error) must be stringified, not
+    abort the run between the detail line and the compact contract
+    line (r13 driver ADVICE: the old guard caught only OSError)."""
+    bench = _load_bench()
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
+    full = {
+        "metric": "headline_queries_detail",
+        "value": 1.0,
+        "errors": {"q1": RuntimeError("boom")},  # json.dump would raise TypeError
+    }
+    bench.emit_detail(full, detail_path)  # must not raise
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])  # stdout detail line is complete JSON
+    assert "boom" in payload["errors"]["q1"]
+    on_disk = json.loads(Path(detail_path).read_text())  # file written too
+    assert "boom" in on_disk["errors"]["q1"]
+
+
+def test_emit_detail_survives_circular_payload_and_bad_path(tmp_path, capsys):
+    """Failures default=str can't absorb (circular payload → ValueError)
+    and filesystem failures both degrade to a stderr warning — the
+    caller's compact line must remain reachable."""
+    bench = _load_bench()
+    circular: dict = {"metric": "headline_queries_detail"}
+    circular["self"] = circular
+    bench.emit_detail(circular, str(tmp_path / "d.json"))  # must not raise
+    captured = capsys.readouterr()
+    assert "not serializable" in captured.err
+    assert "could not write" in captured.err
+    # the stdout detail line degrades to a complete placeholder object
+    placeholder = json.loads(captured.out.strip().splitlines()[-1])
+    assert placeholder["metric"] == "headline_queries_detail"
+    # unwritable path (a directory) → OSError branch, same degradation
+    bench.emit_detail({"value": 1.0}, str(tmp_path))  # must not raise
+    assert "could not write" in capsys.readouterr().err

@@ -800,6 +800,49 @@ def test_compaction_rejects_mismatched_contract(spark, tmp_path):
     assert spark.read.parquet(state).count() == 1  # live row intact
 
 
+def test_compaction_rejects_non_cdc_state_dir(spark, tmp_path):
+    """A state dir stamped by the PLAIN upsert sink has none of the
+    CDC contract keys, so the per-parameter guards all vacuously pass
+    — the sink-kind check must reject it outright before the
+    irreversible drop classifies live rows as tombstones (r13
+    driver ADVICE)."""
+    from datetime import datetime
+
+    import pytest
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        cdc_compact_tombstones,
+    )
+
+    state = str(tmp_path / "state")
+    sink = upsert_foreach_batch(state, ["user_id"])
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    sink(
+        spark.createDataFrame(
+            [(1, t.replace(hour=1), 1, "error", 1.0, "{}")], schema
+        ),
+        0,
+    )
+    # Without the sink-kind check this call would have dropped the
+    # live 'error' row: the plain-upsert sidecar records no
+    # tombstone_col/tombstone_value/order_cols, so every .get() guard
+    # returns None and the compaction proceeds.
+    with pytest.raises(ValueError, match="'upsert' sink, not cdc_upsert"):
+        cdc_compact_tombstones(
+            spark,
+            state,
+            tombstone_col="event_type",
+            tombstone_value="error",
+            order_col="ts",
+            older_than=t,
+        )
+    assert spark.read.parquet(state).count() == 1  # live row intact
+
+
 def test_cdc_snapshot_keeps_null_tombstone_rows(spark, tmp_path):
     """A NULL tombstone column means 'not tombstoned': plain != would
     evaluate NULL and silently drop never-deleted keys from the live

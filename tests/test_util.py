@@ -241,6 +241,32 @@ def test_remove_layout_leaves_held_lockfile_alone(tmp_path):
     assert not os.path.exists(store + ".lock")
 
 
+def test_remove_layout_unlinks_symlink_spelling(tmp_path):
+    """When the layout path is itself a symlink, remove_layout must
+    remove BOTH the target tree and the link: rmtree(realpath) alone
+    leaves a dangling symlink, so recreating the layout through the
+    same spelling fails instead of starting clean (r13 driver
+    ADVICE)."""
+    import os
+
+    from bigdata_flightanalysis_spark.util import remove_layout
+
+    target = tmp_path / "real_store"
+    target.mkdir()
+    (target / "part-0.parquet").write_bytes(b"x")
+    link = tmp_path / "store_link"
+    link.symlink_to(target)
+
+    remove_layout(str(link))
+
+    assert not target.exists(), "target tree survived"
+    assert not os.path.lexists(str(link)), "dangling symlink left behind"
+    # the spelling is fully reset: a recreate through it starts clean
+    link.mkdir()
+    (link / "part-0.parquet").write_bytes(b"y")
+    assert (link / "part-0.parquet").read_bytes() == b"y"
+
+
 def test_remove_layout_while_lock_held_keeps_entry_and_reenters(tmp_path):
     """Calling remove_layout while holding path_lock(path) is forbidden
     by contract, but the eviction guard must keep it from deadlocking:
