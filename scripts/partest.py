@@ -12,12 +12,15 @@ default 5 workers fit a 32-core / 128 GiB host (measured r13: four
 consecutive zero-flake full runs, 525 passed / 2 skipped, 6.3-7.5 min
 each vs 21:48 serial).
 
-Scheduling: longest-expected-first (LPT) from the committed timings
-file `scripts/partest_timings.json` (falls back to file size for new
-files), drained from a shared queue — no static partitioning to
-rebalance as tests move. Each run rewrites the timings file so the
-next run schedules from fresh durations; the copy in git is a seed,
-refreshed whenever convenient.
+Scheduling: longest-expected-first (LPT) from the freshest timings
+available — the gitignored per-host overlay
+`scripts/partest_timings.local.json` when present, else the committed
+seed `scripts/partest_timings.json` (falls back to file size for new
+files) — drained from a shared queue, no static partitioning to
+rebalance as tests move. Each run rewrites only the LOCAL overlay, so
+routine runs stop churning the committed file in every diff; refresh
+the committed snapshot deliberately (once per round is plenty) with
+`--refresh-committed`.
 
 Isolation notes (why per-file processes are safe here):
 - pytest tmp_path roots are per-process-numbered and lock-protected;
@@ -55,6 +58,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TESTS = os.path.join(REPO, "tests")
 TIMINGS = os.path.join(REPO, "scripts", "partest_timings.json")
+TIMINGS_LOCAL = os.path.join(REPO, "scripts", "partest_timings.local.json")
 
 # Files whose tests wait on wall-clock (streaming triggers,
 # cross-process flock races): one dedicated worker runs them
@@ -139,6 +143,12 @@ def parse_counts(stdout: str) -> dict[str, int]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
+        "--refresh-committed",
+        action="store_true",
+        help="also rewrite the committed scripts/partest_timings.json "
+        "seed (default: only the gitignored .local overlay)",
+    )
+    ap.add_argument(
         "--workers",
         type=int,
         default=int(os.environ.get("PARTEST_WORKERS", "5")),
@@ -146,15 +156,20 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    # freshest-first: the per-host local overlay (written every run,
+    # gitignored) beats the committed seed (a per-round snapshot)
     timings: dict[str, float] = {}
-    if os.path.exists(TIMINGS):
-        try:
-            with open(TIMINGS, encoding="utf-8") as fh:
-                timings = json.load(fh)
-        except (ValueError, OSError):
-            # a truncated timings file (interrupted previous run) must
-            # not brick the runner — size-fallback scheduling instead
-            timings = {}
+    for source in (TIMINGS_LOCAL, TIMINGS):
+        if os.path.exists(source):
+            try:
+                with open(source, encoding="utf-8") as fh:
+                    timings = json.load(fh)
+                break
+            except (ValueError, OSError):
+                # a truncated timings file (interrupted previous run)
+                # must not brick the runner — try the next source,
+                # else size-fallback scheduling
+                timings = {}
 
     files = discover()
     sensitive = [f for f in files if f in LOAD_SENSITIVE]
@@ -242,10 +257,14 @@ def main() -> None:
         if rc == 0:
             timings[f] = round(dur, 2)
     timings = {f: t for f, t in timings.items() if f in set(files)}
-    tmp = TIMINGS + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump(timings, fh, indent=0, sort_keys=True)
-    os.replace(tmp, TIMINGS)
+    targets = [TIMINGS_LOCAL]
+    if args.refresh_committed:
+        targets.append(TIMINGS)
+    for target in targets:
+        tmp = target + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(timings, fh, indent=0, sort_keys=True)
+        os.replace(tmp, target)
 
     print(
         f"partest: {len(results)} files in {wall / 60:.1f} min "

@@ -47,8 +47,12 @@ WINDOW = 50
 # same frame instead of misreporting a legitimately-staged window as
 # WRONG. Explicit --changed flags on the command line override it.
 #
-# r14 restage: flag-free — no query code changed this round, the
-# window is pure staleness order (26 r10-dated + 24 oldest r11-dated).
+# r14 restage: flag-free — the round's only operator-adjacent change
+# (util.remove_layout unlinking a symlink spelling) is behavior-
+# identical for every registry path (none are symlinks), and the BM25
+# lifecycle queries that call it are already in the window by
+# staleness; the window is pure staleness order (26 r10-dated + 24
+# oldest r11-dated).
 STAGED_CHANGED: tuple[str, ...] = ()
 
 # --check: a staged window within (1 - fraction) * window names of the

@@ -91,6 +91,7 @@ def test_no_tests_collected_is_not_a_failure(tmp_path, monkeypatch, capsys):
 
     monkeypatch.setattr(mod, "run_file", fake_run_file)
     monkeypatch.setattr(mod, "TIMINGS", str(tmp_path / "t.json"))
+    monkeypatch.setattr(mod, "TIMINGS_LOCAL", str(tmp_path / "t.local.json"))
     monkeypatch.setattr(sys, "argv", ["partest.py", "--workers", "1"])
     mod.main()  # SystemExit would fail the test
     out = capsys.readouterr().out
@@ -113,6 +114,7 @@ def test_sensitive_worker_joins_ordinary_queue_after_lane(
 
     monkeypatch.setattr(mod, "run_file", fake_run_file)
     monkeypatch.setattr(mod, "TIMINGS", str(tmp_path / "t.json"))
+    monkeypatch.setattr(mod, "TIMINGS_LOCAL", str(tmp_path / "t.local.json"))
     monkeypatch.setattr(sys, "argv", ["partest.py", "--workers", "2"])
     mod.main()
     files = mod.discover()
@@ -131,9 +133,78 @@ def test_single_worker_merges_sensitive_lane(tmp_path, monkeypatch):
 
     monkeypatch.setattr(mod, "run_file", fake_run_file)
     monkeypatch.setattr(mod, "TIMINGS", str(tmp_path / "t.json"))
+    monkeypatch.setattr(mod, "TIMINGS_LOCAL", str(tmp_path / "t.local.json"))
     monkeypatch.setattr(
         sys, "argv", ["partest.py", "--workers", "1"]
     )
     mod.main()
     files = mod.discover()
     assert sorted(launched) == sorted(files)  # nothing ran twice/missed
+
+
+def test_timings_write_local_only_by_default(tmp_path, monkeypatch):
+    """Routine runs must rewrite only the gitignored .local overlay —
+    the committed seed stays put so doc commits stop carrying 80-line
+    timing rewrites (r13 verdict); --refresh-committed opts into the
+    once-per-round seed refresh."""
+    import json
+
+    mod = _load()
+    committed = tmp_path / "t.json"
+    local = tmp_path / "t.local.json"
+    committed.write_text(json.dumps({"test_util.py": 99.0}))
+    monkeypatch.setattr(mod, "TIMINGS", str(committed))
+    monkeypatch.setattr(mod, "TIMINGS_LOCAL", str(local))
+    monkeypatch.setattr(
+        mod, "run_file", lambda f: (0, 0.5, {"passed": 1}, "")
+    )
+    monkeypatch.setattr(sys, "argv", ["partest.py", "--workers", "1"])
+    mod.main()
+    assert local.exists()
+    assert json.loads(committed.read_text()) == {"test_util.py": 99.0}
+    files = mod.discover()
+    assert json.loads(local.read_text()) == {f: 0.5 for f in files}
+
+    # --refresh-committed rewrites both, identically
+    monkeypatch.setattr(
+        sys, "argv", ["partest.py", "--workers", "1", "--refresh-committed"]
+    )
+    mod.main()
+    assert json.loads(committed.read_text()) == json.loads(local.read_text())
+
+
+def test_timings_read_prefers_local_overlay(tmp_path, monkeypatch):
+    """Scheduling reads the freshest source: the per-host overlay when
+    present, else the committed seed; a truncated overlay falls back
+    to the seed instead of bricking LPT."""
+    import json
+
+    mod = _load()
+    committed = tmp_path / "t.json"
+    local = tmp_path / "t.local.json"
+    committed.write_text(json.dumps({"a.py": 1.0}))
+    local.write_text(json.dumps({"a.py": 2.0}))
+    monkeypatch.setattr(mod, "TIMINGS", str(committed))
+    monkeypatch.setattr(mod, "TIMINGS_LOCAL", str(local))
+    seen = {}
+
+    def fake_run_file(fname):
+        return 0, 0.01, {"passed": 1}, ""
+
+    real_cost = mod.expected_cost
+
+    def spy_cost(fname, timings):
+        seen.update(timings)
+        return real_cost(fname, timings)
+
+    monkeypatch.setattr(mod, "run_file", fake_run_file)
+    monkeypatch.setattr(mod, "expected_cost", spy_cost)
+    monkeypatch.setattr(sys, "argv", ["partest.py", "--workers", "1"])
+    mod.main()
+    assert seen.get("a.py") == 2.0  # overlay won
+
+    # truncated overlay → committed seed fallback
+    local.write_text("{truncated")
+    seen.clear()
+    mod.main()
+    assert seen.get("a.py") == 1.0
