@@ -107,11 +107,14 @@ def connected_components(
     with checkpoint_scope(edges.sparkSession, checkpoint_dir) as ck:
         o = ck(_oriented(edges, src, dst))
         if o.isEmpty():
-            schema_src = edges.schema[src].dataType
+            # Type from the ORIENTED frame, not the raw src column:
+            # orientation coerces src/dst to a common type, so an
+            # edge set that reduces to empty must return the same
+            # node/component types as the non-empty path — a schema
+            # must not flip with data content.
+            node_t = o.schema["u"].dataType.simpleString()
             return edges.sparkSession.createDataFrame(
-                [],
-                f"node {schema_src.simpleString()},"
-                f" component {schema_src.simpleString()}",
+                [], f"node {node_t}, component {node_t}"
             )
         prev = _checksum(o)
         converged = False
@@ -142,12 +145,20 @@ def assign_components(
     df: DataFrame, key: str | Column, cc: DataFrame, alias: str = "component"
 ) -> DataFrame:
     """Left-join component labels onto ``df``; nodes absent from the
-    edge graph become singleton components labeled by their own key."""
+    edge graph become singleton components labeled by their own key.
+
+    Output = ``df``'s columns plus exactly one new/assigned column
+    ``alias`` — the joined label column never leaks through under its
+    raw ``component`` name (a non-default alias used to carry both),
+    and a ``df`` that already has a ``component`` column no longer
+    makes the coalesce ambiguous."""
     key_col = F.col(key) if isinstance(key, str) else key
+    labels = cc.select("node", F.col("component").alias("__cc_label"))
     return (
-        df.join(cc, key_col == cc["node"], "left")
+        df.join(labels, key_col == labels["node"], "left")
         .drop("node")
-        .withColumn(alias, F.coalesce(F.col("component"), key_col))
+        .withColumn(alias, F.coalesce(F.col("__cc_label"), key_col))
+        .drop("__cc_label")
     )
 
 
@@ -270,6 +281,13 @@ def pagerank(
     simplification; ranks still order nodes correctly for dedup-canon
     selection (pick the highest-rank doc of a cluster as canonical).
     """
+    if checkpoint_interval < 1:
+        # 0 would ZeroDivisionError mid-iteration (after jobs already
+        # ran); negatives silently disable interval truncation and let
+        # the plan grow unbounded for large iteration counts
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src") != F.col("dst"))

@@ -58,6 +58,18 @@ def asof_join(
 
     lpay = [c for c in left.columns if c not in keys]
     rpay = [c for c in right.columns if c not in keys]
+    # Suffixing must not CREATE a collision (right has both x and
+    # x_right while left has x; or left itself has x_right): the
+    # output would carry two identically-named columns and every
+    # select-by-name downstream becomes ambiguous — fail loud instead.
+    out_names = [f"{c}{suffix}" if c in left.columns else c for c in rpay]
+    dup = {n for n in (lpay + out_names) if (lpay + out_names).count(n) > 1}
+    if dup:
+        raise ValueError(
+            f"asof_join suffix {suffix!r} produces duplicate output "
+            f"columns {sorted(dup)} — pick a different suffix or "
+            "rename the colliding columns first"
+        )
     l_struct = F.struct(*[F.col(c) for c in lpay])
     r_struct = F.struct(
         *[F.col(c).alias(f"{c}{suffix}" if c in left.columns else c) for c in rpay]
@@ -139,6 +151,11 @@ def range_join_bucketed(
     the join. Right-side columns that collide with left names come back
     suffixed ``_r``.
     """
+    if window_seconds <= 0:
+        # /0 is NULL under non-ANSI Spark: every bin would be NULL and
+        # the equi-join would return silently-empty output — raise the
+        # misuse instead of reporting "no matches"
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
     keys = [on] if isinstance(on, str) else list(on)
     bin_l = F.floor(F.unix_micros(F.col(left_ts)) / (window_seconds * 1_000_000))
     bin_r = F.floor(F.unix_micros(F.col(right_ts)) / (window_seconds * 1_000_000))
@@ -194,6 +211,10 @@ def interval_overlap_join(
     buckets explode long intervals into more rows, longer buckets put
     more non-matches in each bin.
     """
+    if bucket_micros <= 0:
+        # same failure mode as range_join_bucketed: NULL bins →
+        # silently empty join instead of an error
+        raise ValueError(f"bucket_micros must be positive, got {bucket_micros}")
     keys = [on] if isinstance(on, str) else list(on)
 
     def bins(s: str, e: str) -> Column:
@@ -203,8 +224,12 @@ def interval_overlap_join(
         )
 
     l2 = left.withColumn("__bin", F.explode(bins(left_start, left_end)))
+    # Join keys must keep their names on BOTH sides (the equi-join
+    # below joins by name) — only non-key collisions get the suffix,
+    # same exclusion range_join_bucketed applies.
     renames = {
-        c: f"{c}{suffix}" if c in left.columns else c for c in right.columns
+        c: f"{c}{suffix}" if (c in left.columns and c not in keys) else c
+        for c in right.columns
     }
     r2 = right.select(
         *[F.col(c).alias(renames[c]) for c in right.columns]

@@ -111,7 +111,8 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PACK_BUDGET = 4096  # chars per packed training sequence
-_N_SHARDS = 16
+# (doc_pack_sequences shards by the first md5 hex digit — a fixed
+# 16-way split baked into its oracle SQL, not a tunable constant)
 
 
 @register(

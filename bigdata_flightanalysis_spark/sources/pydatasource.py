@@ -101,13 +101,16 @@ class SyntheticDocsReader(DataSourceReader):
         self.clique = int(options.get("clique", 0))
 
     def partitions(self) -> list[InputPartition]:
-        per = -(-self.rows // self.n_partitions)  # ceil
+        # max(1, ceil): rows=0 would make the range step 0 (ValueError
+        # at plan time); a zero/negative-row config yields one empty
+        # partition — an empty corpus, not a crash
+        per = max(1, -(-self.rows // self.n_partitions))  # ceil
         return [
             _RangePartition(
                 lo, min(lo + per, self.rows), self.seed, self.vocab, self.clique
             )
             for lo in range(0, self.rows, per)
-        ]
+        ] or [_RangePartition(0, 0, self.seed, self.vocab, self.clique)]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for doc_id in range(partition.start, partition.end):
@@ -143,6 +146,11 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
         self.batch_rows = int(options.get("rowsPerBatch", 100))
         self.max_rows = int(options.get("maxRows", 1000))
         self.seed = int(options.get("seed", 42))
+        # same corpus-shape options as the batch twin — dropping them
+        # here would silently break the "same corpus" contract for any
+        # non-default vocab/clique stream
+        self.vocab = int(options.get("vocab", 0))
+        self.clique = int(options.get("clique", 0))
 
     def initialOffset(self) -> dict:
         return {"next": 0}
@@ -153,7 +161,10 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
         # materialized lists, not generators: the runtime pickles the
         # returned rows across the driver/worker boundary
         return (
-            [_doc_row(self.seed, i) for i in range(lo, hi)],
+            [
+                _doc_row(self.seed, i, self.vocab, self.clique)
+                for i in range(lo, hi)
+            ],
             {"next": hi},
         )
 
@@ -161,7 +172,8 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
         # Determinism IS the recovery contract: any offset range
         # replays to identical rows after a crash-restart.
         return [
-            _doc_row(self.seed, i) for i in range(start["next"], end["next"])
+            _doc_row(self.seed, i, self.vocab, self.clique)
+            for i in range(start["next"], end["next"])
         ]
 
     def commit(self, end: dict) -> None:
@@ -213,11 +225,12 @@ class SyntheticEmbeddingsReader(DataSourceReader):
         self.dim = int(options.get("dim", _EMB_DIM))
 
     def partitions(self) -> list[InputPartition]:
-        per = -(-self.rows // self.n_partitions)
+        # same rows=0 guard as SyntheticDocsReader.partitions
+        per = max(1, -(-self.rows // self.n_partitions))
         return [
             _RangePartition(lo, min(lo + per, self.rows), self.seed)
             for lo in range(0, self.rows, per)
-        ]
+        ] or [_RangePartition(0, 0, self.seed)]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for vec_id in range(partition.start, partition.end):

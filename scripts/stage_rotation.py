@@ -47,12 +47,15 @@ WINDOW = 50
 # same frame instead of misreporting a legitimately-staged window as
 # WRONG. Explicit --changed flags on the command line override it.
 #
-# r14 restage: flag-free — the round's only operator-adjacent change
-# (util.remove_layout unlinking a symlink spelling) is behavior-
-# identical for every registry path (none are symlinks), and the BM25
-# lifecycle queries that call it are already in the window by
-# staleness; the window is pure staleness order (26 r10-dated + 24
-# oldest r11-dated).
+# r14 restage: flag-free — the round's operator-adjacent changes are
+# output-identical for every registry query: util.remove_layout's
+# symlink unlink (no registry path is a symlink; the BM25 lifecycle
+# queries that call it are in the window by staleness anyway), the
+# temporal/graph validation guards (error paths only), and
+# assign_components' label-column hygiene (all three callers select
+# explicit columns, masking the old leak). Verified by full 175-query
+# DuckDB parity + determinism sweep at the changed tree. The window
+# is pure staleness order (26 r10-dated + 24 oldest r11-dated).
 STAGED_CHANGED: tuple[str, ...] = ()
 
 # --check: a staged window within (1 - fraction) * window names of the

@@ -252,3 +252,45 @@ def test_kcore_empty_fixed_point_on_last_iteration(spark):
     SUCCEED (empty is a proven fixed point), not raise."""
     got = _kcore_dict(spark, [(1, 2), (2, 3), (3, 4)], 2, max_iter=2)
     assert got == {}
+
+
+def test_assign_components_alias_emits_exactly_one_column(spark):
+    """A non-default alias must add exactly one column — the raw
+    joined `component` used to leak through alongside it (r14
+    review); and a df that already HAS a `component` column must not
+    make the label coalesce ambiguous."""
+    docs = spark.createDataFrame(
+        [(1, "x"), (3, "y")], "doc_id bigint, component string"
+    )
+    cc = connected_components(
+        spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    )
+    out = assign_components(docs, "doc_id", cc, alias="cluster_id")
+    assert out.columns == ["doc_id", "component", "cluster_id"]
+    got = {r["doc_id"]: (r["component"], r["cluster_id"]) for r in out.collect()}
+    # df's own `component` column passes through untouched
+    assert got == {1: ("x", 1), 3: ("y", 3)}
+
+
+def test_connected_components_empty_schema_matches_nonempty(spark):
+    """An edge set that reduces to empty (all self-loops) must return
+    the same node/component types as the non-empty path even when
+    src/dst types differ — a schema must not flip with data content."""
+    mixed = "src int, dst bigint"
+    empty = connected_components(
+        spark.createDataFrame([(1, 1)], mixed)  # self-loop → empty graph
+    )
+    nonempty = connected_components(spark.createDataFrame([(1, 2)], mixed))
+    assert empty.schema == nonempty.schema
+    assert empty.count() == 0
+
+
+def test_pagerank_rejects_bad_checkpoint_interval(spark):
+    import pytest
+
+    from bigdata_flightanalysis_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="checkpoint_interval"):
+            pagerank(edges, checkpoint_interval=bad)

@@ -159,3 +159,44 @@ def test_vocab_option_realistic_density(registered):
         for r in legacy
         for w in r["text"].split()
     )
+
+
+def test_zero_rows_yields_empty_corpus(registered):
+    """rows=0 must produce an empty DataFrame (one empty partition),
+    not a plan-time ValueError from a zero range step (r14 review).
+    Same guard on the embeddings twin."""
+    from bigdata_flightanalysis_spark.sources.pydatasource import (
+        SyntheticEmbeddingsDataSource,
+    )
+
+    assert _read(registered, rows=0).count() == 0
+    registered.dataSource.register(SyntheticEmbeddingsDataSource)
+    emb = (
+        registered.read.format("synthetic_embeddings").option("rows", 0).load()
+    )
+    assert emb.count() == 0
+    assert emb.columns == ["vec_id", "embedding", "label"]
+
+
+def test_stream_reader_honors_vocab_and_clique():
+    """The stream twin must generate the SAME corpus as the batch
+    source for non-default vocab/clique — those options were silently
+    dropped before (r14 review). Unit-level: drive the reader class
+    directly, no running stream needed."""
+    from bigdata_flightanalysis_spark.sources.pydatasource import (
+        SyntheticDocsStreamReader,
+        _doc_row,
+    )
+
+    opts = {"rowsPerBatch": "10", "maxRows": "20", "seed": "7",
+            "vocab": "5000", "clique": "3"}
+    reader = SyntheticDocsStreamReader(opts)
+    rows, end = reader.read(reader.initialOffset())
+    assert end == {"next": 10}
+    assert rows == [_doc_row(7, i, 5000, 3) for i in range(10)]
+    # offset replay regenerates identically, with the same options
+    assert reader.readBetweenOffsets({"next": 3}, {"next": 8}) == [
+        _doc_row(7, i, 5000, 3) for i in range(3, 8)
+    ]
+    # and actually differs from the default-option corpus
+    assert rows != [_doc_row(7, i) for i in range(10)]

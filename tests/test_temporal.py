@@ -178,3 +178,65 @@ def test_interval_overlap_join_matches_naive_quadratic(spark):
         ).select("lid", "rid").collect()
     )
     assert got == expect
+
+
+def test_interval_overlap_join_with_key_columns(spark):
+    """Non-empty `on`: join keys must keep their names on both sides
+    (the r14 review found every right column including the key was
+    suffixed, so any keyed call crashed); pairs must match only within
+    equal keys."""
+    from bigdata_flightanalysis_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    ldf = spark.createDataFrame(
+        [("a", 1, 0, 100), ("b", 2, 0, 100)],
+        "k string, lid int, ls bigint, le bigint",
+    )
+    rdf = spark.createDataFrame(
+        [("a", 10, 50, 60), ("b", 20, 50, 60), ("a", 30, 500, 600)],
+        "k string, rid int, rs bigint, re bigint",
+    )
+    got = sorted(
+        (r["k"], r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, on="k",
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            bucket_micros=100,
+        ).select("k", "lid", "rid").collect()
+    )
+    assert got == [("a", 1, 10), ("b", 2, 20)]  # no cross-key pairs
+
+
+def test_nonpositive_window_raises(spark):
+    """window_seconds/bucket_micros <= 0 must raise, not return a
+    silently empty join (NULL bins under non-ANSI division)."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    df = spark.createDataFrame([(1, _ts(1))], "id int, ts timestamp")
+    idf = spark.createDataFrame([(1, 0, 10)], "id int, s bigint, e bigint")
+    with pytest.raises(ValueError, match="window_seconds"):
+        range_join_bucketed(df, df, on="id", window_seconds=0)
+    with pytest.raises(ValueError, match="bucket_micros"):
+        interval_overlap_join(
+            idf, idf, left_start="s", left_end="e",
+            right_start="s", right_end="e", bucket_micros=0,
+        )
+
+
+def test_asof_suffix_collision_raises(spark):
+    """Suffixing a right column into a name that already exists (on
+    either side) would emit duplicate output columns — must raise."""
+    import pytest
+
+    left = spark.createDataFrame([(1, "k", _ts(1))], "x int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(2, 3, "k", _ts(1))], "x int, x_right int, k string, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="duplicate output columns"):
+        asof_join(left, right, on="k")
