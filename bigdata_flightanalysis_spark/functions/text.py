@@ -62,8 +62,13 @@ def word_shingles(tokens: Column, n: int = 3) -> Column:
     so they still participate in dedup.
     """
     size = F.size(tokens)
-    shifted = [tokens] + [
-        F.slice(tokens, k + 1, F.greatest(size - k, F.lit(0))) for k in range(1, n)
+    # each zip input is aliased to its index: arrays_zip names struct
+    # fields after NAMED input columns (passing F.col("tokens") would
+    # otherwise make the field "tokens", breaking the x[str(i)] access
+    # below, which only worked for unnamed expressions)
+    shifted = [tokens.alias("0")] + [
+        F.slice(tokens, k + 1, F.greatest(size - k, F.lit(0))).alias(str(k))
+        for k in range(1, n)
     ]
     zipped = F.slice(
         F.arrays_zip(*shifted), 1, F.greatest(size - (n - 1), F.lit(1))

@@ -20,7 +20,7 @@ declaratively:
 
 False positives pass the filter (by design — the caller re-verifies
 with the exact join); false negatives cannot happen, which is what
-makes definite-miss routing (`anti` mode) exact.
+makes definite-miss routing (``mode='miss'``) exact.
 
 Reference: the classic Bloom (1970) two-sided trade; sizing follows
 k*n/m << 1 for a low false-positive rate.

@@ -22,7 +22,10 @@ is set once per algorithm run and the previous value restored after —
 a caller-scoped temp dir (e.g. a pytest ``tmp_path``) must not leak
 into later, unrelated ``checkpoint()`` calls on the same shared
 session. Spark has no unset, so a previously-UNSET dir does stay set
-after the scope — the one documented residue.
+after the scope — the one documented residue. Restores go through the
+remembered USER-level path (``_USER_DIR_FOR``): restoring
+``getCheckpointDir()``'s UUID-resolved value verbatim would nest one
+UUID level per scope use.
 """
 
 from __future__ import annotations
@@ -36,6 +39,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _resolve_dir(checkpoint_dir: str | None) -> str | None:
     return checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+
+
+#: getCheckpointDir() returns the dir WITH the per-set UUID subdir
+#: Spark appends, so restoring it verbatim would nest one UUID level
+#: per scope use (/ckpt/<uuid1>/<uuid2>/...). This maps each
+#: UUID-resolved dir back to the user-level path that produced it, so
+#: exits restore the ORIGINAL path whenever the previous dir was set
+#: through this module; dirs set externally still restore verbatim
+#: (one level of inexactness, then mapped from there on).
+_USER_DIR_FOR: dict[str, str] = {}
 
 
 @contextmanager
@@ -58,11 +71,26 @@ def checkpoint_scope(
     sc = spark.sparkContext
     prev = sc.getCheckpointDir()
     sc.setCheckpointDir(resolved)
+    cur = sc.getCheckpointDir()
+    if cur is not None:
+        _USER_DIR_FOR[cur] = resolved
     try:
         yield lambda df: df.checkpoint(eager=True)
     finally:
         if prev is not None:
-            sc.setCheckpointDir(prev)
+            # restore the user-level path, not the UUID-resolved one
+            restore_to = _USER_DIR_FOR.get(prev, prev)
+            sc.setCheckpointDir(restore_to)
+            after = sc.getCheckpointDir()
+            if after is not None:
+                _USER_DIR_FOR[after] = _USER_DIR_FOR.get(
+                    restore_to, restore_to
+                )
+            if cur is not None:
+                _USER_DIR_FOR.pop(cur, None)
+        # prev None: no restore possible, cur STAYS the active dir
+        # (the documented residue) — keep its mapping so a LATER
+        # scope's exit still restores the user-level path
 
 
 def eager_checkpoint(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:

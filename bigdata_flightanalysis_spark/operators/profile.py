@@ -26,14 +26,19 @@ from pyspark.sql import types as T
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
-def _stringified(col: str, dt: T.DataType) -> F.Column:
-    c = F.col(col)
+def _render(expr: F.Column, dt: T.DataType) -> F.Column:
+    """Stringify an aggregated min/max scalar. Doubles render through
+    DECIMAL(38,6) via try_cast: NaN / ±Infinity / |x| ≥ 1e32 would
+    THROW under Spark 4's default ANSI mode if cast unconditionally
+    (and silently NULL out of min/max in non-ANSI) — such values fall
+    back to their plain string rendering instead."""
     if isinstance(dt, (T.DoubleType, T.FloatType)):
-        return c.cast("decimal(38,6)")
+        return F.coalesce(
+            expr.try_cast("decimal(38,6)").cast("string"), expr.cast("string")
+        )
     if isinstance(dt, T.TimestampType):
-        # rendered at agg time below (min/max of timestamp, then format)
-        return c
-    return c
+        return F.date_format(expr, _TS_FMT)
+    return expr.cast("string")
 
 
 def profile_table(
@@ -68,11 +73,10 @@ def profile_table(
     # expr nor silently collide with it.
     for i, c in enumerate(cols):
         dt = df.schema[c].dataType
-        s = _stringified(c, dt)
-        mn, mx = F.min(s), F.max(s)
-        if isinstance(dt, T.TimestampType):
-            mn = F.date_format(mn, _TS_FMT)
-            mx = F.date_format(mx, _TS_FMT)
+        # min/max run on the NATIVE column (doubles keep NaN/Inf
+        # ordering semantics); only the resulting scalar is rendered
+        mn = _render(F.min(F.col(c)), dt)
+        mx = _render(F.max(F.col(c)), dt)
         if approx:
             nd = (
                 F.approx_count_distinct(c, rsd)

@@ -22,7 +22,9 @@ def approx_top_k_items(df: DataFrame, col: str, k: int) -> DataFrame:
     values) — the estimates degrade gracefully past that, which is the
     regime a 100 TB key-frequency scan actually runs in.
     """
-    pair = df.agg(F.expr(f"approx_top_k({col}, {k})").alias("tk")).select(
+    pair = df.agg(
+        F.expr(f"approx_top_k(`{col.replace(chr(96), chr(96) * 2)}`, {int(k)})").alias("tk")
+    ).select(
         F.explode("tk").alias("e")
     )
     return pair.select(
@@ -46,7 +48,8 @@ def count_min_sketch_bytes(
     """
     row = df.agg(
         F.expr(
-            f"count_min_sketch({col}, {eps}d, {confidence}d, {seed})"
+            f"count_min_sketch(`{col.replace(chr(96), chr(96) * 2)}`,"
+            f" {float(eps)}d, {float(confidence)}d, {int(seed)})"
         ).alias("cms")
     ).first()
     return bytes(row["cms"])

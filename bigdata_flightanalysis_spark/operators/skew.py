@@ -25,8 +25,24 @@ from pyspark.sql import functions as F
 
 def _salt_col(df: DataFrame, n_salts: int, exclude: Sequence[str]) -> Column:
     """Deterministic per-row salt in [0, n_salts) from the non-key
-    columns (falls back to all columns if everything is a key)."""
-    cols = [c for c in df.columns if c not in exclude] or list(df.columns)
+    columns.
+
+    The salt MUST be a pure function of row content: a retried map
+    task must regenerate the same shuffle output (the classic
+    rand()-in-shuffle correctness bug), so rand()/row-ids are not
+    options. That also means a frame with NO non-key columns cannot
+    be salted — every row of a hot key is an identical tuple, so any
+    content hash is per-key constant: the hot key would still land on
+    one reducer while the other side pays the full n_salts
+    replication. Fail loud instead of silently degenerating."""
+    cols = [c for c in df.columns if c not in exclude]
+    if not cols:
+        raise ValueError(
+            "cannot salt a frame whose every column is a join/group key: "
+            "the salt must derive from non-key content (identical rows "
+            "hash identically, so hot keys would not spread). Aggregate "
+            "or dedup the key-only frame first, or carry a payload column."
+        )
     return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
 
 

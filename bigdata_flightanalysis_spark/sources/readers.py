@@ -61,12 +61,24 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events scan with timestamp-precision handling (see
-    ``normalize_event_ts``). ``nanosAsLong`` is set pre-scan so a
-    TIMESTAMP(NANOS) file (older testdata generations) still reads;
-    current testdata is TIMESTAMP(MICROS, isAdjustedToUTC=false) which
-    lands as TIMESTAMP_NTZ under Spark 4.x."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ``normalize_event_ts``). A TIMESTAMP(NANOS) file (older testdata
+    generations) fails schema conversion without the legacy
+    ``nanosAsLong`` flag, so the flag is set ONLY on that failure and
+    the scan retried — current testdata is TIMESTAMP(MICROS,
+    isAdjustedToUTC=false), which reads as TIMESTAMP_NTZ under Spark
+    4.x with no flag at all. Setting the flag unconditionally (the
+    old behavior) leaked it into every later parquet read on the
+    session, silently surfacing unrelated NANOS columns as bigint.
+    The flag is deliberately NOT restored after a legacy read: it is
+    consulted again at execution time, so a scoped reset would break
+    the still-lazy frame this function returns."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    return normalize_event_ts(df)
 
 
 def table_bytes(sf_dir: str, name: str) -> int:
@@ -76,7 +88,14 @@ def table_bytes(sf_dir: str, name: str) -> int:
     real deployment this is the catalog/table statistic."""
     import os
 
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = f"{sf_dir}/{name}.parquet"
+    if not os.path.exists(path):
+        # os.walk of a missing dir yields nothing — returning 0 would
+        # silently steer every size-based plan switch to the
+        # small-data shape on a typo'd sf_dir
+        raise FileNotFoundError(f"no such table file/dir: {path}")
     if os.path.isfile(path):
         return os.path.getsize(path)
     total = 0
@@ -131,8 +150,8 @@ def read_json(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    else:
-        reader = reader.option("inferSchema", "true")
+    # (no else: JSON always infers when schemaless — "inferSchema" is
+    # a CSV option and would be a misleading no-op here)
     return reader.json(path)
 
 

@@ -86,3 +86,20 @@ def test_int8_quantization_reconstruction_error_bound(spark, sf_dir):
         for x, qi in zip(emb[r["vec_id"]], qvals):
             assert abs(qi) <= 127
             assert abs(x - qi / scale) <= step * 1.0000001
+
+
+def test_sketch_helpers_escape_awkward_column_names(spark):
+    """Columns whose names need backticks (spaces, reserved words)
+    must work through the expr-built sketch helpers — profile.py
+    escapes for this exact reason and these skipped it (r14 review)."""
+    from bigdata_flightanalysis_spark.operators.sketches import (
+        approx_top_k_items,
+        count_min_sketch_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], ["event type"]
+    )
+    top = approx_top_k_items(df, "event type", 2).collect()
+    assert [(r["item"], r["est_count"]) for r in top] == [("a", 2), ("b", 1)]
+    assert len(count_min_sketch_bytes(df, "event type")) > 0

@@ -74,3 +74,26 @@ def test_profile_rejects_rsd_with_exact_mode(spark):
     df = spark.createDataFrame([(1, "x")], "a bigint, b string")
     with pytest.raises(ValueError, match="approx"):
         profile_table(df, approx=False, rsd=0.01)
+
+
+def test_profile_survives_nan_inf_and_huge_doubles(spark):
+    """Doubles that DECIMAL(38,6) cannot hold (NaN, ±Infinity,
+    |x| ≥ ~1e32) must not throw under ANSI mode nor silently vanish
+    from min/max — they fall back to plain string rendering (r14
+    review; the old unconditional cast crashed the profiler on legal
+    double data)."""
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, float("inf")), (3, 1e33), (4, -2.5)],
+        "id bigint, v double",
+    )
+    rows = {r["col_name"]: r for r in profile_table(df, approx=False).collect()}
+    v = rows["v"]
+    assert v["n_nulls"] == 0
+    # Spark double ordering: NaN sorts greatest, so max=NaN, min=-2.5
+    assert v["max_value"] == "NaN"
+    assert v["min_value"] == "-2.500000"  # in-range values keep decimal render
+    # all-huge column: min/max render as doubles, not NULL
+    huge = spark.createDataFrame([(1e33,), (2e33,)], "h double")
+    h = profile_table(huge, approx=False).collect()[0]
+    assert h["min_value"] == "1.0E33"
+    assert h["max_value"] == "2.0E33"

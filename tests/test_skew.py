@@ -183,3 +183,18 @@ def test_aqe_splits_skewed_join_partitions(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_salting_key_only_frame_raises(spark):
+    """A frame whose every column is a key cannot be salted (content
+    hash is per-key constant — hot keys would NOT spread while the
+    other side still pays n_salts replication). Fail loud (r14
+    review), don't silently degenerate."""
+    import pytest
+
+    keys_only = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    with pytest.raises(ValueError, match="non-key content"):
+        salted_join(keys_only, dim, "k")
+    with pytest.raises(ValueError, match="non-key content"):
+        salted_aggregate(keys_only, "k", {"n": "count:*"})

@@ -193,3 +193,81 @@ def test_compact_parquet_hits_target_file_count(spark, tmp_path):
     n_dst_files = sum(1 for f in os.listdir(dst) if f.endswith(".parquet"))
     assert n == n_dst_files <= 5  # ~4 files for bytes/target=4
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_events_read_does_not_leak_legacy_parquet_conf(spark, sf_dir):
+    """Reading the events table must not flip
+    spark.sql.legacy.parquet.nanosAsLong for the whole session: the
+    current testdata is TIMESTAMP(MICROS) and needs no flag; the flag
+    is set only on the NANOS schema-conversion failure path (r14
+    review — the old unconditional set made every later parquet read
+    surface unrelated NANOS columns as bigint)."""
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    # normalize: other tests may have left the flag set on the shared
+    # session — pin it false, then prove the events read keeps it so
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    df = read_table(spark, sf_dir, "events")
+    assert df.count() > 0
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+
+
+def test_table_bytes_rejects_unknown_table_and_missing_dir(sf_dir, tmp_path):
+    """table_bytes feeds size-based plan switches — a typo'd name or
+    sf_dir must raise, not silently return 0 and steer every switch
+    to the small-data plan shape (r14 review)."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.sources.readers import table_bytes
+
+    assert table_bytes(sf_dir, "documents") > 0
+    with pytest.raises(KeyError, match="unknown table"):
+        table_bytes(sf_dir, "documnets")
+    with pytest.raises(FileNotFoundError):
+        table_bytes(str(tmp_path / "no_such_sf"), "documents")
+
+
+def test_word_shingles_accepts_named_columns(spark):
+    """word_shingles(F.col(\"tokens\")) must work: arrays_zip names
+    struct fields after NAMED input columns, so the positional access
+    only worked for unnamed expressions before the r14 review fix."""
+    from bigdata_flightanalysis_spark.functions.text import (
+        tokenize,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame([("a b c d",)], "text string").select(
+        tokenize("text").alias("tokens"), F.col("text")
+    )
+    named = df.select(word_shingles(F.col("tokens"), 3).alias("sh"))
+    unnamed = spark.createDataFrame([("a b c d",)], "text string").select(
+        word_shingles(tokenize("text"), 3).alias("sh")
+    )
+    assert named.collect() == unnamed.collect()
+    assert named.collect()[0]["sh"] == ["a b c", "b c d"]
+
+
+def test_checkpoint_scope_restores_user_level_dir(spark, tmp_path):
+    """Exiting a scope must restore the ORIGINAL user-level dir, not
+    getCheckpointDir()'s UUID-resolved value — the verbatim restore
+    nested one UUID level per scope use (r14 review)."""
+    import os
+
+    from bigdata_flightanalysis_spark.operators.checkpointing import (
+        checkpoint_scope,
+    )
+
+    sc = spark.sparkContext
+    base = str(tmp_path / "user_ckpt")
+    inner = str(tmp_path / "scoped_ckpt")
+    with checkpoint_scope(spark, base):
+        pass  # establishes a residue dir (or restores a prior one)
+    d1 = sc.getCheckpointDir()
+    for _ in range(3):
+        with checkpoint_scope(spark, inner):
+            pass
+    d2 = sc.getCheckpointDir()
+    # repeated scope exits must not DEEPEN the dir: same parent after
+    # three more scopes (<user dir>/<uuid>, never <...>/<uuid>/<uuid>)
+    assert os.path.dirname(d1) == os.path.dirname(d2), (d1, d2)
