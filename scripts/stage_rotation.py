@@ -51,10 +51,13 @@ WINDOW = 50
 # output-identical for every registry query: util.remove_layout's
 # symlink unlink (no registry path is a symlink; the BM25 lifecycle
 # queries that call it are in the window by staleness anyway), the
-# temporal/graph validation guards (error paths only), and
+# temporal/graph validation guards (error paths only),
 # assign_components' label-column hygiene (all three callers select
-# explicit columns, masking the old leak). Verified by full 175-query
-# DuckDB parity + determinism sweep at the changed tree. The window
+# explicit columns, masking the old leak), and profile_table's
+# ANSI-safe min/max rendering (string-identical for in-range doubles;
+# orders_profile, in the window by staleness, exercises the new
+# path). Verified by full 175-query DuckDB parity + determinism sweep
+# at the changed tree. The window
 # is pure staleness order (26 r10-dated + 24 oldest r11-dated).
 STAGED_CHANGED: tuple[str, ...] = ()
 
