@@ -344,7 +344,13 @@ def decode_image_array(payload: bytes) -> tuple[str, np.ndarray]:
     if pil_available():
         from PIL import Image
 
-        return fmt or "pil", np.asarray(Image.open(io.BytesIO(payload)))
+        im = Image.open(io.BytesIO(payload))
+        # propagate PIL's REAL detected format (lowercased, e.g.
+        # "webp"): the old "pil" placeholder reached encode_image as
+        # format='PIL', an invalid PIL format name that crashed every
+        # resize round-trip of a format outside the sniff table
+        real_fmt = fmt or (im.format or "png").lower()
+        return real_fmt, np.asarray(im)
     raise NotImplementedError(
         f"image format {fmt or 'unknown'!r} needs PIL (not installed); "
         f"built-in decoders handle {BUILTIN_IMAGE_FORMATS}"

@@ -140,10 +140,15 @@ def decode_audio(payload: bytes, mime: str, *, fake: bool = False) -> dict:
 def frame_sample_offsets(n_frames: Column, every: int) -> Column:
     """Frame-sampling plan for video payloads: indices 0, every, 2·every…
     computed as an array column (the decode of the selected frames then
-    happens batch-side like decode_image)."""
-    return F.sequence(
+    happens batch-side like decode_image). A zero-frame (or NULL)
+    payload yields an EMPTY plan — the old greatest() guard turned
+    n_frames=0 into the one-offset plan [0], sending downstream decode
+    after a frame that does not exist."""
+    safe = F.sequence(
         F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every)
     )
+    # slice-to-zero keeps the element type identical to the when-branch
+    return F.when(n_frames > 0, safe).otherwise(F.slice(safe, 1, 0))
 
 
 def extract_payload_features(df: DataFrame) -> DataFrame:
@@ -159,13 +164,24 @@ def extract_payload_features(df: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads: Sequence[bytes] = pdf["payload"]
-            digests = [hashlib.md5(p).hexdigest() for p in payloads]
+            # NULL payloads (e.g. text_as_payload of a NULL text) get
+            # NULL features — hashlib.md5(None) would otherwise raise
+            # an opaque executor-side TypeError and fail the job
+            digests = [
+                None if p is None else hashlib.md5(p).hexdigest()
+                for p in payloads
+            ]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "byte_len": [len(p) for p in payloads],
+                    "byte_len": [
+                        None if p is None else len(p) for p in payloads
+                    ],
                     "payload_md5": digests,
-                    "fingerprint": [int(d[:15], 16) for d in digests],
+                    "fingerprint": [
+                        None if d is None else int(d[:15], 16)
+                        for d in digests
+                    ],
                 }
             )
 
@@ -231,8 +247,15 @@ def resize_images(
                 scale_den = max((w or target_w) * (h or target_h), 1)
                 n = len(payload)
                 keep = max(1, -(-n * scale_num // scale_den))  # ceil
-                step = max(1, n // keep)
-                out_payload.append(bytes(payload[::step][:keep]))
+                if keep <= n:
+                    step = max(1, n // keep)
+                    out_payload.append(bytes(payload[::step][:keep]))
+                else:
+                    # upscale: tile the payload to honor the
+                    # ceil(len·scale²) size contract — decimation
+                    # alone can never emit more than len(payload)
+                    reps = -(-keep // max(n, 1))
+                    out_payload.append((bytes(payload) * reps)[:keep])
                 out_meta.append(
                     {"mime": meta.get("mime"), "width": target_w,
                      "height": target_h}

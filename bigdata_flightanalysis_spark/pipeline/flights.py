@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 from bigdata_flightanalysis_spark.functions.scalar import (
     case_map,
     hhmm_to_hour,
+    hhmm_to_hour_wrapped,
     threshold_label,
+    typed_fillna,
 )
 
 #: Cancellation-code → human-readable reason (``Code/flight_analysis.py:29-35``).
@@ -87,7 +89,20 @@ def clean_flights_2019(df: DataFrame, mode: str = "idiomatic") -> DataFrame:
         # Typed scan (schemas.FLIGHTS_2019_TYPED): fills are applied
         # AFTER types exist, so every fill is effective; unmatched
         # cancellation codes get an explicit bucket instead of NULL.
-        df = df.fillna(
+        # Fail loud on an all-string (RAW) scan: the numeric fills
+        # below would coerce onto string columns and the bare boolean
+        # cast would throw CAST_INVALID_INPUT under Spark 4 ANSI at
+        # some arbitrary downstream action — the reference's stringly
+        # scan belongs to mode='compat'.
+        if dict(df.dtypes).get("CANCELLED") == "string":
+            raise TypeError(
+                "idiomatic cleaning requires the typed scan "
+                "(schemas.FLIGHTS_2019_TYPED); this frame is "
+                "all-string — use mode='compat' for the reference's "
+                "stringly scan semantics"
+            )
+        df = typed_fillna(
+            df,
             {
                 "CANCELLED": 0.0,
                 "DIVERTED": 0.0,
@@ -125,7 +140,16 @@ def clean_flights_2023(df: DataFrame, mode: str = "idiomatic") -> DataFrame:
         # clean_flights_2019 for why this is pinned explicitly).
         df = df.fillna({"Airline": "Not Listed", "DelayReason": "None"})
     else:
-        df = df.fillna(
+        # same fail-loud scan guard as clean_flights_2019
+        if dict(df.dtypes).get("Cancelled") == "string":
+            raise TypeError(
+                "idiomatic cleaning requires the typed scan "
+                "(schemas.FLIGHTS_2023_TYPED); this frame is "
+                "all-string — use mode='compat' for the reference's "
+                "stringly scan semantics"
+            )
+        df = typed_fillna(
+            df,
             {
                 "DelayMinutes": 0.0,
                 "Cancelled": False,
@@ -171,10 +195,18 @@ def prep_features(
     )
 
 
-def prep_features_2019(df: DataFrame) -> DataFrame:
-    return prep_features(
-        df, date_col="FL_DATE", dep_hour=hhmm_to_hour(F.col("DepTime"))
+def prep_features_2019(df: DataFrame, mode: str = "idiomatic") -> DataFrame:
+    """compat keeps the reference's raw HHMM→hour (DepTime=2400 →
+    DepHour=24, a 25th hour bucket — quirk §2.12); idiomatic wraps
+    midnight to 0 via :func:`hhmm_to_hour_wrapped` so the hour feature
+    stays in [0, 24) for clustering."""
+    _check_mode(mode)
+    dep = (
+        hhmm_to_hour(F.col("DepTime"))
+        if mode == "compat"
+        else hhmm_to_hour_wrapped(F.col("DepTime"))
     )
+    return prep_features(df, date_col="FL_DATE", dep_hour=dep)
 
 
 def prep_features_2023(df: DataFrame) -> DataFrame:
@@ -412,19 +444,28 @@ def run_flight_pipeline(
     196-224``), as one composition of the stages above."""
     _check_mode(mode)
     prepped_19 = add_delay_label(
-        prep_features_2019(clean_flights_2019(raw_2019, mode)), "ArrDelay"
+        prep_features_2019(clean_flights_2019(raw_2019, mode), mode), "ArrDelay"
     )
     prepped_23 = add_delay_label(
         prep_features_2023(clean_flights_2023(raw_2023, mode)), "DelayMinutes"
     )
+    # The assembled frames fan out to MANY actions (kmeans fit scans
+    # them iteratively, then transform; the predictions feed the eager
+    # silhouette here plus the reason counts and every sink write the
+    # caller runs) — persist so each is computed once instead of
+    # re-running the whole clean→prep→sanitize→assemble lineage from
+    # the raw scan per action. MEMORY_AND_DISK (persist default)
+    # spills rather than OOMs at scale.
     assembled_19 = assemble_features(
         prepped_19, keep_cols=("CancellationReason",), mode=mode
-    )
-    assembled_23 = assemble_features(prepped_23, keep_cols=("DelayReason",), mode=mode)
+    ).persist()
+    assembled_23 = assemble_features(
+        prepped_23, keep_cols=("DelayReason",), mode=mode
+    ).persist()
     model_19 = fit_kmeans(assembled_19, k=k, seed=seed)
     model_23 = fit_kmeans(assembled_23, k=k, seed=seed)
-    pred_19 = model_19.transform(assembled_19)
-    pred_23 = model_23.transform(assembled_23)
+    pred_19 = model_19.transform(assembled_19).persist()
+    pred_23 = model_23.transform(assembled_23).persist()
     return FlightPipelineResult(
         predictions_2019=pred_19,
         predictions_2023=pred_23,

@@ -96,9 +96,14 @@ def bar_chart_svg(
             f'text-anchor="middle" font-size="12">{_esc(cat)}</text>'
         )
         label_y = y - 4 if val >= 0 else y + h + 12
+        # integer values (counts) render in full — .3g would show
+        # 12345 as '1.23e+04'; floats keep 3 significant digits
+        label = f"{val:d}" if isinstance(val, int) else (
+            f"{int(val):d}" if float(val).is_integer() else f"{val:.3g}"
+        )
         out.append(
             f'<text x="{x + band * 0.35:.1f}" y="{label_y:.1f}" '
-            f'text-anchor="middle" font-size="11">{val:.3g}</text>'
+            f'text-anchor="middle" font-size="11">{label}</text>'
         )
     out.append(
         f'<line x1="{_ML}" y1="{zero_y:.1f}" x2="{_W - _MR}" '

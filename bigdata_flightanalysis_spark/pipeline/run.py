@@ -48,7 +48,9 @@ def main(argv: list[str] | None = None) -> None:
     )
     from bigdata_flightanalysis_spark.schemas import (
         FLIGHTS_2019_RAW,
+        FLIGHTS_2019_TYPED,
         FLIGHTS_2023_RAW,
+        FLIGHTS_2023_TYPED,
     )
     from bigdata_flightanalysis_spark.session import get_session
     from bigdata_flightanalysis_spark.sources.readers import read_csv
@@ -56,16 +58,29 @@ def main(argv: list[str] | None = None) -> None:
 
     spark: SparkSession = get_session("flight-analysis")
 
+    # The scan schema must match the mode: compat pins the reference's
+    # all-string scan (Code/flight_analysis.py:15-16, no inference
+    # pass); idiomatic REQUIRES the typed scan — its cleaning stage
+    # documents fills applied after types exist, and its bare
+    # .cast('boolean') on a string '0.0' would throw under Spark 4
+    # ANSI the moment a consumer materialized those columns.
     if args.csv_2019 and args.csv_2023:
-        # Explicit all-string schema = the reference's scan semantics
-        # (Code/flight_analysis.py:15-16) without an inference pass.
-        raw19 = read_csv(spark, args.csv_2019, schema=FLIGHTS_2019_RAW)
-        raw23 = read_csv(spark, args.csv_2023, schema=FLIGHTS_2023_RAW)
-    else:
+        if args.mode == "compat":
+            raw19 = read_csv(spark, args.csv_2019, schema=FLIGHTS_2019_RAW)
+            raw23 = read_csv(spark, args.csv_2023, schema=FLIGHTS_2023_RAW)
+        else:
+            raw19 = read_csv(spark, args.csv_2019, schema=FLIGHTS_2019_TYPED)
+            raw23 = read_csv(spark, args.csv_2023, schema=FLIGHTS_2023_TYPED)
+    elif args.mode == "compat":
         from tests.flight_fixtures import raw_2019, raw_2023
 
         raw19 = raw_2019(spark)
         raw23 = raw_2023(spark)
+    else:
+        from tests.flight_fixtures import typed_2019, typed_2023
+
+        raw19 = typed_2019(spark)
+        raw23 = typed_2023(spark)
 
     _display(raw19, "2019 raw head", 5)
     _display(raw23, "2023 raw head", 5)

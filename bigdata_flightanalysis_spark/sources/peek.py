@@ -17,10 +17,13 @@ def main(argv: list[str] | None = None) -> None:
     args = parser.parse_args(argv)
 
     from bigdata_flightanalysis_spark.session import get_session
+    from bigdata_flightanalysis_spark.sources.readers import read_csv
 
     spark = get_session("peek")
     if args.path.endswith(".csv"):
-        df = spark.read.option("header", "true").csv(args.path)
+        # the engine's own compat scan (header on, all-string, no
+        # inference) — not a re-implementation that could drift
+        df = read_csv(spark, args.path, compat_all_string=True)
     else:
         df = spark.read.parquet(args.path)
     df.printSchema()

@@ -106,9 +106,13 @@ def test_clean_2023(raw23):
 
 
 def test_prep_2019_hhmm_boundaries(raw19):
-    prepped = P.prep_features_2019(P.clean_flights_2019(raw19, "compat"))
+    prepped = P.prep_features_2019(P.clean_flights_2019(raw19, "compat"), "compat")
     by_time = {r["DepTime"]: r for r in prepped.collect()}
     assert by_time[2400.0]["DepHour"] == 24  # reference keeps the wrap value
+    # idiomatic mode wraps midnight into [0, 24) (r14 review: the
+    # wrapped form was documented but never wired in)
+    idio = P.prep_features_2019(P.clean_flights_2019(raw19, "compat"))
+    assert {r["DepTime"]: r for r in idio.collect()}[2400.0]["DepHour"] == 0
     assert by_time[0.0]["DepHour"] == 0
     june15 = [r for r in prepped.collect() if r["FL_DATE"] == "2019-06-15"][0]
     assert june15["DayofWeek"] == 7  # 2019-06-15 is a Saturday (1=Sunday)
@@ -261,15 +265,18 @@ def test_stringify_features_compat_format(spark, typed19):
     assert js.startswith("[") and ", " not in js
 
 
-def test_conform_flights_union(raw19, raw23):
+def test_conform_flights_union(typed19, typed23):
     from bigdata_flightanalysis_spark.pipeline.flights import (
         clean_flights_2019,
         clean_flights_2023,
         conform_flights,
     )
 
-    c19 = clean_flights_2019(raw19)
-    c23 = clean_flights_2023(raw23)
+    # idiomatic cleaning takes the TYPED scan (the r14 guard rejects
+    # an all-string frame — this test used to pass raw fixtures and
+    # only survived because the actions pruned the boolean columns)
+    c19 = clean_flights_2019(typed19)
+    c23 = clean_flights_2023(typed23)
     both = conform_flights(c19, c23)
     assert both.count() == c19.count() + c23.count()
     years = {r["Year"] for r in both.select("Year").distinct().collect()}
@@ -280,3 +287,19 @@ def test_conform_flights_union(raw19, raw23):
     ).count()
     assert null_reason == 0
     assert dict(both.dtypes)["FlightDate"] == "date"
+
+
+def test_idiomatic_cleaning_rejects_stringly_scan(raw19, raw23):
+    """The idiomatic cleaning stages require the TYPED scan: on an
+    all-string (RAW/compat) frame the numeric fills would coerce onto
+    string columns and the bare boolean cast would throw
+    CAST_INVALID_INPUT under Spark 4 ANSI at an arbitrary downstream
+    action — fail loud at the stage instead (r14 review)."""
+    import pytest
+
+    with pytest.raises(TypeError, match="typed scan"):
+        P.clean_flights_2019(raw19, "idiomatic")
+    with pytest.raises(TypeError, match="typed scan"):
+        P.clean_flights_2023(raw23, "idiomatic")
+    # compat mode still accepts the stringly scan
+    assert P.clean_flights_2019(raw19, "compat").count() > 0

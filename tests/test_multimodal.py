@@ -70,13 +70,17 @@ def test_decode_stubs_gate(spark):
 
 
 def test_frame_sample_offsets(spark):
-    df = spark.createDataFrame([(10,), (1,), (0,)], "n_frames int")
+    df = spark.createDataFrame([(10,), (1,), (0,), (None,)], "n_frames int")
     rows = df.select(
         frame_sample_offsets(F.col("n_frames"), every=4).alias("offs")
     ).collect()
     assert rows[0]["offs"] == [0, 4, 8]
     assert rows[1]["offs"] == [0]
-    assert rows[2]["offs"] == [0]
+    # zero/NULL frames → EMPTY plan (r14 review: the old guard emitted
+    # [0], sending downstream decode after a frame that doesn't exist);
+    # matches the oracle's range(0, n_frames, every) semantics
+    assert rows[2]["offs"] == []
+    assert rows[3]["offs"] == []
 
 
 def test_resize_images_rewrites_payload_and_meta_together(spark):
@@ -134,3 +138,53 @@ def test_resize_images_real_codec_path_raises(spark):
     # the real path must surface the documented gap, not mis-decode
     with _pytest.raises(Exception, match="(?i)needs PIL"):
         resize_images(assets, 4, 4).collect()
+
+
+def test_payload_features_null_payload_yields_null_features(spark):
+    """A NULL payload must produce NULL features, not an executor-side
+    TypeError from hashlib.md5(None) (r14 review)."""
+    from bigdata_flightanalysis_spark.operators.multimodal import (
+        extract_payload_features,
+        text_as_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id bigint, text string"
+    )
+    feats = {
+        r["asset_id"]: r
+        for r in extract_payload_features(
+            text_as_payload(docs, "doc_id", "text")
+        ).collect()
+    }
+    assert feats[1]["byte_len"] == 5 and feats[1]["payload_md5"] is not None
+    assert feats[2]["byte_len"] is None
+    assert feats[2]["payload_md5"] is None
+    assert feats[2]["fingerprint"] is None
+
+
+def test_resize_images_fake_upscale_honors_size_contract(spark):
+    """Upscales must satisfy the ceil(len·scale²) contract too — byte
+    decimation alone can never emit more than len(payload) bytes, so
+    the fake kernel tiles the payload for scale > 1 (r14 review)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_flightanalysis_spark.operators.multimodal import (
+        resize_images,
+        text_as_payload,
+    )
+
+    docs = spark.createDataFrame([(1, "abcdef")], "doc_id bigint, text string")
+    assets = text_as_payload(docs, "doc_id", "text").select(
+        "asset_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.lit(32).cast("int").alias("width"),
+            F.lit(32).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+    out = resize_images(assets, 64, 64, fake=True).collect()[0]
+    # scale² = 4: 6-byte payload → 24 bytes, tiled deterministically
+    assert len(out["payload"]) == 24
+    assert out["payload"] == b"abcdef" * 4

@@ -124,7 +124,7 @@ def test_compat_pipeline_silhouette_on_kaggle_shaped_100k(spark):
 
     raw = spark.createDataFrame(kaggle_shaped_2019_pdf(), schema=FLIGHTS_2019_RAW)
     prepped = add_delay_label(
-        prep_features_2019(clean_flights_2019(raw, "compat")), "ArrDelay"
+        prep_features_2019(clean_flights_2019(raw, "compat"), "compat"), "ArrDelay"
     )
     asm = assemble_features(
         prepped, keep_cols=("CancellationReason",), mode="compat"
