@@ -26,7 +26,10 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 def normalize_text(col: Column | str) -> Column:
     """Lowercase, collapse whitespace, trim — the canonical dedup key."""
     col = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    # whitespace class spelled out: Java \s includes \x0B, RE2 (DuckDB)
+    # \s does not — shorthand classes diverge across the two engines,
+    # so every cross-engine regex uses the same explicit class
+    return F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\x0B\f\r]+", " "))
 
 
 def tokenize(col: Column | str) -> Column:
@@ -34,7 +37,7 @@ def tokenize(col: Column | str) -> Column:
     col = F.col(col) if isinstance(col, str) else col
     trimmed = F.trim(col)
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
+        F.split(trimmed, r"[ \t\n\x0B\f\r]+")
     )
 
 
@@ -46,7 +49,9 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     """Sub-word-ish token count: words + digit runs + punctuation marks,
     the cheap regex proxy for a BPE tokenizer's token count."""
     col = F.col(col) if isinstance(col, str) else col
-    pieces = F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    pieces = F.regexp_extract_all(
+        col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"), 0
+    )
     return F.size(pieces)
 
 
@@ -101,8 +106,8 @@ def md5_long_sql(expr: str, seed: int | None = None) -> str:
 def punct_ratio(col: Column | str) -> Column:
     """Fraction of non-space characters that are punctuation/symbols."""
     col = F.col(col) if isinstance(col, str) else col
-    nonspace = F.length(F.regexp_replace(col, r"\s", ""))
-    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    nonspace = F.length(F.regexp_replace(col, r"[ \t\n\x0B\f\r]", ""))
+    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9 \t\n\x0B\f\r]", ""))
     return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
 
 

@@ -123,15 +123,19 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_windows",
     oracle=f"""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                             >= INTERVAL '30 minutes'
+                             > INTERVAL '30 minutes'
                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                         THEN 1 ELSE 0 END AS new_session
             FROM events
         ), numbered AS (
+            -- the running sum MUST order by the same (ts, event_id)
+            -- tie-break as the lag: ordering tied rows by ts alone
+            -- could count a boundary row's tied sibling into the
+            -- PREVIOUS session, diverging from session_window
             SELECT user_id, ts, value,
-                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING) AS session_id
             FROM flagged
         )
@@ -146,8 +150,10 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Session windows (30-min inactivity gap) per user — "
     "F.session_window in Spark; gaps-and-islands SQL in the oracle. "
-    "Spark's session end = last event + gap (a gap of exactly 30:00 "
-    "starts a new session), mirrored as MAX(ts)+gap / >= in the lag test.",
+    "Spark's session end = last event + gap, and ADJACENT windows "
+    "merge — an event exactly 30:00 after its predecessor CONTINUES "
+    "the session (verified against session_window on a tied-boundary "
+    "fixture), so the lag test is strictly >, not >=.",
     tags=("events", "window", "session"),
 )
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -814,7 +820,15 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(nd * nd).cast("double").alias("s2"),
     )
     k, s1, s2 = F.col("k"), F.col("s1"), F.col("s2")
-    z = (F.col("n") - s1 / k) / F.sqrt((s2 - s1 * s1 / k) / (k - 1))
+    # k=1 guard: a type with a single hourly bucket has no variance —
+    # the bare expression divides by (k-1)=0, which THROWS under
+    # Spark 4's default ANSI mode (DuckDB's float 0/0 quietly yields
+    # NaN and the z > 2.5 filter drops the row; when() → NULL drops
+    # it identically, keeping the oracle exact).
+    z = F.when(
+        k > 1,
+        (F.col("n") - s1 / k) / F.sqrt((s2 - s1 * s1 / k) / (k - 1)),
+    )
     return (
         hourly.join(F.broadcast(stats), "event_type")
         .withColumn("z", z)
@@ -896,6 +910,7 @@ _GK_ACCURACY = 1000
                TRUE AS p50_within_bound,
                TRUE AS p95_within_bound
         FROM events
+        WHERE value IS NOT NULL
         GROUP BY event_type
         ORDER BY event_type
     """,
@@ -916,7 +931,15 @@ _GK_ACCURACY = 1000
 def events_approx_quantile_contract(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    # NULL values are invisible to both percentile_approx and the
+    # exact-rank sums, so the contract's expectation must count the
+    # same population — count(*) over rows WITH NULLs would inflate
+    # 0.5·n and falsely fail the bound on real (nullable) data
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .where(F.col("value").isNotNull())
+    )
     ap = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.percentile_approx(
@@ -929,28 +952,36 @@ def events_approx_quantile_contract(
         F.col("aq")[0].alias("v50"),
         F.col("aq")[1].alias("v95"),
     )
+    # Tie-aware rank check: a value occupying a TIE RUN has every rank
+    # in [count(< v), count(<= v)] — the sketch meets its bound iff
+    # that interval intersects [p·n − tol, p·n + tol]. Checking only
+    # count(<= v) falsely fails a type whose values are heavily tied
+    # (an all-equal group puts count(<=v)=n against p·n).
     ranks = (
         ev.join(F.broadcast(est.select("event_type", "v50", "v95")), "event_type")
         .groupBy("event_type")
         .agg(
-            F.sum((F.col("value") <= F.col("v50")).cast("long")).alias("r50"),
-            F.sum((F.col("value") <= F.col("v95")).cast("long")).alias("r95"),
+            F.sum((F.col("value") < F.col("v50")).cast("long")).alias("lt50"),
+            F.sum((F.col("value") <= F.col("v50")).cast("long")).alias("le50"),
+            F.sum((F.col("value") < F.col("v95")).cast("long")).alias("lt95"),
+            F.sum((F.col("value") <= F.col("v95")).cast("long")).alias("le95"),
         )
     )
     tol = F.col("n_events").cast("double") / _GK_ACCURACY + 1.0
+
+    def within(lt: str, le: str, p: float):
+        target = p * F.col("n_events")
+        return (F.col(lt).cast("double") <= target + tol) & (
+            F.col(le).cast("double") >= target - tol
+        )
+
     return (
         est.join(ranks, "event_type")
         .select(
             "event_type",
             "n_events",
-            (
-                F.abs(F.col("r50").cast("double") - 0.5 * F.col("n_events"))
-                <= tol
-            ).alias("p50_within_bound"),
-            (
-                F.abs(F.col("r95").cast("double") - 0.95 * F.col("n_events"))
-                <= tol
-            ).alias("p95_within_bound"),
+            within("lt50", "le50", 0.5).alias("p50_within_bound"),
+            within("lt95", "le95", 0.95).alias("p95_within_bound"),
         )
         .orderBy("event_type")
     )

@@ -187,10 +187,10 @@ def doc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CARD_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_CARD_SQL_TOKENS = "string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')"
 _CARD_SQL_FP = (
     "CAST(('0x' || substr(md5("
-    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
     "), 1, 15)) AS BIGINT)"
 )
 

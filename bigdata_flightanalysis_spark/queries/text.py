@@ -34,16 +34,28 @@ from bigdata_flightanalysis_spark.sources.readers import read_table
 # DuckDB twins of the tokenizer/shingler. Both sides: trim → split on
 # whitespace runs → 3-word shingles (short texts yield one whole-text
 # shingle).
-_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
-_SQL_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# Blank-text guard: DuckDB's string_split_regex('') yields [''] (one
+# empty token) while Spark's tokenize('') yields [] — every oracle
+# token count would diverge on a blank/whitespace-only doc without
+# the CASE. Parenthesized so call sites can slice/index it directly.
+_SQL_TOKENS = (
+    "(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END)"
+)
+_SQL_NORM_TEXT = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 _SQL_FINGERPRINT = md5_long_sql(_SQL_NORM_TEXT)
 
 
 def _sql_shingles(n: int = 3) -> str:
-    return (
+    """DuckDB twin of ``word_shingles(tokenize(text), n)``. The
+    zero-token guard matches the Spark side exactly: a blank doc
+    yields [] (no shingles), not the ['']-single-shingle the
+    greatest(...,1) floor would fabricate from an empty token list."""
+    inner = (
         f"list_transform(range(1, greatest(len({_SQL_TOKENS}) - {n - 1}, 1) + 1), "
         f"i -> array_to_string({_SQL_TOKENS}[i:i+{n - 1}], ' '))"
     )
+    return f"(CASE WHEN len({_SQL_TOKENS}) = 0 THEN []::VARCHAR[] ELSE {inner} END)"
 
 
 @register(
@@ -85,11 +97,13 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                len({_SQL_TOKENS}) AS n_tokens,
                n_chars,
-               CAST(len({_SQL_TOKENS}) AS DOUBLE)
-                   / len(list_distinct({_SQL_TOKENS})) AS repetition,
-               CASE WHEN length(regexp_replace(text, '\\s', '', 'g')) > 0
-                    THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                         / length(regexp_replace(text, '\\s', '', 'g'))
+               CASE WHEN len({_SQL_TOKENS}) > 0
+                    THEN CAST(len({_SQL_TOKENS}) AS DOUBLE)
+                         / len(list_distinct({_SQL_TOKENS}))
+                    ELSE 0.0 END AS repetition,
+               CASE WHEN length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) > 0
+                    THEN CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+                         / length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g'))
                     ELSE 0.0 END AS punct_ratio
         FROM documents
         ORDER BY doc_id
@@ -106,9 +120,14 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         "n_chars",
-        (F.size(toks).cast("double") / F.size(F.array_distinct(toks))).alias(
-            "repetition"
-        ),
+        # blank doc → 0 tokens: bare division throws under ANSI
+        # (DuckDB x/0 → NULL); both engines pin 0.0
+        F.when(
+            F.size(toks) > 0,
+            F.size(toks).cast("double") / F.size(F.array_distinct(toks)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repetition"),
         punct_ratio("text").alias("punct_ratio"),
     ).orderBy("doc_id")
 
@@ -163,7 +182,7 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_BPE = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+_SQL_BPE = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]'))"
 
 
 @register(

@@ -30,8 +30,9 @@ from bigdata_flightanalysis_spark.sources.readers import read_table
         SELECT doc_id,
                CAST(len(bg) AS BIGINT) AS n_bigrams,
                CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
-               1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
-                   AS rep_ratio
+               CASE WHEN len(bg) > 0
+                    THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                    ELSE 0.0 END AS rep_ratio
         FROM (
             SELECT doc_id, {_sql_shingles(2)} AS bg FROM documents
         )
@@ -53,10 +54,16 @@ def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size("bg").cast("long").alias("n_bigrams"),
             F.size(F.array_distinct("bg")).cast("long").alias("n_distinct"),
-            (
+            # blank doc → 0 bigrams: the bare division THROWS under
+            # Spark 4 ANSI (DuckDB's float x/0 is NULL) — both engines
+            # pin 0.0 explicitly
+            F.when(
+                F.size("bg") > 0,
                 F.lit(1.0)
-                - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")
-            ).alias("rep_ratio"),
+                - F.size(F.array_distinct("bg")).cast("double") / F.size("bg"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rep_ratio"),
         )
         .orderBy("doc_id")
     )
@@ -596,7 +603,7 @@ _STOPWORDS: dict[str, tuple[str, ...]] = {
 def _sql_stopword_case() -> str:
     whens = " ".join(
         "WHEN lang = '{}' THEN len(list_filter({}, t -> t IN ({})))".format(
-            lg, "string_split_regex(trim(text), '\\s+')",
+            lg, _SQL_TOKENS,
             ", ".join(f"'{w}'" for w in ws),
         )
         for lg, ws in sorted(_STOPWORDS.items())
@@ -616,7 +623,7 @@ def _sql_stopword_case() -> str:
                     ELSE 0.0 END AS stopword_ratio
         FROM documents
         ORDER BY doc_id
-    """.replace("{toks}", "string_split_regex(trim(text), '\\s+')"),
+    """.replace("{toks}", _SQL_TOKENS),
     description="Language-aware stopword ratio (the Gopher/C4 quality "
     "signal the score suite was missing: human prose carries a stable "
     "function-word fraction, while boilerplate/gibberish doesn't): "

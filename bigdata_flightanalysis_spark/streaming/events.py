@@ -56,9 +56,17 @@ def events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     installed Spark surfaces for the parquet column (int64 under
     ``nanosAsLong`` on older Sparks, TIMESTAMP_NTZ on 4.x) — a
     hard-coded LongType against an NTZ file silently reads garbage.
-    The probe is footer-only metadata, no data scan."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    The probe is footer-only metadata, no data scan. The legacy
+    ``nanosAsLong`` flag is set only when the probe FAILS on a
+    TIMESTAMP(NANOS) footer (same failure-gated policy as
+    ``sources.readers._read_events``) — setting it unconditionally
+    leaked the flag into every later parquet read on the session."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        return spark.read.parquet(path).schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).schema
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -735,9 +743,17 @@ def cdc_compact_tombstones(
                 "merges by"
             )
         state = spark.read.parquet(path)
-        is_dead_tombstone = (
-            F.col(tombstone_col) == F.lit(tombstone_value)
-        ) & (F.col(order_col) < F.lit(older_than))
+        # eqNullSafe + coalesce: a NULL tombstone_col means LIVE (the
+        # same convention cdc_snapshot pins with eqNullSafe), and a
+        # NULL order_col must not make the predicate NULL — plain ==
+        # turned both into NULL, which where(~NULL) silently DROPPED
+        # from the kept set without counting it in n_drop: an
+        # irreversible GC deleting live keys with no trace.
+        is_dead_tombstone = F.coalesce(
+            F.col(tombstone_col).eqNullSafe(F.lit(tombstone_value))
+            & (F.col(order_col) < F.lit(older_than)),
+            F.lit(False),
+        )
         n_drop = state.where(is_dead_tombstone).count()
         if n_drop:
             _swap_state_dir(state.where(~is_dead_tombstone), path)

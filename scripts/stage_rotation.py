@@ -56,8 +56,21 @@ WINDOW = 50
 # explicit columns, masking the old leak), and profile_table's
 # ANSI-safe min/max rendering (string-identical for in-range doubles;
 # orders_profile, in the window by staleness, exercises the new
-# path). Verified by full 175-query DuckDB parity + determinism sweep
-# at the changed tree. The window
+# path). The fourth review batch fixed latent EDGE semantics (blank/
+# \x0B docs via the _SQL_TOKENS/_sql_shingles macros; NULL values,
+# k=1 groups, tied session boundaries in events) — every affected
+# oracle/query pair re-verified output-identical on the driver's own
+# data by the all-175 parity run, the macro-affected names in-window
+# (doc_token_stats, doc_ngram_topk, doc_chunk_windows,
+# doc_boilerplate_density, doc_minhash_estimate_vs_exact, the BM25
+# four, events_hourly_anomalies, events_approx_quantile_contract)
+# give the driver fresh green rows over the new oracle text, the
+# changed names events_session_windows / doc_repetition_scores /
+# doc_stopword_ratio are already staged below the cut as r15
+# leaders, and the rest (doc_quality_scores, doc_fingerprints,
+# doc_bpe_token_stats, corpus_card) are r13-dated — freshest in the
+# rotation, re-verified here, and due again by r16. Verified by full 175-query
+# DuckDB parity + determinism sweep at the changed tree. The window
 # is pure staleness order (26 r10-dated + 24 oldest r11-dated).
 STAGED_CHANGED: tuple[str, ...] = ()
 

@@ -141,3 +141,116 @@ def test_twopass_equals_window_on_adversarial_data(spark, adversarial_dir):
         ra = sorted(map(tuple, REGISTRY[a].fn(spark, adversarial_dir).collect()))
         rb = sorted(map(tuple, REGISTRY[b].fn(spark, adversarial_dir).collect()))
         assert ra == rb, (a, b)
+
+
+# ---------------------------------------------------------------------------
+# r14 edges: blank/whitespace/\x0B documents and NULL-value /
+# single-bucket / tied-timestamp events (latent in the sf fixtures,
+# which carry none of these shapes).
+# ---------------------------------------------------------------------------
+
+_DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+@pytest.fixture(scope="module")
+def edge_docs_dir(spark, tmp_path_factory):
+    """documents.parquet with: a blank doc, a whitespace-only doc, a
+    vertical-tab separator (Java \\s vs RE2 \\s divergence point), a
+    one-token doc, and ordinary docs."""
+    rows = [
+        (1, "the cat sat on the mat", "en", "s0", 22),
+        (2, "", "en", "s0", 0),                       # blank
+        (3, "   \t  ", "en", "s1", 6),                 # whitespace-only
+        (4, "alpha\x0bbeta gamma", "en", "s1", 16),    # \x0B separator
+        (5, "word", "de", "s0", 4),                    # single token
+        (6, "la la la la", "es", "s1", 11),            # heavy repetition
+    ]
+    base = tmp_path_factory.mktemp("edge_docs")
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.mode("overwrite").parquet(
+        f"{base}/documents.parquet"
+    )
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def edge_docs_duck(edge_docs_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{edge_docs_dir}/documents.parquet/*.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "doc_token_stats",
+        "doc_quality_scores",
+        "doc_repetition_scores",
+        "doc_stopword_ratio",
+        "doc_bpe_token_stats",
+        "doc_fingerprints",
+    ],
+)
+def test_text_edges_match_oracle(name, spark, edge_docs_dir, edge_docs_duck):
+    """Blank docs: DuckDB's raw string_split_regex('') yields ['']
+    while Spark tokenize yields [] — the guarded _SQL_TOKENS macro
+    must keep both engines at 0 tokens (and the guarded divisions at
+    0.0, where bare ANSI division would throw). \\x0B: Java \\s
+    includes it, RE2 \\s does not — both engines now use the same
+    explicit whitespace class (r14 review)."""
+    _compare(name, spark, edge_docs_dir, edge_docs_duck)
+
+
+@pytest.fixture(scope="module")
+def edge_events_dir(spark, tmp_path_factory):
+    """events.parquet with: NULL values mixed into one type, a type
+    whose events all land in ONE hour (k=1 stats group), and two
+    events tied on (user_id, ts) at a session-gap boundary."""
+    rows = []
+    # 'nullmix': 20 rows, 5 NULL values
+    rows += [
+        (100 + i, _t(i), 1, "nullmix", None if i % 4 == 0 else float(i), "{}")
+        for i in range(20)
+    ]
+    # 'onehour': all in one hourly bucket -> k=1, zero variance
+    rows += [(200 + i, _t(5, i), 2, "onehour", 1.0, "{}") for i in range(4)]
+    # tied timestamps at a session boundary: user 9 has two events at
+    # the same ts exactly 30min after its previous event
+    rows += [
+        (300, _t(0), 9, "click", 1.0, "{}"),
+        (301, _t(30), 9, "click", 2.0, "{}"),
+        (302, _t(30), 9, "view", 3.0, "{}"),
+    ]
+    base = tmp_path_factory.mktemp("edge_events")
+    spark.createDataFrame(rows, _SCHEMA).write.mode("overwrite").parquet(
+        f"{base}/events.parquet"
+    )
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def edge_events_duck(edge_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{edge_events_dir}/events.parquet/*.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_hourly_anomalies",       # k=1 group: ANSI div-by-zero guard
+        "events_approx_quantile_contract",  # NULL values: population match
+        "events_session_windows",        # tied ts: oracle tie-break
+    ],
+)
+def test_event_edges_match_oracle(
+    name, spark, edge_events_dir, edge_events_duck
+):
+    _compare(name, spark, edge_events_dir, edge_events_duck)

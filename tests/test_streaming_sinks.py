@@ -916,3 +916,59 @@ def test_upsert_intra_batch_ties_break_deterministically(spark, tmp_path):
             sorted(tuple(r) for r in spark.read.parquet(state).collect())
         )
     assert states[0] == states[1]
+
+
+def test_compaction_keeps_null_tombstone_col_rows(spark, tmp_path):
+    """A row whose tombstone_col is NULL is LIVE (cdc_snapshot's
+    eqNullSafe convention) — compaction classified it with plain ==,
+    making the predicate NULL and silently dropping the row from the
+    kept set WITHOUT counting it in n_drop (r14 review: irreversible
+    loss of live keys)."""
+    from datetime import datetime
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        cdc_compact_tombstones,
+        cdc_snapshot,
+        cdc_upsert_foreach_batch,
+    )
+
+    state = str(tmp_path / "state")
+    sink = cdc_upsert_foreach_batch(
+        state,
+        ["user_id"],
+        order_cols=["ts", "event_id"],
+        tombstone_col="event_type",
+        tombstone_value="error",
+    )
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    sink(
+        spark.createDataFrame(
+            [
+                (1, t.replace(hour=1), 1, None, 1.0, "{}"),     # live, NULL type, OLD
+                (2, t.replace(hour=1), 2, "error", 0.0, "{}"),  # old tombstone
+                (3, t.replace(hour=11), 3, "click", 3.0, "{}"),  # live
+            ],
+            schema,
+        ),
+        0,
+    )
+    n = cdc_compact_tombstones(
+        spark,
+        state,
+        tombstone_col="event_type",
+        tombstone_value="error",
+        order_col="ts",
+        older_than=t.replace(hour=6),
+    )
+    assert n == 1  # only the genuine old tombstone
+    kept = {r["user_id"] for r in spark.read.parquet(state).collect()}
+    assert kept == {1, 3}, kept  # the NULL-typed live row SURVIVES
+    snap = {
+        r["user_id"]
+        for r in cdc_snapshot(spark, state, "event_type", "error").collect()
+    }
+    assert snap == {1, 3}
