@@ -116,6 +116,32 @@ def _bm25_oracle() -> str:
     """
 
 
+def _bm25_score(terms: tuple[str, ...]) -> F.Column:
+    """The BM25 score expression over (tf{i}, df{i}, dl, n_docs,
+    avgdl) columns — ONE definition shared by the inline query and
+    the index-serving path, so the 'served scores are bit-identical
+    to the inline form' claim is structural, not a coincidence of two
+    copies staying character-identical."""
+    half = F.lit(0.5)
+    score = None
+    for i in range(len(terms)):
+        idf = ((F.col("n_docs") - F.col(f"df{i}")).cast("double") + half) / (
+            F.col(f"df{i}").cast("double") + half
+        )
+        tf_d = F.col(f"tf{i}").cast("double")
+        tfpart = (tf_d * F.lit(_K1_PLUS_1)) / (
+            tf_d
+            + F.lit(BM25_K1)
+            * (
+                F.lit(_ONE_MINUS_B)
+                + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+            )
+        )
+        term_score = idf * tfpart
+        score = term_score if score is None else score + term_score
+    return score
+
+
 @register(
     "doc_bm25_topk",
     oracle=_bm25_oracle(),
@@ -137,11 +163,7 @@ def doc_bm25_topk(
     the plan shape (one broadcast stats row, pure-expression scores,
     TakeOrderedAndProject) is term-independent."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        tokenize("text").alias("t"),
-        F.size(tokenize("text")).cast("bigint").alias("dl"),
-    )
+    toks = _toks_of(docs)
 
     stats = toks.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -168,23 +190,7 @@ def doc_bm25_topk(
         ],
     )
 
-    half = F.lit(0.5)
-    score = None
-    for i in range(len(terms)):
-        idf = ((F.col("n_docs") - F.col(f"df{i}")).cast("double") + half) / (
-            F.col(f"df{i}").cast("double") + half
-        )
-        tf_d = F.col(f"tf{i}").cast("double")
-        tfpart = (tf_d * F.lit(_K1_PLUS_1)) / (
-            tf_d
-            + F.lit(BM25_K1)
-            * (
-                F.lit(_ONE_MINUS_B)
-                + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
-            )
-        )
-        term_score = idf * tfpart
-        score = term_score if score is None else score + term_score
+    score = _bm25_score(terms)
 
     return (
         tf.crossJoin(F.broadcast(stats))
@@ -506,7 +512,14 @@ def bm25_index_topk(
             for i, t in enumerate(terms)
         ]
     )
-    doc_stats = spark.read.parquet(f"{index_path}/doc_stats")
+    # Same defensive dedup as compact_text_index: two cross-HOST
+    # refreshes (flock serializes same-host only) can both append a
+    # doc their anti-joins saw as unseen — without the dedup, the dl
+    # join duplicates that doc's candidate rows and it occupies two
+    # of the k served slots with the same score.
+    doc_stats = spark.read.parquet(f"{index_path}/doc_stats").dropDuplicates(
+        ["doc_id"]
+    )
     cand = cand.join(doc_stats, "doc_id")
     corpus = spark.read.parquet(f"{index_path}/corpus_stats").select(
         "n_docs",
@@ -523,23 +536,7 @@ def bm25_index_topk(
         )
     )
 
-    half = F.lit(0.5)
-    score = None
-    for i in range(len(terms)):
-        idf = ((F.col("n_docs") - F.col(f"df{i}")).cast("double") + half) / (
-            F.col(f"df{i}").cast("double") + half
-        )
-        tf_d = F.col(f"tf{i}").cast("double")
-        tfpart = (tf_d * F.lit(_K1_PLUS_1)) / (
-            tf_d
-            + F.lit(BM25_K1)
-            * (
-                F.lit(_ONE_MINUS_B)
-                + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl"))
-            )
-        )
-        term_score = idf * tfpart
-        score = term_score if score is None else score + term_score
+    score = _bm25_score(terms)
 
     return (
         cand.crossJoin(F.broadcast(stats))
@@ -672,9 +669,16 @@ def _refresh_text_index_locked(
     )
     _write_postings(postings, index_path, mode="append")
     fresh.write.mode("append").parquet(f"{index_path}/doc_stats")
-    corpus = spark.read.parquet(f"{index_path}/doc_stats").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sum_dl"),
+    # dedup before the totals for the same cross-host-refresh reason
+    # as the serve path: a doubly-appended doc would otherwise inflate
+    # n_docs/avgdl for every score until a compaction runs
+    corpus = (
+        spark.read.parquet(f"{index_path}/doc_stats")
+        .dropDuplicates(["doc_id"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        )
     )
     corpus.write.mode("overwrite").parquet(f"{index_path}/corpus_stats.new")
     # Two-rename swap with .old recovery (same pattern as the

@@ -23,13 +23,16 @@ from bigdata_flightanalysis_spark.queries.catalog import register
 from bigdata_flightanalysis_spark.sources.readers import read_table
 
 
-def _prepared(emb: DataFrame, *extra: str) -> DataFrame:
+def _prepared(emb: DataFrame, *extra) -> DataFrame:
     """Pair-join preparation: cast the float array to double ONCE per
     row and precompute the L2 norm per VECTOR, so the per-pair work is
     a single bare fold (dot product). Same float ops in the same order
     as the inline form — bit-identical scores, measured 4× faster on
     the bucketed pair join at sf0.1 (the inline form re-casts and
-    re-computes both norms for every pair).
+    re-computes both norms for every pair). ``extra`` takes column
+    names or Column expressions (e.g. a bucket column) — the ONE
+    source of truth for the (e, nrm) expression every ANN query's
+    determinism argument leans on.
     """
     return emb.select(
         "vec_id",
@@ -161,7 +164,13 @@ def _sql_bucket(col: str, n_planes: int = N_PLANES) -> str:
     _check_planes(n_planes)
     bits = []
     for p, plane in enumerate(HYPERPLANES[:n_planes]):
-        lits = "[" + ", ".join(f"{v!r}" for v in plane) + "]"
+        # string→DOUBLE parse, NOT bare literals: DuckDB types a bare
+        # 17-digit literal DECIMAL(18,17), silently losing the final
+        # digit (measured: 6 of plane 0's 64 coefficients round-trip
+        # wrong), so a near-zero dot could flip its sign bit vs
+        # Spark's exact F.lit double — '..'::DOUBLE is correctly
+        # rounded and bit-identical to the Python float
+        lits = "[" + ", ".join(f"'{v!r}'::DOUBLE" for v in plane) + "]"
         dot = _SQL_DOT.format(a=col, b=lits, dim=DIM)
         bits.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
@@ -212,12 +221,8 @@ def _spark_bucket(col: F.Column, n_planes: int = N_PLANES) -> F.Column:
 )
 def embed_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    pre = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-        "label",
-        _spark_bucket(F.col("embedding")).alias("bucket"),
+    pre = _prepared(
+        emb, "label", _spark_bucket(F.col("embedding")).alias("bucket")
     )
     q = pre.filter(F.col("vec_id") < N_QUERIES).alias("q")
     c = pre.alias("c")
@@ -311,10 +316,8 @@ def embed_near_dup_pairs(
 
         n_blocks = 8 if table_bytes(sf_dir, "embeddings") >= PAIR_BLOCKING_BYTES else 1
     emb = read_table(spark, sf_dir, "embeddings")
-    pre = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        l2_norm(F.col("embedding")).alias("nrm"),
+    pre = _prepared(
+        emb,
         _spark_bucket(F.col("embedding"), n_planes).alias("bucket"),
     )
     pairs = blocked_self_pairs(pre, "bucket", "vec_id", n_blocks=n_blocks)
@@ -386,10 +389,8 @@ _DECON_MOD, _DECON_REM = 10, 8
 )
 def embed_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    pre = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        l2_norm(F.col("embedding")).alias("nrm"),
+    pre = _prepared(
+        emb,
         _spark_bucket(F.col("embedding"), NEAR_DUP_PLANES).alias("bucket"),
     )
     is_bench = (F.col("vec_id") % _DECON_MOD) == _DECON_REM
@@ -452,10 +453,8 @@ _EMB_INCR_MOD, _EMB_INCR_REM = 5, 4
 )
 def embed_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    pre = emb.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        l2_norm(F.col("embedding")).alias("nrm"),
+    pre = _prepared(
+        emb,
         _spark_bucket(F.col("embedding"), NEAR_DUP_PLANES).alias("bucket"),
     )
     is_new = (F.col("vec_id") % _EMB_INCR_MOD) == _EMB_INCR_REM
@@ -957,7 +956,10 @@ def quantized_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         "label",
-        (dot / (norm(F.col("qe")) * norm(F.col("ce")))).alias("cosine"),
+        # zero-norm guard (cosine_from_parts): bare 0/0 is NaN, which
+        # DESC-sorts FIRST — a zero vector would outrank every true
+        # neighbor; NULL sorts last like the exact path
+        cosine_from_parts(dot, norm(F.col("qe")), norm(F.col("ce"))).alias("cosine"),
     )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -1131,6 +1133,83 @@ def pq_query_tables(q_by_sub: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+def _pq_adc_rerank(
+    emb: DataFrame, codes: DataFrame, qtables: DataFrame
+) -> DataFrame:
+    """Shared PQ stage-1 (ADC candidate generation) + stage-2 (exact
+    float-cosine rerank) — ONE definition behind both the inline
+    query (:func:`pq_topk_frame`) and the index-serving path
+    (:func:`pq_index_topk`), so their asserted result identity is
+    structural rather than two copies staying character-identical."""
+    adc = (
+        # string aliases, not codes["m"] == qtables["m"]: both frames
+        # can descend from the same emb scan, where the df["col"] form
+        # compares identical expression ids (Spark warns "trivially
+        # true" and falls back to its self-join disambiguation) — the
+        # aliased form states the join condition unambiguously
+        codes.alias("cd")
+        .join(
+            F.broadcast(qtables.alias("qt")),
+            (F.col("cd.m") == F.col("qt.m"))
+            & (F.col("cd.code") == F.col("qt.c")),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        # decimal-exact accumulation: the M dot rows arrive in
+        # shuffle-fetch order, so a plain double sum is merge-order
+        # nondeterministic — candidates at the crn boundary could swap
+        .agg(F.sum(F.col("dot").cast("decimal(38,18)")).cast("double").alias("adc"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    cands = (
+        adc.withColumn("crn", F.row_number().over(w1))
+        .filter(F.col("crn") <= PQ_CAND_MULT * TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("e").alias("ce")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    reranked = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            # zero-norm guard (cosine_from_parts): bare 0/0 is NaN,
+            # which DESC-sorts FIRST — a zero vector would outrank
+            # every true neighbor; NULL sorts last like the exact path
+            cosine_from_parts(dot, norm(F.col("qe")), norm(F.col("ce"))).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    )
+
+
 def pq_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detailed PQ-ADC top-k (query_id, neighbor_id, label, cosine,
     rn). Exposed for tests; the registered query wraps it in the
@@ -1164,73 +1243,8 @@ def pq_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     qtables = pq_query_tables(
         by_sub.filter(F.col("vec_id") < N_QUERIES), cb
     )
-    # stage 1: ADC scores — M lookup rows per (query, candidate),
-    # summed with map-side combine
-    adc = (
-        # string aliases, not codes["m"] == qtables["m"]: both frames
-        # descend from the same emb scan, so the df["col"] form compares
-        # identical expression ids (Spark warns "trivially true" and
-        # falls back to its self-join disambiguation) — the aliased form
-        # states the join condition unambiguously
-        codes.alias("cd")
-        .join(
-            F.broadcast(qtables.alias("qt")),
-            (F.col("cd.m") == F.col("qt.m"))
-            & (F.col("cd.code") == F.col("qt.c")),
-        )
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("dot").alias("adc"))
-    )
-    cand_k = PQ_CAND_MULT * TOP_K
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("neighbor_id").asc()
-    )
-    cands = (
-        adc.withColumn("crn", F.row_number().over(w1))
-        .filter(F.col("crn") <= cand_k)
-        .select("query_id", "neighbor_id")
-    )
-    # stage 2: exact float cosine rerank of the survivors only
-    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    cv = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "label",
-        F.col("e").alias("ce"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qe", "ce", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    reranked = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "label",
-            (dot / (norm(F.col("qe")) * norm(F.col("ce")))).alias("cosine"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        reranked.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "label", "cosine", "rn")
-        .orderBy("query_id", "rn")
-    )
+    # stage 1 (ADC) + stage 2 (exact rerank): the shared helper
+    return _pq_adc_rerank(emb, codes, qtables)
 
 
 @register(
@@ -1299,64 +1313,4 @@ def pq_index_topk(
     qtables = pq_query_tables(
         pq_subspace_rows(emb.filter(F.col("vec_id") < N_QUERIES)), cb
     )
-    adc = (
-        # string aliases, not codes["m"] == qtables["m"]: both frames
-        # descend from the same emb scan, so the df["col"] form compares
-        # identical expression ids (Spark warns "trivially true" and
-        # falls back to its self-join disambiguation) — the aliased form
-        # states the join condition unambiguously
-        codes.alias("cd")
-        .join(
-            F.broadcast(qtables.alias("qt")),
-            (F.col("cd.m") == F.col("qt.m"))
-            & (F.col("cd.code") == F.col("qt.c")),
-        )
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("dot").alias("adc"))
-    )
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("neighbor_id").asc()
-    )
-    cands = (
-        adc.withColumn("crn", F.row_number().over(w1))
-        .filter(F.col("crn") <= PQ_CAND_MULT * TOP_K)
-        .select("query_id", "neighbor_id")
-    )
-    qv = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
-    )
-    cv = emb.select(
-        F.col("vec_id").alias("neighbor_id"), "label", F.col("e").alias("ce")
-    )
-    dot = F.aggregate(
-        F.zip_with("qe", "ce", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    reranked = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "label",
-            (dot / (norm(F.col("qe")) * norm(F.col("ce")))).alias("cosine"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        reranked.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "label", "cosine", "rn")
-        .orderBy("query_id", "rn")
-    )
+    return _pq_adc_rerank(emb, codes, qtables)

@@ -690,7 +690,12 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT l_suppkey
             FROM (
                 SELECT l_suppkey, pair_qty,
-                       SUM(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty
+                       -- decimal-exact window sum (dsum doctrine): a
+                       -- plain double SUM is merge-order dependent,
+                       -- so a supplier at exactly half a part's flow
+                       -- could flip across engines/runs
+                       CAST(SUM(CAST(pair_qty AS DECIMAL(38,6)))
+                            OVER (PARTITION BY l_partkey) AS DOUBLE) AS part_qty
                 FROM flows
             )
             WHERE pair_qty > 0.5 * part_qty
@@ -734,7 +739,12 @@ def q20_heavy_flow_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("l_partkey")
     heavy = (
-        flows.withColumn("part_qty", F.sum("pair_qty").over(w))
+        flows.withColumn(
+            "part_qty",
+            F.sum(F.col("pair_qty").cast("decimal(38,6)"))
+            .over(w)
+            .cast("double"),
+        )
         .filter(F.col("pair_qty") > F.lit(0.5) * F.col("part_qty"))
         .select("l_suppkey")
     )

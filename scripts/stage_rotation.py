@@ -69,7 +69,14 @@ WINDOW = 50
 # doc_stopword_ratio are already staged below the cut as r15
 # leaders, and the rest (doc_quality_scores, doc_fingerprints,
 # doc_bpe_token_stats, corpus_card) are r13-dated — freshest in the
-# rotation, re-verified here, and due again by r16. Verified by full 175-query
+# rotation, re-verified here, and due again by r16. The fifth batch
+# (ANN/retrieval/tpch determinism: decimal ADC sums, zero-norm rerank
+# guards, DuckDB plane-literal DOUBLE parse, q20 decimal window,
+# BM25 doc_stats dedup at serve) is likewise output-identical on
+# driver data, with embed_cosine_topk and the four BM25 lifecycle
+# entries in-window, embed_lsh_topk / embed_near_dup_pairs /
+# embed_decontamination staged as r15 leaders, and the PQ/int8
+# family r13-dated. Verified by full 175-query
 # DuckDB parity + determinism sweep at the changed tree. The window
 # is pure staleness order (26 r10-dated + 24 oldest r11-dated).
 STAGED_CHANGED: tuple[str, ...] = ()

@@ -1120,3 +1120,32 @@ def test_index_maintenance_serializes_refresh_against_compact(spark, tmp_path):
     assert got == expect
     n_docs = spark.read.parquet(f"{idx}/doc_stats").select("doc_id").distinct().count()
     assert n_docs == docs.count()  # zero lost docs
+
+
+def test_bm25_serve_tolerates_duplicate_doc_stats(spark, tmp_path):
+    """Cross-host refreshes (flock serializes same-host only) can both
+    append a doc their anti-joins saw as unseen. The serve path must
+    dedup doc_stats like compact does — without it the duplicated doc
+    occupies two of the k served slots and the refresh-recomputed
+    corpus totals inflate n_docs/avgdl (r14 review)."""
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index,
+        doc_bm25_topk,
+    )
+
+    idx = str(tmp_path / "bm25_index")
+    build_text_index(spark, SF, idx)
+    # simulate the racing-refresh state: re-append one served doc's
+    # doc_stats row verbatim
+    stats = spark.read.parquet(f"{idx}/doc_stats")
+    served = bm25_index_topk(spark, idx).collect()
+    dup_id = served[0]["doc_id"]
+    stats.where(F.col("doc_id") == dup_id).write.mode("append").parquet(
+        f"{idx}/doc_stats"
+    )
+    again = [tuple(r) for r in bm25_index_topk(spark, idx).collect()]
+    inline = [tuple(r) for r in doc_bm25_topk(spark, SF).collect()]
+    assert again == inline  # no duplicated slot, scores unchanged
+    ids = [r[0] for r in again]
+    assert len(ids) == len(set(ids))
