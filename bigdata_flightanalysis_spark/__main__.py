@@ -31,7 +31,12 @@ def main(argv: list[str] | None = None) -> None:
     p_run.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p_run.add_argument("--limit", type=int, default=20)
     p_run.add_argument(
-        "--explain", action="store_true", help="print the physical plan instead"
+        "--explain",
+        action="store_true",
+        help="print the physical plan instead of rows (note: iterative "
+        "queries — dedup clustering, pagerank, k-core — execute their "
+        "checkpointed rounds while BUILDING the frame, so only the "
+        "final fragment's plan prints and the build is not free)",
     )
 
     args = parser.parse_args(argv)

@@ -88,8 +88,18 @@ def _fsck_index(index_path: str, heal: bool) -> list[dict]:
     if heal:
         from bigdata_flightanalysis_spark.util import path_lock
 
-        with path_lock(index_path):
-            return _fsck_index_unlocked(index_path, heal)
+        try:
+            with path_lock(index_path):
+                return _fsck_index_unlocked(index_path, heal)
+        except OSError as exc:
+            return [
+                _finding(
+                    index_path,
+                    f"heal failed: {exc}",
+                    "fix permissions and re-run",
+                    False,
+                )
+            ]
     return _fsck_index_unlocked(index_path, heal)
 
 
@@ -128,7 +138,24 @@ def _fsck_index_unlocked(index_path: str, heal: bool) -> list[dict]:
             _recover_corpus_stats,
         )
 
-        _recover_corpus_stats(index_path)
+        try:
+            _recover_corpus_stats(index_path)
+        except OSError as exc:
+            for f in findings:
+                f["healed"] = False
+                f["issue"] += f" (heal failed: {exc})"
+        else:
+            # verify from post-heal disk state (see _fsck_generic)
+            for f in findings:
+                if f["action"] in ("remove",):
+                    f["healed"] = not os.path.lexists(f["path"])
+                elif f["action"] == "promote":
+                    f["healed"] = not os.path.exists(f["path"])
+                elif f["action"] == "restore to live path":
+                    live = f["path"][: -len(".old")]
+                    f["healed"] = os.path.exists(live) and not os.path.exists(
+                        f["path"]
+                    )
     # after (or instead of) healing: a torn build is detectable but not
     # mechanically healable — postings for the listed docs are gone
     doc_stats = os.path.join(index_path, "doc_stats")
@@ -214,9 +241,35 @@ def _fsck_generic(parent: str, entries: list[str], heal: bool) -> list[dict]:
             # residue healed meanwhile simply yields no finding.
             if not os.path.isdir(parent):
                 break
-            with _store_lock(store):
-                findings.extend(_classify_layout(store, healed=True))
-                _recover_store_dir(store)
+            try:
+                with _store_lock(store):
+                    layout = _classify_layout(store, healed=False)
+                    _recover_store_dir(store)
+            except OSError as exc:
+                # a read-only tree / foreign-uid layout must degrade to
+                # an unhealed finding, not kill the whole walk — fsck's
+                # job is the report
+                findings.append(
+                    _finding(
+                        store,
+                        f"heal failed: {exc}",
+                        "fix permissions and re-run",
+                        False,
+                    )
+                )
+                continue
+            # healed is VERIFIED from post-heal disk state, not assumed:
+            # rmtree(ignore_errors) can silently fail (it no-ops on a
+            # file-shaped residue pre-r14), and an 'always healed'
+            # report would recur identically on every run
+            for f in layout:
+                if f["action"] == "remove":
+                    f["healed"] = not os.path.lexists(f["path"])
+                else:  # restore to live path
+                    f["healed"] = os.path.exists(store) and not os.path.exists(
+                        store + ".old"
+                    )
+            findings.extend(layout)
         else:
             findings.extend(_classify_layout(store, healed=False))
     return findings

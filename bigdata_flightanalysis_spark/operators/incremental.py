@@ -72,6 +72,88 @@ def fingerprint_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _batch_fingerprint(batch_unique: DataFrame) -> str:
+    """Order-independent identity of an ingest batch: (count,
+    xor-of-xxhash64) over its within-batch-unique fingerprints.
+    Deterministic for a replayed batch, computed BEFORE the store
+    anti-join so it does not depend on store state."""
+    row = batch_unique.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("fp")), F.lit(0)).alias("h"),
+    ).first()
+    return f"{row['n']}-{row['h'] & (1 << 64) - 1:016x}"
+
+
+def _finalize_pending_fps(
+    spark: SparkSession, state_path: str, pending: str, content_fp: str
+) -> None:
+    """Land the staged batch's fingerprints in the live store as ONE
+    deterministically-named file (``ingest-<bid>.parquet``): the
+    single os.rename is atomic (no torn multi-file append; the name
+    keys on the CONTENT fingerprint, so it is stable across replays),
+    and a replay that finds the target already present skips — no
+    duplicate files. (Duplicate fp ROWS would be harmless anyway — the store is
+    a seen-set probed by left_anti — but idempotent naming keeps
+    replays from growing the store.)"""
+    import glob as _glob
+    import shutil as _shutil
+
+    target = os.path.join(state_path, f"ingest-{content_fp}.parquet")
+    if os.path.exists(target):
+        return
+    tmp = pending + ".fpout"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(pending).select("fp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    os.makedirs(state_path, exist_ok=True)
+    os.rename(_glob.glob(f"{tmp}/part-*.parquet")[0], target)
+    _shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _recover_pending_batch(
+    spark: SparkSession,
+    state_path: str,
+    pending: str,
+    bid_key: str,
+    content_fp: str,
+):
+    """Replay detection for :func:`incremental_exact_dedup`
+    (exactly-once mode): if the pending staging belongs to THIS batch
+    (same ``batch_id`` AND same content fingerprint) and committed
+    completely, the call is a replay — re-land the fps idempotently
+    and return the RECORDED survivor ids (the anti-join would see the
+    batch's own fps in the store and silently emit nothing, the
+    r14-review data-loss window). An incomplete staging, one from a
+    DIFFERENT (abandoned) batch, or a replayed id whose content
+    changed (out of contract) is discarded — the store is exactly as
+    if that staging never started."""
+    import shutil as _shutil
+
+    from bigdata_flightanalysis_spark.util import read_sidecar
+
+    meta = read_sidecar(pending + ".meta.json")
+    complete = os.path.exists(os.path.join(pending, "_SUCCESS"))
+    if (
+        not (os.path.exists(pending) and complete and meta)
+        or meta.get("batch") != bid_key
+        or meta.get("content") != content_fp
+    ):
+        _shutil.rmtree(pending, ignore_errors=True)
+        _discard(pending + ".meta.json")
+        return None
+    _finalize_pending_fps(spark, state_path, pending, content_fp)
+    return spark.read.parquet(pending).select("id")
+
+
+def _discard(path: str) -> None:
+    try:
+        os.remove(path)
+    except OSError:
+        pass
+
+
+
 @_serialized_on_store
 def incremental_exact_dedup(
     spark: SparkSession,
@@ -80,6 +162,7 @@ def incremental_exact_dedup(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_id: int | str | None = None,
 ) -> DataFrame:
     """Return the subset of ``new_docs`` not seen before (exact text
     dedup), and extend the fingerprint store with the survivors.
@@ -90,9 +173,27 @@ def incremental_exact_dedup(
     2. cross-history dedup — LEFT ANTI join against the store on the
        fingerprint key (at scale: the store is bucketed by fp so this
        is a shuffle-free merge per bucket);
-    3. append the survivors' fingerprints (append mode — the store
-       only grows, and replaying a FAILED batch before its append
-       committed is safe: survivors are recomputed identically).
+    3. land the survivors' fingerprints as ONE atomically-renamed
+       store file (never a torn multi-file append, r14 review).
+
+    Delivery semantics depend on ``batch_id``:
+
+    - ``batch_id=None`` (content-dedup mode): a resubmitted
+      identical-content batch returns EMPTY — its fps are already in
+      the store. At-most-once under crash replay: a crash after the
+      (atomic) landing but before the caller consumed the survivors
+      loses that delivery, the documented trade; a crash BEFORE the
+      landing is fully safe (nothing landed, replay recomputes the
+      identical survivors).
+    - ``batch_id=<epoch id>`` (exactly-once mode — pass foreachBatch's
+      ``batch_id``): survivors (fp, id) are staged under the batch id
+      before the landing and retained until the NEXT batch, so a
+      replay of the same batch id RE-EMITS the recorded survivors at
+      every crash point (the bare anti-join would see the batch's own
+      landed fps and silently emit nothing — permanent doc loss). A
+      replayed id with CHANGED content (out of contract) is processed
+      as a new batch; duplicate-content batches under NEW ids still
+      dedup to empty.
 
     Input contract: ``id_col`` is unique per batch row. The final
     semi-join maps survivors back to full rows BY ID, so a malformed
@@ -130,13 +231,67 @@ def incremental_exact_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    content_fp = _batch_fingerprint(batch_unique)
+    pending = state_path + ".pending"
+    if batch_id is not None:
+        # Replay detection BEFORE the anti-join: a replayed batch
+        # whose previous attempt staged (and possibly landed) its fps
+        # would otherwise anti-join its own fingerprints and silently
+        # emit nothing — permanent loss of those documents downstream.
+        recorded = _recover_pending_batch(
+            spark, state_path, pending, str(batch_id), content_fp
+        )
+        if recorded is not None:
+            _record_store_meta(state_path, _FP_SCHEME)
+            return new_docs.join(
+                recorded.select(F.col("id").alias(id_col)),
+                id_col,
+                "left_semi",
+            )
     if os.path.exists(state_path):
         seen = spark.read.parquet(state_path)
         fresh = batch_unique.join(seen, "fp", "left_anti")
     else:
         fresh = batch_unique
     fresh = fresh.localCheckpoint(eager=True)
-    fresh.select("fp").write.mode("append").parquet(state_path)
+    if batch_id is not None:
+        # Stage (fp, id) + batch marker, THEN land the fps as one
+        # atomic file. Meta is written only after the staging job
+        # commits, so a torn staging has no marker and is discarded on
+        # replay; the staging (with the survivor ids) is retained
+        # until the NEXT batch arrives, so a replay at ANY later
+        # crash point — including after the fps landed — re-emits the
+        # same survivors instead of dropping them.
+        import shutil as _shutil
+
+        from bigdata_flightanalysis_spark.util import stamp_sidecar
+
+        _discard(pending + ".meta.json")
+        _shutil.rmtree(pending, ignore_errors=True)
+        fresh.select("fp", "id").coalesce(1).write.mode("overwrite").parquet(
+            pending
+        )
+        stamp_sidecar(
+            pending + ".meta.json",
+            {"batch": str(batch_id), "content": content_fp},
+            overwrite=True,
+        )
+        _finalize_pending_fps(spark, state_path, pending, content_fp)
+    else:
+        # content-dedup mode: no staging, but the landing is still the
+        # single atomic rename — a crash can never leave a torn
+        # multi-file append for the replay to anti-join against
+        tmp = pending + ".fpout"
+        import glob as _glob
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp, ignore_errors=True)
+        fresh.select("fp").coalesce(1).write.mode("overwrite").parquet(tmp)
+        target = os.path.join(state_path, f"ingest-{content_fp}.parquet")
+        os.makedirs(state_path, exist_ok=True)
+        if not os.path.exists(target):
+            os.rename(_glob.glob(f"{tmp}/part-*.parquet")[0], target)
+        _shutil.rmtree(tmp, ignore_errors=True)
     _record_store_meta(state_path, _FP_SCHEME)
     return new_docs.join(
         fresh.select(F.col("id").alias(id_col)), id_col, "left_semi"
@@ -491,15 +646,12 @@ def _recover_store_dir(store_path: str) -> None:
     this hook hold the same lock, so a ``.staging`` seen here is
     never in-flight (the lock's flock layer enforces this across
     processes on the same host; multi-host maintenance still needs
-    an external coordinator)."""
-    import shutil
+    an external coordinator). Delegates to the shared
+    :func:`util.recover_layout` — fsck and the streaming sinks heal
+    through the same rule, so the logic must have ONE home."""
+    from bigdata_flightanalysis_spark.util import recover_layout
 
-    old = store_path + ".old"
-    if not os.path.exists(store_path) and os.path.exists(old):
-        os.rename(old, store_path)
-    elif os.path.exists(store_path):
-        shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(store_path + ".staging", ignore_errors=True)
+    recover_layout(store_path)
 
 
 @_serialized_on_store

@@ -27,6 +27,7 @@ from bigdata_flightanalysis_spark.functions.text import (
     token_count,
     tokenize,
     word_shingles,
+    stopword_hits,
 )
 from bigdata_flightanalysis_spark.queries.catalog import register
 from bigdata_flightanalysis_spark.sources.readers import read_table
@@ -272,14 +273,10 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize("text")
     langs = sorted(LANG_STOPWORDS)  # de, en, es, fr, zh
 
-    def hits(lang: str):
-        stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
-        return F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
-
     scored = docs.select(
         "doc_id",
         F.col("lang").alias("actual_lang"),
-        *[hits(lg).alias(f"hits_{lg}") for lg in langs],
+        *[stopword_hits(toks, lg).alias(f"hits_{lg}") for lg in langs],
     )
     # Chained argmax identical to the oracle's CASE: earlier (alphabetical)
     # languages win ties.
@@ -743,7 +740,11 @@ def doc_jaccard_pairs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            (inter.cast("double") / union).alias("jaccard"),
+            # two blank docs → union=0: bare division throws under
+            # Spark 4 ANSI while DuckDB's x/0 returns NULL — pin NULL
+            # on both engines (a pair with no shingles has no defined
+            # similarity)
+            F.when(union > 0, inter.cast("double") / union).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")
     )

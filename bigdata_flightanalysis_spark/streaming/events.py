@@ -486,13 +486,12 @@ def _recover_state_dir(path: str) -> None:
     state dir it persists at full state size — the same residue class
     the store recovery reclaims. Callers hold the state's maintenance
     lock, so a ``.staging`` seen here is never in-flight (same-host;
-    multi-host still needs an external coordinator)."""
-    old = path + ".old"
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
-    elif os.path.exists(path):
-        shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(path + ".staging", ignore_errors=True)
+    multi-host still needs an external coordinator). Delegates to the
+    shared :func:`util.recover_layout` — one rule for stores, state
+    dirs, and fsck."""
+    from bigdata_flightanalysis_spark.util import recover_layout
+
+    recover_layout(path)
 
 
 def _swap_state_dir(merged: DataFrame, path: str) -> None:

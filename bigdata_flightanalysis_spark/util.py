@@ -325,3 +325,35 @@ def remove_layout(path: str) -> None:
                     _PATH_LOCKS.pop(key, None)
             finally:
                 existing._rlock.release()
+
+
+def _remove_any(path: str) -> None:
+    """Best-effort removal of a residue PATH of any shape: a real dir
+    via rmtree, a plain file or symlink via os.remove — rmtree with
+    ignore_errors silently no-ops on a file, which made fsck report a
+    file-shaped ``.old``/``.staging`` as healed forever."""
+    import shutil
+
+    if os.path.isdir(path) and not os.path.islink(path):
+        shutil.rmtree(path, ignore_errors=True)
+    else:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
+def recover_layout(path: str) -> None:
+    """Close the two-rename crash window of a swap-protocol layout
+    (stores, streaming state dirs): no live dir but a complete
+    ``.old`` → rename it back; a ``.old`` next to a healthy live dir
+    and any orphaned ``.staging`` are removed (file-shaped residue
+    included). ONE definition shared by the incremental stores, the
+    streaming sinks, and fsck — their recovery rules must never
+    diverge (fsck heals streaming state through the same hook)."""
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    elif os.path.exists(path):
+        _remove_any(old)
+    _remove_any(path + ".staging")

@@ -76,7 +76,10 @@ WINDOW = 50
 # driver data, with embed_cosine_topk and the four BM25 lifecycle
 # entries in-window, embed_lsh_topk / embed_near_dup_pairs /
 # embed_decontamination staged as r15 leaders, and the PQ/int8
-# family r13-dated. Verified by full 175-query
+# family r13-dated. The sixth batch (exactly-once exact-dedup ingest,
+# fsck heal verification, jaccard/langid edges) changes only
+# in-window names (doc_jaccard_pairs_sample, doc_langid) plus
+# non-registry store machinery. Verified by full 175-query
 # DuckDB parity + determinism sweep at the changed tree. The window
 # is pure staleness order (26 r10-dated + 24 oldest r11-dated).
 STAGED_CHANGED: tuple[str, ...] = ()

@@ -192,6 +192,8 @@ def edge_docs_duck(edge_docs_dir):
         "doc_stopword_ratio",
         "doc_bpe_token_stats",
         "doc_fingerprints",
+        "doc_jaccard_pairs_sample",
+        "doc_langid",
     ],
 )
 def test_text_edges_match_oracle(name, spark, edge_docs_dir, edge_docs_duck):

@@ -500,3 +500,28 @@ def test_fsck_tolerates_dirs_vanishing_mid_walk(tmp_path, monkeypatch):
     assert all("ephemeral" not in f["path"] for f in findings)
     assert os.path.exists(f"{root}/store_b")  # .old restored to live
     assert not os.path.exists(doomed)  # and nothing resurrected it
+
+
+def test_fsck_removes_file_shaped_residue(tmp_path):
+    """A plain FILE named <store>.old or <store>.staging: rmtree with
+    ignore_errors silently no-ops on files, so fsck used to report
+    'healed' forever while the residue persisted (r14 review). The
+    shared recover_layout removes files too, and healed status is now
+    VERIFIED from post-heal disk state."""
+    import os
+
+    from bigdata_flightanalysis_spark.fsck import fsck_tree
+
+    store = tmp_path / "store"
+    store.mkdir()
+    (store / "part-0.parquet").write_bytes(b"x")
+    (tmp_path / "store.old").write_bytes(b"stray")       # FILE, not dir
+    (tmp_path / "store.staging").write_bytes(b"stray")   # FILE, not dir
+
+    findings = fsck_tree(str(tmp_path), heal=True)
+    assert len(findings) == 2
+    assert all(f["healed"] for f in findings), findings
+    assert not os.path.lexists(tmp_path / "store.old")
+    assert not os.path.lexists(tmp_path / "store.staging")
+    # second run: clean tree, no recurring findings
+    assert fsck_tree(str(tmp_path), heal=True) == []

@@ -111,7 +111,9 @@ def test_streaming_ingest_with_incremental_dedup(spark, tmp_path):
     corpus = str(tmp_path / "clean_corpus")
 
     def ingest(batch_df, batch_id):
-        kept = incremental_exact_dedup(spark, batch_df, state)
+        # foreachBatch's epoch id makes the ingest exactly-once: a
+        # crash-replayed batch re-emits its recorded survivors
+        kept = incremental_exact_dedup(spark, batch_df, state, batch_id=batch_id)
         kept.write.mode("append").parquet(corpus)
 
     stream = (
@@ -1054,3 +1056,54 @@ def test_compact_flat_store_refuses_partitioned_embed_store(spark, tmp_path):
     incremental_embed_near_dup_pairs(spark, emb, store)
     with _pytest.raises(ValueError, match="compact_embed_store"):
         compact_flat_store(spark, store)
+
+
+def test_exact_dedup_batch_id_replay_reemits_survivors(spark, tmp_path):
+    """Exactly-once mode (batch_id passed): a replay of the SAME batch
+    id must RE-EMIT the recorded survivors even though its fps already
+    landed — the bare anti-join would return empty and the documents
+    would be permanently lost downstream (r14 review). Duplicate
+    content under a NEW batch id still dedups to empty."""
+    import os as _os
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    state = str(tmp_path / "fp_store_eo")
+    b1 = docs.filter(F.col("doc_id") < 40)
+
+    kept1 = sorted(r["doc_id"] for r in
+                   incremental_exact_dedup(spark, b1, state, batch_id=0).collect())
+    assert kept1
+    # crash-replay of batch 0 (fps are in the store; pending retained)
+    replay = sorted(r["doc_id"] for r in
+                    incremental_exact_dedup(spark, b1, state, batch_id=0).collect())
+    assert replay == kept1  # same survivors re-emitted, not []
+    # the landing is idempotent: exactly one ingest file for batch 0
+    files = [f for f in _os.listdir(state) if f.startswith("ingest-")]
+    assert len(files) == 1
+    # same content under a NEW batch id: dedup semantics hold
+    dup = incremental_exact_dedup(spark, b1, state, batch_id=1)
+    assert dup.count() == 0
+    # next real batch proceeds normally
+    b2 = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+    kept2 = incremental_exact_dedup(spark, b2, state, batch_id=2)
+    assert kept2.count() > 0
+
+
+def test_exact_dedup_torn_staging_is_discarded(spark, tmp_path):
+    """A staging without its meta marker (crash between the staging
+    job commit and the marker write) must be discarded: the fps never
+    landed, so the replay recomputes identical survivors."""
+    import shutil
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    state = str(tmp_path / "fp_store_torn")
+    b1 = docs.filter(F.col("doc_id") < 30)
+    kept1 = incremental_exact_dedup(spark, b1, state, batch_id=0)
+    n1 = kept1.count()
+    # simulate the torn state: marker missing, fps not landed
+    import os as _os
+
+    _os.remove(state + ".pending.meta.json")
+    shutil.rmtree(state)
+    replay = incremental_exact_dedup(spark, b1, state, batch_id=0)
+    assert replay.count() == n1  # recomputed identically, not dropped
