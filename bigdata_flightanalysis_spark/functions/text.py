@@ -24,12 +24,22 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def normalize_text(col: Column | str) -> Column:
-    """Lowercase, collapse whitespace, trim — the canonical dedup key."""
+    """Lowercase, collapse whitespace, trim — the canonical dedup key.
+
+    Two unicode case foldings are pinned explicitly because Java and
+    DuckDB lowercase them differently (measured): Turkish dotted
+    İ (U+0130) — Java yields i+COMBINING DOT, DuckDB plain i — is
+    pre-folded to plain i, and Greek final sigma ς (Java applies the
+    contextual rule, DuckDB does not) is post-folded to σ, the
+    standard search-engine normalization. Without these, a Turkish or
+    Greek doc's fingerprint diverges between the engine and its
+    oracle."""
     col = F.col(col) if isinstance(col, str) else col
+    lowered = F.translate(F.lower(F.translate(col, "İ", "i")), "ς", "σ")
     # whitespace class spelled out: Java \s includes \x0B, RE2 (DuckDB)
     # \s does not — shorthand classes diverge across the two engines,
     # so every cross-engine regex uses the same explicit class
-    return F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\x0B\f\r]+", " "))
+    return F.trim(F.regexp_replace(lowered, r"[ \t\n\x0B\f\r]+", " "))
 
 
 def tokenize(col: Column | str) -> Column:

@@ -190,7 +190,8 @@ def doc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CARD_SQL_TOKENS = "string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')"
 _CARD_SQL_FP = (
     "CAST(('0x' || substr(md5("
-    "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+    "trim(regexp_replace(replace(lower(replace(text, 'İ', 'i')), 'ς', 'σ'),"
+    " '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
     "), 1, 15)) AS BIGINT)"
 )
 

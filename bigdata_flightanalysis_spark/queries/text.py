@@ -43,7 +43,11 @@ _SQL_TOKENS = (
     "(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
     "ELSE string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END)"
 )
-_SQL_NORM_TEXT = "trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+# same İ/ς case-folding pins as functions.text.normalize_text
+_SQL_NORM_TEXT = (
+    "trim(regexp_replace(replace(lower(replace(text, 'İ', 'i')), 'ς', 'σ'),"
+    " '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+)
 _SQL_FINGERPRINT = md5_long_sql(_SQL_NORM_TEXT)
 
 
