@@ -96,3 +96,92 @@ def test_text_primitives_match_duckdb_on_adversarial_strings(spark):
         assert s["fp"] == fp, f"{label}: fingerprint"
         assert list(s["sh"]) == list(sh), f"{label}: shingles {s['sh']} vs {sh}"
         assert s["nbpe"] == nbpe, f"{label}: bpe {s['nbpe']} vs {nbpe}"
+
+
+def test_vector_primitives_match_duckdb_on_adversarial_vectors(spark):
+    """Same differential harness for the ANN twins: zero vectors,
+    negative zeros, denormal-scale and near-float-max magnitudes,
+    alternating signs — cosine (with its zero-norm NULL guard), the
+    LSH bucket bits, and the minhash permutation family must agree
+    exactly between Spark and DuckDB."""
+    from bigdata_flightanalysis_spark.functions.text import (
+        _perm_constants,
+        minhash_perm,
+        minhash_perm_sql,
+    )
+    from bigdata_flightanalysis_spark.functions.vector import (
+        cosine_from_parts,
+        l2_norm,
+    )
+    from bigdata_flightanalysis_spark.queries.similarity import (
+        _spark_bucket,
+        _sql_bucket,
+        _sql_cosine,
+    )
+
+    vecs = [
+        [0.0] * 64,
+        [-0.0] * 64,
+        [1e-38] * 64,
+        [3e38] + [0.0] * 63,
+        [1.0] * 64,
+        [(-1.0) ** i * (i + 1) / 64 for i in range(64)],
+        [1e-20] * 64,
+    ]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    pre = df.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sp_cos = {
+        (r["qa"], r["qb"]): r["cos"]
+        for r in a.crossJoin(b)
+        .select(
+            F.col("a.vec_id").alias("qa"),
+            F.col("b.vec_id").alias("qb"),
+            cosine_from_parts(dot, F.col("a.nrm"), F.col("b.nrm")).alias("cos"),
+        )
+        .collect()
+    }
+    sp_bucket = {r["vec_id"]: r["bucket"] for r in pre.collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings(vec_id INT, embedding FLOAT[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    for qa, qb, cos in con.execute(
+        f"""SELECT a.vec_id, b.vec_id,
+                   {_sql_cosine("a.embedding", "b.embedding")}
+            FROM embeddings a CROSS JOIN embeddings b"""
+    ).fetchall():
+        assert sp_cos[(qa, qb)] == cos, (qa, qb, sp_cos[(qa, qb)], cos)
+    for vid, bucket in con.execute(
+        f"SELECT vec_id, {_sql_bucket('embedding')} FROM embeddings"
+    ).fetchall():
+        assert sp_bucket[vid] == bucket, (vid, sp_bucket[vid], bucket)
+
+    # minhash permutation family over boundary base hashes (the real
+    # oracles feed a BIGINT md5 cast, so the probe must too — a bare
+    # small literal would type INT32 in DuckDB and overflow)
+    bases = [0, 1, (1 << 60) - 1, (1 << 59) + 12345, 777]
+    bdf = spark.createDataFrame([(x,) for x in bases], "h bigint")
+    for const in _perm_constants(4):
+        sp_perm = [
+            r["p"] for r in bdf.select(minhash_perm(F.col("h"), const).alias("p")).collect()
+        ]
+        dk_perm = [
+            con.execute(
+                f"SELECT {minhash_perm_sql(f'CAST({x} AS BIGINT)', const)}"
+            ).fetchone()[0]
+            for x in bases
+        ]
+        assert sp_perm == dk_perm, const
+    con.close()
