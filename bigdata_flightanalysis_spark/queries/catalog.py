@@ -55,76 +55,26 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-14 rotation (scripts/stage_rotation.py computed it; validated
-# with --check after restaging). After r13, per-query newest-driver-row
-# dates: 26 at r10 (the oldest), 50 at r11, 49 at r12, 50 at r13; all
-# 175 green at their newest row. No query code changed this round, so
-# the window is pure staleness order: (1) the 26 r10-dated rows;
-# (2) backfill with the 24 OLDEST (alphabetically-first) of the 50
-# r11-dated rows. Window = 26 + 24 = 50 — exactly the set the r13
-# comment staged below its cut. The remaining 26 r11-dated names plus
-# the 24 oldest r12-dated names are listed below the cut and lead the
-# r15 window; steady state holds (after this window lands nothing is
-# older than r11).
+# Round-15 rotation (scripts/stage_rotation.py computed it; validated
+# with --check after restaging). After r14, per-query newest-driver-row
+# dates: 26 at r11 (the oldest), 49 at r12, 50 at r13, 50 at r14; all
+# 175 green at their newest row. The round's code changes (ADVICE
+# items in operators/incremental.py, operators/graph.py,
+# operators/checkpointing.py, pipeline/flights.py) are output-identical
+# for every registry query — error-path guards, eager-materialization
+# of an already-correct frame, cache unpersists, and a rename of an
+# internal join key none of the three assign_components callers can
+# observe (each selects explicit columns) — so the window is pure
+# staleness order: (1) the 26 r11-dated rows; (2) backfill with the 24
+# alphabetically-first r12-dated rows. Window = 26 + 24 = 50 — exactly
+# the set the r14 comment staged below its cut. The remaining 25 r12
+# names plus the 25 oldest r13 names are listed below the cut and lead
+# the r16 window; steady state holds (after this window lands nothing
+# is older than r12).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) the r14 window: the 26 r10-dated rows (oldest remaining
-    #     after r13) plus the 24 alphabetically-first r11-dated rows —
-    #     exactly the set the r13 comment staged below its cut. No query
-    #     code changed this round, so the window is pure staleness order.
-    "events_approx_quantile_contract",
-    "events_cdc_latest_state",
-    "events_cohort_retention",
-    "events_cumulative_new_users",
-    "events_distinct_rollup_sketch",
-    "events_funnel",
-    "events_heavy_hitters_topk",
-    "events_hourly_anomalies",
-    "events_incremental_agg_merge",
-    "events_key_skew_profile",
-    "events_load_heatmap",
-    "events_mad_anomalies",
-    "events_monthly_active_users",
-    "events_rollup_cascade",
-    "events_type_transitions",
-    "events_value_winsorized",
-    "flagship_top_segments",
-    "multimodal_audio_stats",
-    "multimodal_feature_extract",
-    "multimodal_frame_sampling",
-    "multimodal_image_stats",
-    "multimodal_payload_stats",
-    "orders_pit_customer_balance",
-    "orders_profile",
-    "referential_integrity_report",
-    "status_first_last_orders",
-    "approx_distinct_users_by_type",
-    "bloom_filtered_lineitem_revenue",
-    "count_distinct_parts",
-    "customer_rfm_segments_sketch",
-    "customer_rfm_segments_twopass",
-    "customer_value_deciles",
-    "customer_value_deciles_sketch",
-    "customer_value_deciles_twopass",
-    "delayed_order_label",
-    "distinct_flag_status",
-    "doc_bm25_compact_topk",
-    "doc_bm25_index_topk",
-    "doc_bm25_refresh_topk",
-    "doc_bm25_serve_topk",
-    "doc_boilerplate_density",
-    "doc_chunk_windows",
-    "doc_dedup_keep_best",
-    "doc_length_histogram",
-    "doc_minhash_estimate_vs_exact",
-    "doc_ngram_topk",
-    "doc_pack_sequences",
-    "doc_simhash_near_dup",
-    "doc_token_stats",
-    "embed_cosine_topk",
-    # The 50-query window ends here (26 r10-stale + 24 r11-dated
-    # backfill). The entries below are the oldest remaining rows once
-    # this window lands — the remaining 26 r11 rows plus the 24 oldest
-    # r12 rows lead the r15 window.
+    # (1) the r15 window: the 26 r11-dated rows (oldest remaining
+    #     after r14) plus the 24 alphabetically-first r12-dated rows —
+    #     exactly the set the r14 comment staged below its cut.
     "embed_decontamination",
     "embed_ivf_topk",
     "embed_lsh_topk",
@@ -175,6 +125,60 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_training_manifest",
     "doc_url_domains",
     "doc_weighted_sample_es",
+    # The 50-query window ends here (26 r11-stale + 24 r12-dated
+    # backfill). The entries below are the oldest remaining rows once
+    # this window lands — the remaining 25 r12 rows plus the 25 oldest
+    # r13 rows lead the r16 window.
+    "doc_winnow_fingerprints",
+    "embed_label_centroids",
+    "events_user_activity_ranked",
+    "latest_order_per_customer_status",
+    "monthly_revenue_delta",
+    "nation_counts_full_outer",
+    "order_priority_count_exists",
+    "orders_above_customer_avg",
+    "price_stddev_by_status",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q1_pricing_summary",
+    "q20_heavy_flow_suppliers",
+    "q21_sole_late_supplier",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "quantity_percentiles_by_flag",
+    "rollup_revenue_region_nation",
+    "salted_user_event_counts",
+    "status_intersect_except",
+    "brand_number_histogram",
+    "corpus_card",
+    "cube_flag_status",
+    "customer_order_recency",
+    "customer_scd2_merge",
+    "doc_bpe_token_stats",
+    "doc_decontamination",
+    "doc_dup_clusters",
+    "doc_dup_graph_kcore",
+    "doc_exact_dedup",
+    "doc_fingerprints",
+    "doc_jaccard_pairs_sample",
+    "doc_langid",
+    "doc_minhash_signatures",
+    "doc_near_dup_candidates",
+    "doc_near_dup_edit_distance",
+    "doc_near_dup_incremental",
+    "doc_quality_scores",
+    "doc_simhash",
+    "embed_near_dup_incremental",
+    "embed_near_dup_pairs_largemode",
+    "embed_pq_topk",
+    "embed_quantized_topk",
+    "events_activity_incident_overlap",
+    "events_asof_purchase_click",
 )
 
 

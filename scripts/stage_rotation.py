@@ -47,6 +47,20 @@ WINDOW = 50
 # same frame instead of misreporting a legitimately-staged window as
 # WRONG. Explicit --changed flags on the command line override it.
 #
+# r15 restage: flag-free — the round's planned changes are the five
+# driver-ADVICE items (operators/incremental.py replay materialization
+# + glob escaping, operators/graph.py reserved join-key name,
+# pipeline/flights.py cache unpersists, operators/checkpointing.py
+# _USER_DIR_FOR bounding), all output-identical for every registry
+# query: error-path guards, eager materialization of an
+# already-correct frame, cache lifecycle, and an internal column
+# rename none of assign_components' three callers can observe (each
+# selects explicit columns). The window is pure staleness order
+# (26 r11-dated + 24 alphabetically-first r12-dated) — exactly the
+# set the r14 comment staged below its cut; any later review-batch
+# fix that DOES touch a query/oracle body will be adjudicated here
+# or staged with --changed.
+#
 # r14 restage: flag-free — the round's operator-adjacent changes are
 # output-identical for every registry query: util.remove_layout's
 # symlink unlink (no registry path is a symlink; the BM25 lifecycle
