@@ -31,6 +31,7 @@ UUID level per scope use.
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable, Iterator
 from contextlib import contextmanager
 
@@ -47,8 +48,17 @@ def _resolve_dir(checkpoint_dir: str | None) -> str | None:
 #: UUID-resolved dir back to the user-level path that produced it, so
 #: exits restore the ORIGINAL path whenever the previous dir was set
 #: through this module; dirs set externally still restore verbatim
-#: (one level of inexactness, then mapped from there on).
+#: (one level of inexactness, then mapped from there on). Bounded: a
+#: scope's exit pops both its own resolution and the superseded
+#: previous one (the restore mints a FRESH resolution that carries the
+#: mapping forward), so the map holds at most one entry per active
+#: nesting level plus the single prev-None residue. Mutations are
+#: lock-guarded for dict consistency; note the checkpoint dir itself
+#: is GLOBAL SparkContext state, so concurrent scopes on different
+#: threads of one context still race on the dir value — scope use is
+#: effectively single-threaded per context by design.
 _USER_DIR_FOR: dict[str, str] = {}
+_USER_DIR_LOCK = threading.Lock()
 
 
 @contextmanager
@@ -73,24 +83,34 @@ def checkpoint_scope(
     sc.setCheckpointDir(resolved)
     cur = sc.getCheckpointDir()
     if cur is not None:
-        _USER_DIR_FOR[cur] = resolved
+        with _USER_DIR_LOCK:
+            _USER_DIR_FOR[cur] = resolved
     try:
         yield lambda df: df.checkpoint(eager=True)
     finally:
         if prev is not None:
             # restore the user-level path, not the UUID-resolved one
-            restore_to = _USER_DIR_FOR.get(prev, prev)
+            with _USER_DIR_LOCK:
+                restore_to = _USER_DIR_FOR.get(prev, prev)
             sc.setCheckpointDir(restore_to)
             after = sc.getCheckpointDir()
-            if after is not None:
-                _USER_DIR_FOR[after] = _USER_DIR_FOR.get(
-                    restore_to, restore_to
-                )
-            if cur is not None:
-                _USER_DIR_FOR.pop(cur, None)
+            with _USER_DIR_LOCK:
+                if after is not None:
+                    _USER_DIR_FOR[after] = _USER_DIR_FOR.get(
+                        restore_to, restore_to
+                    )
+                # `after` is a FRESH resolution of the same user-level
+                # path and carries the mapping from here on, so the
+                # superseded prev resolution (and this scope's own)
+                # can be dropped — this bounds the map instead of
+                # leaking one entry per scope use
+                _USER_DIR_FOR.pop(prev, None)
+                if cur is not None:
+                    _USER_DIR_FOR.pop(cur, None)
         # prev None: no restore possible, cur STAYS the active dir
         # (the documented residue) — keep its mapping so a LATER
-        # scope's exit still restores the user-level path
+        # scope's exit still restores the user-level path (that later
+        # exit pops it via the prev-superseded rule above)
 
 
 def eager_checkpoint(df: DataFrame, checkpoint_dir: str | None = None) -> DataFrame:

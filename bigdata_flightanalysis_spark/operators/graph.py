@@ -151,12 +151,18 @@ def assign_components(
     ``alias`` — the joined label column never leaks through under its
     raw ``component`` name (a non-default alias used to carry both),
     and a ``df`` that already has a ``component`` column no longer
-    makes the coalesce ambiguous."""
+    makes the coalesce ambiguous. Both joined-in columns live under
+    reserved ``__cc_*`` names, so a ``df`` that carries its own
+    ``node`` column (or joins on one) keeps it — drop-by-name on the
+    bare ``node`` used to remove the caller's copy too."""
     key_col = F.col(key) if isinstance(key, str) else key
-    labels = cc.select("node", F.col("component").alias("__cc_label"))
+    labels = cc.select(
+        F.col("node").alias("__cc_node"),
+        F.col("component").alias("__cc_label"),
+    )
     return (
-        df.join(labels, key_col == labels["node"], "left")
-        .drop("node")
+        df.join(labels, key_col == labels["__cc_node"], "left")
+        .drop("__cc_node")
         .withColumn(alias, F.coalesce(F.col("__cc_label"), key_col))
         .drop("__cc_label")
     )

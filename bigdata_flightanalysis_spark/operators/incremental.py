@@ -84,6 +84,25 @@ def _batch_fingerprint(batch_unique: DataFrame) -> str:
     return f"{row['n']}-{row['h'] & (1 << 64) - 1:016x}"
 
 
+def _single_part_file(tmp: str) -> str:
+    """The one data file of a just-written ``coalesce(1)`` directory.
+
+    ``glob.escape`` keeps metacharacters in a store path (``[``, ``*``,
+    ``?`` — legal in paths, special to glob) from silently matching
+    nothing; an absent part file (the write unexpectedly produced no
+    output) fails with a named error instead of a bare IndexError
+    between staging and landing."""
+    import glob as _glob
+
+    parts = _glob.glob(os.path.join(_glob.escape(tmp), "part-*.parquet"))
+    if not parts:
+        raise FileNotFoundError(
+            f"no part-*.parquet produced under {tmp!r}; "
+            "the staging write landed no data file"
+        )
+    return parts[0]
+
+
 def _finalize_pending_fps(
     spark: SparkSession, state_path: str, pending: str, content_fp: str
 ) -> None:
@@ -95,7 +114,6 @@ def _finalize_pending_fps(
     duplicate files. (Duplicate fp ROWS would be harmless anyway — the store is
     a seen-set probed by left_anti — but idempotent naming keeps
     replays from growing the store.)"""
-    import glob as _glob
     import shutil as _shutil
 
     target = os.path.join(state_path, f"ingest-{content_fp}.parquet")
@@ -107,7 +125,7 @@ def _finalize_pending_fps(
         "overwrite"
     ).parquet(tmp)
     os.makedirs(state_path, exist_ok=True)
-    os.rename(_glob.glob(f"{tmp}/part-*.parquet")[0], target)
+    os.rename(_single_part_file(tmp), target)
     _shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -127,7 +145,13 @@ def _recover_pending_batch(
     r14-review data-loss window). An incomplete staging, one from a
     DIFFERENT (abandoned) batch, or a replayed id whose content
     changed (out of contract) is discarded — the store is exactly as
-    if that staging never started."""
+    if that staging never started.
+
+    The recorded survivor frame is MATERIALIZED (eager
+    ``localCheckpoint``) before returning, matching the fresh path's
+    pinning contract: the pending dir it reads is rmtree'd by the NEXT
+    batch's recovery sweep, so a lazy frame consumed after that batch
+    starts would fail with FileNotFound."""
     import shutil as _shutil
 
     from bigdata_flightanalysis_spark.util import read_sidecar
@@ -143,7 +167,9 @@ def _recover_pending_batch(
         _discard(pending + ".meta.json")
         return None
     _finalize_pending_fps(spark, state_path, pending, content_fp)
-    return spark.read.parquet(pending).select("id")
+    return (
+        spark.read.parquet(pending).select("id").localCheckpoint(eager=True)
+    )
 
 
 def _discard(path: str) -> None:
@@ -282,7 +308,6 @@ def incremental_exact_dedup(
         # single atomic rename — a crash can never leave a torn
         # multi-file append for the replay to anti-join against
         tmp = pending + ".fpout"
-        import glob as _glob
         import shutil as _shutil
 
         _shutil.rmtree(tmp, ignore_errors=True)
@@ -290,7 +315,7 @@ def incremental_exact_dedup(
         target = os.path.join(state_path, f"ingest-{content_fp}.parquet")
         os.makedirs(state_path, exist_ok=True)
         if not os.path.exists(target):
-            os.rename(_glob.glob(f"{tmp}/part-*.parquet")[0], target)
+            os.rename(_single_part_file(tmp), target)
         _shutil.rmtree(tmp, ignore_errors=True)
     _record_store_meta(state_path, _FP_SCHEME)
     return new_docs.join(

@@ -431,6 +431,16 @@ class FlightPipelineResult:
     reasons_2023: DataFrame
     top_airlines_2023: DataFrame
 
+    def unpersist(self) -> None:
+        """Release the cached prediction frames. The pipeline persists
+        them for its fit/evaluate/report fan-out and the caller's sink
+        writes; the CALLER owns dropping them once done consuming the
+        result — repeated pipeline runs on a shared session (bench
+        loops, driver reruns) otherwise accumulate cached blocks until
+        LRU eviction."""
+        self.predictions_2019.unpersist()
+        self.predictions_2023.unpersist()
+
 
 def run_flight_pipeline(
     raw_2019: DataFrame,
@@ -466,11 +476,20 @@ def run_flight_pipeline(
     model_23 = fit_kmeans(assembled_23, k=k, seed=seed)
     pred_19 = model_19.transform(assembled_19).persist()
     pred_23 = model_23.transform(assembled_23).persist()
+    # silhouette is eager, so it materializes the prediction caches;
+    # past that point the assembled caches have served every consumer
+    # (iterative kmeans fit + transform) and are released here — the
+    # prediction caches are the caller's to release
+    # (FlightPipelineResult.unpersist) once the result is consumed.
+    sil_19 = silhouette(pred_19)
+    sil_23 = silhouette(pred_23)
+    assembled_19.unpersist()
+    assembled_23.unpersist()
     return FlightPipelineResult(
         predictions_2019=pred_19,
         predictions_2023=pred_23,
-        silhouette_2019=silhouette(pred_19),
-        silhouette_2023=silhouette(pred_23),
+        silhouette_2019=sil_19,
+        silhouette_2023=sil_23,
         reasons_2019=cluster_reason_counts(pred_19, "CancellationReason", mode),
         reasons_2023=cluster_reason_counts(pred_23, "DelayReason", mode),
         top_airlines_2023=top_airlines_by_cancellations(prepped_23, 5, mode),

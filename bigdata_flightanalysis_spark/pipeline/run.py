@@ -111,6 +111,7 @@ def main(argv: list[str] | None = None) -> None:
 
     report_dir = f"{args.out}/report"
     write_flight_report(result, report_dir)
+    result.unpersist()
     print(f"Wrote report (SVG+JSON charts) under {report_dir}")
 
 

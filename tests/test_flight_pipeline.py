@@ -303,3 +303,28 @@ def test_idiomatic_cleaning_rejects_stringly_scan(raw19, raw23):
         P.clean_flights_2023(raw23, "idiomatic")
     # compat mode still accepts the stringly scan
     assert P.clean_flights_2019(raw19, "compat").count() > 0
+
+
+def test_pipeline_releases_assembled_caches(spark, raw19, raw23):
+    """run_flight_pipeline must not leak its internal assembled-frame
+    caches (repeated runs on a shared session would accumulate blocks
+    until LRU eviction, r15 advice); the two returned prediction
+    caches are the caller's, released via result.unpersist()."""
+    jsc = spark.sparkContext._jsc.sc()
+
+    def _persisted_ids():
+        # set-of-ids, not counts: the ContextCleaner may concurrently
+        # drop UNRELATED earlier RDDs (e.g. old localCheckpoints),
+        # which would skew a count delta
+        it = jsc.getPersistentRDDs().keys().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = _persisted_ids()
+    res = P.run_flight_pipeline(raw19, raw23, mode="compat")
+    new = _persisted_ids() - before
+    assert len(new) == 2, new  # only the two returned prediction caches
+    res.unpersist()
+    assert not (new & _persisted_ids())

@@ -294,3 +294,26 @@ def test_pagerank_rejects_bad_checkpoint_interval(spark):
     for bad in (0, -3):
         with pytest.raises(ValueError, match="checkpoint_interval"):
             pagerank(edges, checkpoint_interval=bad)
+
+
+def test_assign_components_preserves_callers_node_column(spark):
+    """assign_components joins its labels under reserved __cc_* names:
+    a caller df carrying its OWN 'node' column (or keyed on one) must
+    keep it — the old drop-by-name on the bare 'node' removed the
+    caller's copy too, contradicting the 'df's columns plus exactly
+    one new column' guarantee (r15 advice)."""
+    edges = spark.createDataFrame([(1, 2)], "src int, dst int")
+    cc = connected_components(edges)
+    df = spark.createDataFrame(
+        [(1, "n1"), (3, "n3")], "id int, node string"
+    )
+    out = assign_components(df, "id", cc)
+    assert out.columns == ["id", "node", "component"]
+    rows = {r["id"]: (r["node"], r["component"]) for r in out.collect()}
+    assert rows[1] == ("n1", 1)
+    assert rows[3] == ("n3", 3)  # singleton labeled by its own key
+    # the join key itself named 'node' works and is kept
+    df2 = spark.createDataFrame([(2,), (9,)], "node int")
+    out2 = assign_components(df2, "node", cc)
+    assert out2.columns == ["node", "component"]
+    assert {r["node"]: r["component"] for r in out2.collect()} == {2: 1, 9: 9}

@@ -1107,3 +1107,45 @@ def test_exact_dedup_torn_staging_is_discarded(spark, tmp_path):
     shutil.rmtree(state)
     replay = incremental_exact_dedup(spark, b1, state, batch_id=0)
     assert replay.count() == n1  # recomputed identically, not dropped
+
+
+def test_exact_dedup_replay_frame_survives_next_batch(spark, tmp_path):
+    """The replay path's recorded survivor frame must be MATERIALIZED
+    (eager localCheckpoint) like the fresh path: the pending staging it
+    reads is swept by the NEXT batch's recovery, so a lazy frame
+    consumed after that batch starts would fail with FileNotFound
+    (r15 advice)."""
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    state = str(tmp_path / "fp_store_replay_pin")
+    b1 = docs.filter(F.col("doc_id") < 30)
+    kept1 = sorted(
+        r["doc_id"]
+        for r in incremental_exact_dedup(spark, b1, state, batch_id=0).collect()
+    )
+    # crash-replay of batch 0 — hold the returned frame UNCONSUMED
+    replay = incremental_exact_dedup(spark, b1, state, batch_id=0)
+    # the next batch's recovery sweep rmtree's the pending staging
+    b2 = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 50))
+    incremental_exact_dedup(spark, b2, state, batch_id=1).collect()
+    assert sorted(r["doc_id"] for r in replay.collect()) == kept1
+
+
+def test_single_part_file_escapes_glob_and_fails_loudly(tmp_path):
+    """The staging→landing rename must tolerate glob metacharacters in
+    the store path and name the failure when no part file exists —
+    the bare glob.glob(...)[0] silently matched nothing on a path with
+    [ * ? and crashed with IndexError (r15 advice)."""
+    import pytest as _pytest
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        _single_part_file,
+    )
+
+    meta = tmp_path / "out [v*2]?"
+    meta.mkdir()
+    (meta / "part-00000-abc.snappy.parquet").write_bytes(b"")
+    assert _single_part_file(str(meta)).endswith(".parquet")
+    empty = tmp_path / "empty_out"
+    empty.mkdir()
+    with _pytest.raises(FileNotFoundError, match="no part-"):
+        _single_part_file(str(empty))

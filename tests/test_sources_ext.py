@@ -271,3 +271,26 @@ def test_checkpoint_scope_restores_user_level_dir(spark, tmp_path):
     # repeated scope exits must not DEEPEN the dir: same parent after
     # three more scopes (<user dir>/<uuid>, never <...>/<uuid>/<uuid>)
     assert os.path.dirname(d1) == os.path.dirname(d2), (d1, d2)
+
+
+def test_checkpoint_scope_map_stays_bounded(spark, tmp_path):
+    """Repeated scope use must not leak _USER_DIR_FOR entries: each
+    exit pops the superseded previous resolution alongside its own, so
+    the map is bounded by the active nesting depth plus the one
+    documented prev-None residue (r15 advice)."""
+    from bigdata_flightanalysis_spark.operators.checkpointing import (
+        _USER_DIR_FOR,
+        checkpoint_scope,
+    )
+
+    base = str(tmp_path / "bound_user")
+    inner = str(tmp_path / "bound_scoped")
+    with checkpoint_scope(spark, base):
+        pass  # residue (or restore of a prior residue)
+    sizes = []
+    for _ in range(6):
+        with checkpoint_scope(spark, inner):
+            pass
+        sizes.append(len(_USER_DIR_FOR))
+    # constant across iterations (no per-use leak), and small
+    assert len(set(sizes)) == 1 and sizes[-1] <= 3, sizes
