@@ -31,7 +31,20 @@ def _render(expr: F.Column, dt: T.DataType) -> F.Column:
     DECIMAL(38,6) via try_cast: NaN / ±Infinity / |x| ≥ 1e32 would
     THROW under Spark 4's default ANSI mode if cast unconditionally
     (and silently NULL out of min/max in non-ANSI) — such values fall
-    back to their plain string rendering instead."""
+    back to their plain string rendering instead.
+
+    Portable-rendering semantics (fuzz-pinned, see
+    tests/test_text_differential_fuzz.py): Spark's double→decimal cast
+    converts the double's SHORTEST decimal representation
+    (Double.toString) and rounds HALF_UP at 6 fractional digits. A
+    decimal cast of the EXACT binary value (DuckDB's native behavior)
+    differs once ULP ≥ 1e-6 (|x| ≳ 2^53·1e-6 ≈ 9e9) or at
+    precision-edge doubles like 1234567.1234565 — so the DuckDB oracle
+    twins must route through VARCHAR (``TRY_CAST(CAST(x AS VARCHAR) AS
+    DECIMAL(38,6))``), which reproduces the shortest-repr + HALF_UP
+    semantics exactly (measured; the one exclusion is DuckDB's
+    text→decimal mis-round on magnitudes below ~1e-300, e.g. '9e-308'
+    → 0.000001 — far outside any renderable data domain)."""
     if isinstance(dt, (T.DoubleType, T.FloatType)):
         return F.coalesce(
             expr.try_cast("decimal(38,6)").cast("string"), expr.cast("string")

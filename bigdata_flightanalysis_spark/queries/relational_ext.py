@@ -1920,9 +1920,26 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("edge")
 
 
+#: DuckDB twin of ``operators.profile._render`` for doubles, shared by
+#: the profile oracles and the differential fuzz lane
+#: (tests/test_text_differential_fuzz.py). Spark's double→decimal cast
+#: rounds the double's SHORTEST decimal representation HALF_UP at 6
+#: fractional digits; DuckDB's native DOUBLE→DECIMAL casts the EXACT
+#: binary value instead (measured divergence: 1234567.1234565 →
+#: ...457 vs ...456; 1e31 → 1e31 exactly vs 9999999999999999538...),
+#: so the twin routes through VARCHAR — shortest repr, then a text
+#: decimal parse that rounds HALF_UP like Spark.
+_SQL_RENDER_DOUBLE = (
+    "CAST(TRY_CAST(CAST({x} AS VARCHAR) AS DECIMAL(38,6)) AS VARCHAR)"
+)
+
+#: DuckDB twin of the profiler's timestamp rendering (_TS_FMT).
+_SQL_RENDER_TS = "strftime({x}, '%Y-%m-%d %H:%M:%S')"
+
+
 @register(
     "orders_profile",
-    oracle="""
+    oracle=f"""
         SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
@@ -1945,15 +1962,15 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
                CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
-               CAST(MIN(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR),
-               CAST(MAX(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+               {_SQL_RENDER_DOUBLE.format(x="MIN(o_totalprice)")},
+               {_SQL_RENDER_DOUBLE.format(x="MAX(o_totalprice)")}
         FROM orders
         UNION ALL
         SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
                CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
-               strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
-               strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+               {_SQL_RENDER_TS.format(x="MIN(o_orderdate)")},
+               {_SQL_RENDER_TS.format(x="MAX(o_orderdate)")}
         FROM orders
         UNION ALL
         SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
@@ -1994,12 +2011,12 @@ def _profile_contract_oracle() -> str:
         "o_custkey": ("CAST(MIN({c}) AS VARCHAR)", "CAST(MAX({c}) AS VARCHAR)"),
         "o_orderstatus": ("MIN({c})", "MAX({c})"),
         "o_totalprice": (
-            "CAST(MIN(CAST({c} AS DECIMAL(38,6))) AS VARCHAR)",
-            "CAST(MAX(CAST({c} AS DECIMAL(38,6))) AS VARCHAR)",
+            _SQL_RENDER_DOUBLE.format(x="MIN({c})"),
+            _SQL_RENDER_DOUBLE.format(x="MAX({c})"),
         ),
         "o_orderdate": (
-            "strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')",
-            "strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')",
+            _SQL_RENDER_TS.format(x="MIN({c})"),
+            _SQL_RENDER_TS.format(x="MAX({c})"),
         ),
         "o_orderpriority": ("MIN({c})", "MAX({c})"),
     }

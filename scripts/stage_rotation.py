@@ -59,7 +59,16 @@ WINDOW = 50
 # (26 r11-dated + 24 alphabetically-first r12-dated) — exactly the
 # set the r14 comment staged below its cut; any later review-batch
 # fix that DOES touch a query/oracle body will be adjudicated here
-# or staged with --changed.
+# or staged with --changed. One such change so far: the dates/decimals
+# differential-fuzz lane pinned the profiler's double rendering by
+# routing the DuckDB twin through VARCHAR (_SQL_RENDER_DOUBLE —
+# shortest-repr + HALF_UP, matching Spark's cast semantics exactly;
+# the old exact-binary DECIMAL cast diverges only for |x| ≳ 9e9 or
+# precision-edge doubles, never on driver data — output-identical
+# there, re-proved by the all-175 parity run). The two affected names:
+# orders_profile_approx is IN the r15 window (fresh driver row over
+# the new oracle text); orders_profile is r14-dated — the freshest in
+# the rotation, due again by r16.
 #
 # r14 restage: flag-free — the round's operator-adjacent changes are
 # output-identical for every registry query: util.remove_layout's

@@ -185,3 +185,129 @@ def test_vector_primitives_match_duckdb_on_adversarial_vectors(spark):
         ]
         assert sp_perm == dk_perm, const
     con.close()
+
+
+def test_decimal_and_timestamp_rendering_match_duckdb(spark):
+    """Differential fuzz of the profiler's engine-portable renderings
+    (operators/profile.py) against their DuckDB oracle macros
+    (queries/relational_ext.py: _SQL_RENDER_DOUBLE / _SQL_RENDER_TS)
+    plus the date formats the oracle twins lean on everywhere
+    (strftime '%Y-%m-%d' / '%Y-%m' vs date_format).
+
+    The double lane is what PINNED the rendering semantics: Spark's
+    double→decimal cast rounds the double's SHORTEST decimal repr
+    HALF_UP at 6 fractional digits, while DuckDB's native
+    DOUBLE→DECIMAL casts the exact binary value — measured divergences
+    at 1234567.1234565 (...457 vs ...456), 12345678901234.566
+    (.566000 vs .567168) and 1e31 (exact 10^31 vs
+    999...538762658202121.142272). The macro therefore routes through
+    VARCHAR, which this lane proves equivalent across the corpus.
+
+    Documented exclusions (out of the pinned domain):
+    - NaN / ±Infinity / |x| ≥ 1e32: Spark falls back to its plain
+      string rendering (asserted not to throw below); DuckDB's
+      TRY_CAST yields NULL — engine-specific by design.
+    - magnitudes below ~1e-300 (subnormal neighborhood): DuckDB's
+      text→decimal parse mis-rounds there ('9e-308' → 0.000001,
+      '5e-324' → 0.000001; measured), Spark renders 0.000000."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from bigdata_flightanalysis_spark.operators.profile import (
+        _TS_FMT,
+        _render,
+    )
+    from bigdata_flightanalysis_spark.queries.relational_ext import (
+        _SQL_RENDER_DOUBLE,
+        _SQL_RENDER_TS,
+    )
+
+    doubles = [
+        0.0, -0.0, 1.0, -1.0,
+        5e-7, 1.5e-6, 2.5e-6, 3.5e-6, -2.5e-6, 1e-7, 1e-6, -1e-6,
+        0.1, 1.0 / 3.0, 0.9999995, -0.9999995, 2.0000005,
+        123.4567895, 999999.999999, -9876543.2109875,
+        1234567.1234565,            # shortest-repr vs binary edge
+        9876543210.1234565,         # ULP ≈ 1e-6 boundary region
+        12345678901234.566,         # ULP > 1e-6: binary cast differs
+        1e16, 1e31, 9.99999e31,     # e-notation shortest reprs
+        3.141592653589793,
+    ]
+    rows = [(i, x) for i, x in enumerate(doubles)]
+    df = spark.createDataFrame(rows, "i int, x double")
+    sp = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i", _render(F.col("x"), T.DoubleType()).alias("s")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE dd(i INT, x DOUBLE)")
+    con.executemany("INSERT INTO dd VALUES (?,?)", rows)
+    for i, want in con.execute(
+        f"SELECT i, {_SQL_RENDER_DOUBLE.format(x='x')} FROM dd"
+    ).fetchall():
+        assert sp[i] == want, (doubles[i], sp[i], want)
+
+    # out-of-domain fallback: must not throw, must stay non-NULL
+    bad = [float("nan"), float("inf"), float("-inf"), 1e32, -1e33]
+    bdf = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(bad)], "i int, x double"
+    )
+    fb = [
+        r["s"]
+        for r in bdf.select(
+            _render(F.col("x"), T.DoubleType()).alias("s")
+        ).collect()
+    ]
+    assert all(s is not None for s in fb), fb
+
+    tss = [
+        dt.datetime(1970, 1, 1, 0, 0, 0),           # epoch
+        dt.datetime(1969, 12, 31, 23, 59, 59),      # pre-epoch second
+        dt.datetime(2000, 2, 29, 12, 34, 56),       # century leap day
+        dt.datetime(2024, 2, 29, 23, 59, 59, 999999),  # fraction trunc
+        dt.datetime(1900, 1, 1, 0, 0, 0),           # non-leap century
+        dt.datetime(9999, 12, 31, 23, 59, 59),      # range top
+        dt.datetime(1, 1, 1, 0, 0, 0),              # range bottom
+        dt.datetime(123, 4, 5, 6, 7, 8),            # 3-digit year pad
+        dt.datetime(1960, 6, 15, 12, 0, 0, 500000),  # pre-epoch + frac
+        dt.datetime(2016, 12, 31, 23, 59, 59),      # leap-second eve
+    ]
+    trows = [(i, t) for i, t in enumerate(tss)]
+    tdf = spark.createDataFrame(trows, "i int, ts timestamp")
+    spt = {
+        r["i"]: r["s"]
+        for r in tdf.select("i", F.date_format("ts", _TS_FMT).alias("s")).collect()
+    }
+    con.execute("CREATE TABLE tt(i INT, ts TIMESTAMP)")
+    con.executemany("INSERT INTO tt VALUES (?,?)", trows)
+    for i, want in con.execute(
+        f"SELECT i, {_SQL_RENDER_TS.format(x='ts')} FROM tt"
+    ).fetchall():
+        assert spt[i] == want, (tss[i], spt[i], want)
+
+    # date lane: the strftime('%Y-%m-%d') / ('%Y-%m') twins used across
+    # the events/orders oracles vs date_format
+    ds = [
+        dt.date(1970, 1, 1), dt.date(1969, 12, 31), dt.date(1, 1, 1),
+        dt.date(123, 4, 5), dt.date(2024, 2, 29), dt.date(9999, 12, 31),
+    ]
+    drows = [(i, d) for i, d in enumerate(ds)]
+    ddf = spark.createDataFrame(drows, "i int, d date")
+    spd = {
+        r["i"]: (r["s1"], r["s2"])
+        for r in ddf.select(
+            "i",
+            F.date_format("d", "yyyy-MM-dd").alias("s1"),
+            F.date_format("d", "yyyy-MM").alias("s2"),
+        ).collect()
+    }
+    con.execute("CREATE TABLE td(i INT, d DATE)")
+    con.executemany("INSERT INTO td VALUES (?,?)", drows)
+    for i, a, b in con.execute(
+        "SELECT i, strftime(d,'%Y-%m-%d'), strftime(d,'%Y-%m') FROM td"
+    ).fetchall():
+        assert spd[i] == (a, b), (ds[i], spd[i], (a, b))
+    con.close()
