@@ -105,22 +105,13 @@ def _fsck_index(index_path: str, heal: bool) -> list[dict]:
 
 def _fsck_index_unlocked(index_path: str, heal: bool) -> list[dict]:
     findings: list[dict] = []
+    # per-relation .old/.staging classification is the SAME taxonomy
+    # the generic stores use — one definition (_classify_layout), so
+    # the index and generic reports can't drift apart
     for rel in INDEX_RELATIONS:
-        live = os.path.join(index_path, rel)
-        if not os.path.exists(live) and os.path.exists(live + ".old"):
-            findings.append(
-                _finding(live + ".old", "interrupted swap (no live dir)",
-                         "restore to live path", heal)
-            )
-        elif os.path.exists(live) and os.path.exists(live + ".old"):
-            findings.append(
-                _finding(live + ".old", "stale residue next to healthy dir",
-                         "remove", heal)
-            )
-        if os.path.exists(live + ".staging"):
-            findings.append(
-                _finding(live + ".staging", "orphaned staging dir", "remove", heal)
-            )
+        findings.extend(
+            _classify_layout(os.path.join(index_path, rel), heal)
+        )
     new = os.path.join(index_path, "corpus_stats.new")
     if os.path.exists(new):
         complete = os.path.exists(os.path.join(new, "_SUCCESS"))

@@ -30,9 +30,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
-#: bits per dimension (8 → 256 buckets per column; z fits in a long
-#: for up to 8 dimensions).
+#: bits per dimension (8 → 256 buckets per column; z fits in a signed
+#: long for up to 7 dimensions at this width — d*bits must stay ≤ 63).
 ZORDER_BITS = 8
+
+
+def _qcol(c: str) -> Column:
+    """Column ref by EXACT name: backtick-quoted so a name containing
+    dots (or backticks) is not parsed as struct-field access."""
+    return F.col("`" + c.replace("`", "``") + "`")
 
 
 def _interleave(bucket_cols: list[Column], bits: int) -> Column:
@@ -53,13 +59,22 @@ def _as_double(df: DataFrame, c: str) -> Column:
     """Monotone double view of a column for bucketing. DATE is not
     castable to DOUBLE in Spark, so it goes through ``unix_date``;
     timestamps (tz and ntz) through ``unix_micros`` — only
-    monotonicity matters for equi-width buckets, not the unit."""
+    monotonicity matters for equi-width buckets, not the unit.
+
+    Non-finite values (NaN, ±Infinity) become NULL: Spark's min/max
+    order NaN greatest, so ONE NaN row would make the bucket range
+    [lo, NaN], width_bucket would return NULL for EVERY row, and the
+    whole dimension would silently collapse to bucket 0 — no
+    clustering, no skipping, no error. With NULL instead, finite rows
+    keep full bucket resolution and non-finite rows deterministically
+    land in bucket 0."""
     dt = df.schema[c].dataType
     if isinstance(dt, DateType):
-        return F.unix_date(F.col(c)).cast("double")
+        return F.unix_date(_qcol(c)).cast("double")
     if isinstance(dt, (TimestampType, TimestampNTZType)):
-        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
-    return F.col(c).cast("double")
+        return F.unix_micros(_qcol(c).cast("timestamp")).cast("double")
+    v = _qcol(c).cast("double")
+    return F.when(~F.isnan(v) & (F.abs(v) != F.lit(float("inf"))), v)
 
 
 def zorder_value(
@@ -78,21 +93,27 @@ def zorder_value(
         raise ValueError("zorder needs at least one column")
     if len(cols) * bits > 63:
         raise ValueError("z-value exceeds a signed long; lower bits or cols")
+    # stats aliases are keyed by column INDEX (the profile_table
+    # hardening): embedding the raw name would break on names with
+    # dots/backticks and could collide with a real __min_* column
     stats = df.agg(
         *[
             m
-            for c in cols
+            for i, c in enumerate(cols)
             for m in (
-                F.min(_as_double(df, c)).alias(f"__min_{c}"),
-                F.max(_as_double(df, c)).alias(f"__max_{c}"),
+                F.min(_as_double(df, c)).alias(f"__min_{i}"),
+                F.max(_as_double(df, c)).alias(f"__max_{i}"),
             )
         ]
     )
     with_stats = df.join(F.broadcast(stats))
     n_buckets = 1 << bits
     buckets = []
-    for c in cols:
-        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+    for i, c in enumerate(cols):
+        # reference the stats frame's columns by expression id, not by
+        # name: a caller column that happens to be named __min_0 would
+        # make the bare name ambiguous after the join
+        lo, hi = stats[f"__min_{i}"], stats[f"__max_{i}"]
         # width_bucket returns 1..n+1 on [lo, hi]; clamp the hi edge and
         # degenerate (constant-column) case into the valid 0..n-1 range.
         b = F.width_bucket(_as_double(df, c), lo, hi, F.lit(n_buckets))
@@ -100,7 +121,8 @@ def zorder_value(
             F.least(F.greatest(b - 1, F.lit(0)), F.lit(n_buckets - 1))
         )
     return with_stats.withColumn("__z", _interleave(buckets, bits)).drop(
-        *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]
+        *[stats[f"__min_{i}"] for i in range(len(cols))],
+        *[stats[f"__max_{i}"] for i in range(len(cols))],
     )
 
 

@@ -49,9 +49,17 @@ def _render(expr: F.Column, dt: T.DataType) -> F.Column:
         return F.coalesce(
             expr.try_cast("decimal(38,6)").cast("string"), expr.cast("string")
         )
-    if isinstance(dt, T.TimestampType):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ included: a plain string cast would keep fractional
+        # seconds and break the fixed-format portability contract
         return F.date_format(expr, _TS_FMT)
     return expr.cast("string")
+
+
+def _qcol(c: str) -> F.Column:
+    """Column ref by EXACT name: backtick-quoted so a name containing
+    dots (or backticks) is not parsed as struct-field access."""
+    return F.col("`" + c.replace("`", "``") + "`")
 
 
 def profile_table(
@@ -86,30 +94,42 @@ def profile_table(
     # expr nor silently collide with it.
     for i, c in enumerate(cols):
         dt = df.schema[c].dataType
+        # data access goes through _qcol (exact-name, backtick-quoted):
+        # a bare F.col('a.b') parses the dot as struct-field access and
+        # dies in analysis before the hardened stack expr is built
+        col = _qcol(c)
         # min/max run on the NATIVE column (doubles keep NaN/Inf
         # ordering semantics); only the resulting scalar is rendered
-        mn = _render(F.min(F.col(c)), dt)
-        mx = _render(F.max(F.col(c)), dt)
+        mn = _render(F.min(col), dt)
+        mx = _render(F.max(col), dt)
         if approx:
             nd = (
-                F.approx_count_distinct(c, rsd)
+                F.approx_count_distinct(col, rsd)
                 if rsd is not None
-                else F.approx_count_distinct(c)
+                else F.approx_count_distinct(col)
             )
         else:
-            nd = F.count_distinct(F.col(c))
+            nd = F.count_distinct(col)
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).cast("bigint").alias(f"__nulls_{i}"),
+            # count(when(...)) not sum(cast): SUM over a zero-row table
+            # is NULL, and a schema-stable profile artifact needs 0
+            F.count(F.when(col.isNull(), 1)).cast("bigint").alias(f"__nulls_{i}"),
             nd.cast("bigint").alias(f"__nd_{i}"),
             mn.cast("string").alias(f"__min_{i}"),
             mx.cast("string").alias(f"__max_{i}"),
         ]
     wide = df.agg(*aggs)
-    # labels escaped so source column names with quotes can't break
-    # the expr; the generated references are index-keyed (see above)
+
+    # labels escaped so source column names can't break the expr: the
+    # Spark SQL parser processes BACKSLASH escapes inside string
+    # literals by default (a trailing \ would swallow the closing
+    # quote), so backslashes double first, then quotes; the generated
+    # references are index-keyed (see above)
+    def _lit(c: str) -> str:
+        return "'" + c.replace("\\", "\\\\").replace("'", "''") + "'"
+
     stack_args = ", ".join(
-        f"'{c.replace(chr(39), chr(39) * 2)}', `__nulls_{i}`, `__nd_{i}`,"
-        f" `__min_{i}`, `__max_{i}`"
+        f"{_lit(c)}, `__nulls_{i}`, `__nd_{i}`, `__min_{i}`, `__max_{i}`"
         for i, c in enumerate(cols)
     )
     return wide.select(

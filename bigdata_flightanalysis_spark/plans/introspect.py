@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from pyspark.sql import DataFrame
 
@@ -44,7 +45,10 @@ def plan_stats(df: DataFrame) -> dict[str, int]:
         "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
         "nested_loop_joins": plan.count("BroadcastNestedLoopJoin")
         + plan.count("CartesianProduct"),
-        "windows": plan.count("Window"),
+        # word-bounded: a bare substring count would also match every
+        # WindowGroupLimit node (the per-group top-N pushdown Spark
+        # plans NEXT TO a Window), overcounting one logical window as 3
+        "windows": len(re.findall(r"\bWindow\b", plan)),
         "python_row_udfs": plan.count("BatchEvalPython"),
         "arrow_python": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
     }

@@ -709,9 +709,6 @@ def _recover_corpus_stats(index_path: str) -> None:
     dir, so an unlocked serve-path call racing an in-process
     refresh/compact mid-swap could otherwise restore ``.old`` onto
     the live path under the writer's feet."""
-    import os
-    import shutil
-
     from bigdata_flightanalysis_spark.util import path_lock
 
     with path_lock(index_path):
@@ -720,7 +717,13 @@ def _recover_corpus_stats(index_path: str) -> None:
 
 def _recover_corpus_stats_locked(index_path: str) -> None:
     import os
-    import shutil
+
+    # residue removal goes through _remove_any, NOT bare rmtree:
+    # rmtree(ignore_errors) silently no-ops on a FILE-shaped
+    # .old/.new/.staging, which made fsck report such residue as
+    # healed on every run while it persisted (same r14 fix as the
+    # generic store heal, util.recover_layout)
+    from bigdata_flightanalysis_spark.util import _remove_any
 
     for rel in ("corpus_stats", "postings", "doc_stats"):
         live = f"{index_path}/{rel}"
@@ -728,7 +731,7 @@ def _recover_corpus_stats_locked(index_path: str) -> None:
         if not os.path.exists(live) and os.path.exists(old):
             os.rename(old, live)
         elif os.path.exists(live):
-            shutil.rmtree(old, ignore_errors=True)
+            _remove_any(old)
 
     # Torn refresh/compact tail: both write the recomputed totals to
     # corpus_stats.new BEFORE their final swaps, so a COMPLETE .new
@@ -746,7 +749,7 @@ def _recover_corpus_stats_locked(index_path: str) -> None:
         ):
             _swap_index_dir(new, f"{index_path}/corpus_stats")
         else:
-            shutil.rmtree(new, ignore_errors=True)
+            _remove_any(new)
 
     # Aborted-compact residue: a crash before the swaps strands
     # full-relation-sized *.staging dirs that only the NEXT compact
@@ -766,7 +769,7 @@ def _recover_corpus_stats_locked(index_path: str) -> None:
     # must match that classification or a stray corpus_stats.staging
     # would be reported "healed" on every run while persisting.
     for rel in ("postings", "doc_stats", "corpus_stats"):
-        shutil.rmtree(f"{index_path}/{rel}.staging", ignore_errors=True)
+        _remove_any(f"{index_path}/{rel}.staging")
 
 
 def _swap_index_dir(staging: str, live: str) -> None:
@@ -775,14 +778,17 @@ def _swap_index_dir(staging: str, live: str) -> None:
     success); :func:`_recover_corpus_stats` heals a crash between the
     renames on the next serve/refresh/compact."""
     import os
-    import shutil
+
+    from bigdata_flightanalysis_spark.util import _remove_any
 
     old = live + ".old"
-    shutil.rmtree(old, ignore_errors=True)
+    # _remove_any, not rmtree: a FILE-shaped .old would survive rmtree
+    # and make the rename-onto-it below fail (NotADirectoryError)
+    _remove_any(old)
     if os.path.exists(live):
         os.rename(live, old)
     os.rename(staging, live)
-    shutil.rmtree(old, ignore_errors=True)
+    _remove_any(old)
 
 
 def compact_text_index(spark: SparkSession, index_path: str) -> None:
@@ -1068,11 +1074,13 @@ def build_text_index_from(
 def _build_text_index_from_locked(
     spark: SparkSession, docs: DataFrame, index_path: str
 ) -> None:
-    import shutil
+    from bigdata_flightanalysis_spark.util import _remove_any
 
+    # _remove_any: a FILE squatting on a relation path would survive
+    # rmtree(ignore_errors) and fail the parquet write below
     for rel in ("postings", "doc_stats", "corpus_stats"):
-        shutil.rmtree(f"{index_path}/{rel}", ignore_errors=True)
-        shutil.rmtree(f"{index_path}/{rel}.old", ignore_errors=True)
+        _remove_any(f"{index_path}/{rel}")
+        _remove_any(f"{index_path}/{rel}.old")
     _record_index_buckets(index_path)
     toks = _toks_of(docs)
     toks.select("doc_id", "dl").write.mode("overwrite").parquet(

@@ -68,7 +68,15 @@ WINDOW = 50
 # there, re-proved by the all-175 parity run). The two affected names:
 # orders_profile_approx is IN the r15 window (fresh driver row over
 # the new oracle text); orders_profile is r14-dated — the freshest in
-# the rotation, due again by r16.
+# the rotation, due again by r16. The r15 review batch over
+# layout/profile/introspect/fsck/retrieval is likewise
+# output-identical on driver data: profile_table's n_nulls
+# count(when) change only differs on zero-row tables (none in the
+# testdata), its dotted/backslash-name and NTZ hardening touches no
+# testdata schema, the index-heal _remove_any change only alters
+# behavior on file-shaped crash residue (never present in a query
+# run), and zorder/plan_stats are not registry surfaces — all
+# re-proved by the all-175 parity run at the changed tree.
 #
 # r14 restage: flag-free — the round's operator-adjacent changes are
 # output-identical for every registry query: util.remove_layout's

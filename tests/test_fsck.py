@@ -525,3 +525,26 @@ def test_fsck_removes_file_shaped_residue(tmp_path):
     assert not os.path.lexists(tmp_path / "store.staging")
     # second run: clean tree, no recurring findings
     assert fsck_tree(str(tmp_path), heal=True) == []
+
+
+def test_fsck_removes_file_shaped_index_residue(tmp_path):
+    """Index-root twin of the file-shaped residue heal: the index heal
+    (_recover_corpus_stats) used bare rmtree(ignore_errors), which
+    no-ops on a FILE named <relation>.old/.staging — fsck reported the
+    finding unhealed (exit 1) on every run forever (r15 review). The
+    index heal now reclaims residue of any shape via util._remove_any,
+    like the generic store path has since r14."""
+    root = str(tmp_path / "idx")
+    _mk(f"{root}/postings", "_SUCCESS")
+    _mk(f"{root}/doc_stats", "part-0.parquet")
+    with open(f"{root}/postings.old", "w") as fh:  # FILE, not dir
+        fh.write("stray")
+    with open(f"{root}/doc_stats.staging", "w") as fh:
+        fh.write("stray")
+    findings = fsck.fsck_tree(root, heal=True)
+    assert len(findings) == 2
+    assert all(f["healed"] for f in findings), findings
+    assert not os.path.lexists(f"{root}/postings.old")
+    assert not os.path.lexists(f"{root}/doc_stats.staging")
+    # second run: clean, no recurring findings
+    assert fsck.fsck_tree(root, heal=True) == []

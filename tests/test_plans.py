@@ -90,6 +90,18 @@ def test_topn_uses_window_group_limit(spark, registry):
     assert "WindowGroupLimit" in plan  # per-group top-N pruned below the sort
 
 
+def test_plan_stats_windows_excludes_window_group_limit(spark, registry):
+    """plan_stats['windows'] counts Window NODES word-bounded: a bare
+    substring count also matched every WindowGroupLimit (planned as
+    Partial+Final NEXT TO the Window), reporting one logical window
+    as 3 (r15 review)."""
+    from bigdata_flightanalysis_spark.plans import plan_stats
+
+    df = registry["top_customers_per_segment"].fn(spark, SF)
+    assert "WindowGroupLimit" in _plan(df)  # precondition for the test
+    assert plan_stats(df)["windows"] == 1
+
+
 def test_minhash_single_shuffle_to_signatures(spark, registry):
     plan = _plan(registry["doc_minhash_signatures"].fn(spark, SF))
     # explode → partial min-agg → ONE exchange → final agg (+ sort for

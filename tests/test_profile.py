@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from bigdata_flightanalysis_spark.operators.profile import profile_table
 
 
@@ -97,3 +99,56 @@ def test_profile_survives_nan_inf_and_huge_doubles(spark):
     h = profile_table(huge, approx=False).collect()[0]
     assert h["min_value"] == "1.0E33"
     assert h["max_value"] == "2.0E33"
+
+
+def test_profile_handles_dotted_backtick_backslash_names(spark):
+    """Names with dots, backticks, or a trailing backslash must
+    profile: bare F.col('a.b') parses the dot as struct access and
+    dies in analysis, and the stack() label literal must escape
+    backslashes (Spark's parser processes \\ escapes in string
+    literals by default — a trailing one swallows the closing quote)
+    before quote-doubling (r15 review)."""
+    df = (
+        spark.range(3)
+        .selectExpr(
+            "CAST(id AS DOUBLE) AS `a.b`",
+            "CAST(id AS STRING) AS `tick``ed`",
+        )
+        .withColumn("back\\", (F.col("`a.b`") * 2))
+    )
+    got = _profile_dict(df, approx=False)
+    assert set(got) == {"a.b", "tick`ed", "back\\"}
+    assert got["a.b"]["n_distinct"] == 3
+    assert got["a.b"]["min_value"] == "0.000000"
+    assert got["back\\"]["max_value"] == "4.000000"
+
+
+def test_profile_empty_table_counts_are_zero(spark):
+    """SUM over a zero-row table is NULL; a schema-stable profile
+    artifact needs n_nulls = 0 there (r15 review — count(when) now)."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [], T.StructType([T.StructField("v", T.DoubleType())])
+    )
+    row = profile_table(df, approx=False).collect()[0]
+    assert row["n_rows"] == 0
+    assert row["n_nulls"] == 0
+    assert row["n_distinct"] == 0
+    assert row["min_value"] is None and row["max_value"] is None
+
+
+def test_profile_renders_ntz_timestamps_with_fixed_format(spark):
+    """TIMESTAMP_NTZ min/max must get the same fixed-format rendering
+    as TZ timestamps — the plain string cast kept fractional seconds
+    and broke the engine-portable contract (r15 review)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 2, 29, 23, 59, 59, 999999),),
+         (dt.datetime(1969, 12, 31, 23, 59, 58, 123456),)],
+        "ts timestamp_ntz",
+    )
+    row = profile_table(df, approx=False).collect()[0]
+    assert row["min_value"] == "1969-12-31 23:59:58"
+    assert row["max_value"] == "2024-02-29 23:59:59"

@@ -194,3 +194,46 @@ def test_zorder_value_is_deterministic_and_bounded(spark):
     a = sorted(tuple(r) for r in z1.collect())
     b = sorted(tuple(r) for r in z2.collect())
     assert a == b  # partitioning-invariant
+
+
+def test_zorder_survives_nan_and_inf_rows(spark):
+    """One NaN (or ±Inf) row used to collapse its whole dimension:
+    max() aggregates to NaN, width_bucket's [lo, NaN] range returns
+    NULL for EVERY row, and the clamp sent all rows to bucket 0 — no
+    clustering, no skipping, silently (r15 review). Non-finite values
+    now become NULL pre-bucketing: finite rows keep full resolution,
+    non-finite rows land in bucket 0."""
+    from pyspark.sql import functions as F
+
+    from bigdata_flightanalysis_spark.operators.layout import zorder_value
+
+    df = spark.range(256).select(
+        F.col("id").cast("double").alias("x"),
+        (F.lit(255) - F.col("id")).cast("double").alias("y"),
+    )
+    poisoned = df.union(
+        spark.createDataFrame(
+            [(float("nan"), 1.0), (float("inf"), 2.0), (float("-inf"), 3.0)],
+            "x double, y double",
+        )
+    )
+    z = zorder_value(poisoned, ["x", "y"])
+    n_distinct = z.select("__z").distinct().count()
+    # the clean frame's resolution, not a collapse to a handful of keys
+    clean = zorder_value(df, ["x", "y"]).select("__z").distinct().count()
+    assert n_distinct >= clean
+    assert z.count() == 259  # non-finite rows kept (bucket 0)
+
+
+def test_zorder_handles_dotted_column_names(spark):
+    """Stats aliases are index-keyed and data access backtick-quoted,
+    so a column named 'a.b' z-orders instead of dying in analysis as
+    struct-field access (r15 review, same class as profile_table)."""
+    from bigdata_flightanalysis_spark.operators.layout import zorder_value
+
+    df = spark.range(64).selectExpr(
+        "CAST(id AS DOUBLE) AS `a.b`", "CAST(id % 8 AS DOUBLE) AS `c.d`"
+    )
+    z = zorder_value(df, ["a.b", "c.d"])
+    assert z.columns == ["a.b", "c.d", "__z"]
+    assert z.select("__z").distinct().count() > 1
