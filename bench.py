@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -137,6 +138,22 @@ HEADLINE += [
 ]
 
 
+def sf_label(sf_dir: str) -> float | str:
+    """Scale-factor label from a trailing ``sf<number>`` in the LAST
+    path component only: a bare ``rsplit('sf')`` mislabeled any path
+    merely containing 'sf' (``/data/transformed`` → ``'ormed'``);
+    non-conforming dirs keep their basename as an honest opaque
+    label."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    m = re.search(r"sf([0-9.]+)$", base)
+    if m:
+        try:
+            return float(m.group(1))
+        except ValueError:
+            return base
+    return base
+
+
 def emit_detail(full: dict, detail_path: str) -> None:
     """Print the per-query detail line and persist it to
     ``BENCH_DETAIL.json`` — without EVER raising: the compact headline
@@ -241,11 +258,13 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — bench must survive any query
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
+    sf_val = sf_label(sf_dir)
+    # NOTE (measurement honesty): headline_total sums SUCCESSFUL
+    # headline queries only — an errored query contributes 0s, so a
+    # round with n_errors > 0 is NOT comparable to a clean round on
+    # `value` alone. The compact line carries n_errors for exactly
+    # that check; cross-round tooling (scripts/bench_compare.py)
+    # compares per-query.
     headline_total = round(sum(timings.values()), 4)
     full: dict = {
         "metric": "headline_queries_detail",

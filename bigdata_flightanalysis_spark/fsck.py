@@ -184,10 +184,19 @@ def _classify_layout(store: str, healed: bool) -> list[dict]:
                 _finding(old, "stale residue next to healthy dir",
                          "remove", healed)
             )
-        else:
+        elif os.path.isdir(old) and not os.path.islink(old):
             findings.append(
                 _finding(old, "interrupted swap (no live dir)",
                          "restore to live path", healed)
+            )
+        else:
+            # classification must match the heal: recover_layout
+            # REMOVES a file-shaped .old instead of restoring it
+            # (restoring would plant a file at the dir slot), so the
+            # verified action here is remove, not restore
+            findings.append(
+                _finding(old, "file-shaped residue (no live dir)",
+                         "remove", healed)
             )
     if os.path.exists(store + ".staging"):
         findings.append(

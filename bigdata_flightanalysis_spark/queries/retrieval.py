@@ -729,7 +729,12 @@ def _recover_corpus_stats_locked(index_path: str) -> None:
         live = f"{index_path}/{rel}"
         old = live + ".old"
         if not os.path.exists(live) and os.path.exists(old):
-            os.rename(old, live)
+            if os.path.isdir(old) and not os.path.islink(old):
+                os.rename(old, live)
+            else:
+                # file-shaped .old is garbage, not a restorable
+                # relation (same rule as util.recover_layout)
+                _remove_any(old)
         elif os.path.exists(live):
             _remove_any(old)
 

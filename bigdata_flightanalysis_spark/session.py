@@ -65,6 +65,22 @@ def get_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate with an ALREADY-ACTIVE session applies only
+    # runtime-modifiable SQL confs and silently keeps the existing
+    # master/static settings — a caller asking for different cores (or
+    # a static extra_conf) would otherwise assert against a session
+    # configured by someone else without any signal.
+    actual_master = spark.sparkContext.master
+    if actual_master != f"local[{cores}]":
+        import warnings
+
+        warnings.warn(
+            f"get_session reused an active SparkSession with master "
+            f"{actual_master!r}; the requested local[{cores}] (and any "
+            "static confs) were NOT applied",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     # Env contract: record the runtime version at session build so env
     # drift (e.g. a Spark major bump changing parquet timestamp

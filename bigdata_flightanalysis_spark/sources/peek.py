@@ -8,6 +8,24 @@ operators the engine uses, instead of an eager pandas read.
 from __future__ import annotations
 
 import argparse
+import os
+
+
+def _is_csv(path: str) -> bool:
+    """CSV detection for the peek CLI: case-insensitive suffix, or a
+    directory whose data files are CSVs (the engine's own write_csv
+    sink layout) — a bare lowercase-suffix check fed CSV dirs and
+    ``.CSV`` files to the parquet reader."""
+    if path.lower().rstrip("/").endswith(".csv"):
+        return True
+    if os.path.isdir(path):
+        try:
+            entries = os.listdir(path)
+        except OSError:
+            return False
+        data = [e for e in entries if not e.startswith(("_", "."))]
+        return bool(data) and all(e.lower().endswith(".csv") for e in data)
+    return False
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -20,7 +38,7 @@ def main(argv: list[str] | None = None) -> None:
     from bigdata_flightanalysis_spark.sources.readers import read_csv
 
     spark = get_session("peek")
-    if args.path.endswith(".csv"):
+    if _is_csv(args.path):
         # the engine's own compat scan (header on, all-string, no
         # inference) — not a re-implementation that could drift
         df = read_csv(spark, args.path, compat_all_string=True)

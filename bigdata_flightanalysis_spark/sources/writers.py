@@ -76,6 +76,29 @@ def write_text(df: DataFrame, path: str, *, mode: str = "overwrite",
     writer.text(path)
 
 
+def _detect_hive_partitions(src_path: str) -> list[str]:
+    """Partition columns of a local hive-layout dataset, read off the
+    ``col=value`` directory chain (local-fs only — remote URIs pass
+    ``partition_by`` explicitly)."""
+    import os
+
+    cols: list[str] = []
+    cur = src_path
+    while True:
+        try:
+            subdirs = [
+                d
+                for d in os.listdir(cur)
+                if "=" in d and os.path.isdir(os.path.join(cur, d))
+            ]
+        except OSError:
+            return cols
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subdirs[0])
+
+
 def compact_parquet(
     spark,
     src_path: str,
@@ -83,6 +106,7 @@ def compact_parquet(
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
     mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Small-files compaction — the table-maintenance pass every
     long-lived 100 TB dataset needs. Streaming sinks, frequent small
@@ -111,6 +135,20 @@ def compact_parquet(
         )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(src_path)
+    # Preserve the hive partition layout: reading folds col=value dirs
+    # into plain columns, so a partition-blind rewrite would FLATTEN
+    # the dataset and every downstream reader that pruned on those
+    # dirs full-scans from then on — the opposite of what a
+    # maintenance pass is for. Auto-detected on local paths; remote
+    # callers pass partition_by.
+    parts = partition_by if partition_by is not None else _detect_hive_partitions(src_path)
+    if parts:
+        # cluster rows by partition value so each value writes one
+        # file (up to n_files tasks), instead of every task emitting a
+        # sliver into every partition dir — small files all over again
+        out = df.repartition(n_files, *parts)
+        out.write.mode(mode).partitionBy(*parts).parquet(dst_path)
+        return n_files
     if df.rdd.getNumPartitions() >= n_files:
         out = df.coalesce(n_files)
     else:

@@ -45,12 +45,28 @@ def atomic_write_json(path: str, obj: dict) -> None:
     truncated one. The temp file lives next to the target (same dir ⇒
     same filesystem ⇒ ``os.rename`` is atomic and never falls back to
     copy+delete)."""
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(obj, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)
+    import tempfile
+
+    # a PRIVATE temp file (mkstemp), not a fixed sibling name: two
+    # concurrent writers sharing one <path>.tmp inode would interleave
+    # ('w' truncates in place) and could publish a corrupt sidecar —
+    # the exact torn state this helper exists to rule out
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path) or ".",
+        prefix=os.path.basename(path) + ".tmp.",
+    )
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(obj, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def read_sidecar(sidecar: str) -> dict:
@@ -204,12 +220,20 @@ class _PathLock:
         return self
 
     def __exit__(self, *exc) -> None:
-        self._depth -= 1
-        if self._depth == 0 and self._fd is not None:
-            _fcntl.flock(self._fd, _fcntl.LOCK_UN)
-            os.close(self._fd)
-            self._fd = None
-        self._rlock.release()
+        # exception-safe like __enter__'s rollback: if unlock/close
+        # raises (EIO on a flaky mount), the RLock must still release
+        # and the fd slot must still clear, or every later entry on
+        # this path deadlocks against a thread that believes it exited
+        try:
+            self._depth -= 1
+            if self._depth == 0 and self._fd is not None:
+                fd, self._fd = self._fd, None
+                try:
+                    _fcntl.flock(fd, _fcntl.LOCK_UN)
+                finally:
+                    os.close(fd)
+        finally:
+            self._rlock.release()
 
 
 _PATH_LOCKS: dict[str, _PathLock] = {}
@@ -353,7 +377,14 @@ def recover_layout(path: str) -> None:
     diverge (fsck heals streaming state through the same hook)."""
     old = path + ".old"
     if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
+        if os.path.isdir(old) and not os.path.islink(old):
+            os.rename(old, path)
+        else:
+            # a FILE-shaped .old is garbage, never a restorable
+            # layout (layouts are directories): restoring it would
+            # plant a file at the dir slot — later reads fail and the
+            # next staging swap's rename dies with NotADirectoryError
+            _remove_any(old)
     elif os.path.exists(path):
         _remove_any(old)
     _remove_any(path + ".staging")

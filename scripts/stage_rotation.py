@@ -76,7 +76,14 @@ WINDOW = 50
 # testdata schema, the index-heal _remove_any change only alters
 # behavior on file-shaped crash residue (never present in a query
 # run), and zorder/plan_stats are not registry surfaces — all
-# re-proved by the all-175 parity run at the changed tree.
+# re-proved by the all-175 parity run at the changed tree. The second
+# r15 review batch (util/session/bench/writers/peek) is pure
+# infrastructure: sidecar-write concurrency (mkstemp), lock-exit
+# exception safety, file-shaped-.old restore guard (crash-residue
+# shapes no query run produces), compact_parquet partition
+# preservation (no registry query compacts a partitioned layout),
+# bench sf-labeling and peek CSV detection (CLI surfaces) — no
+# query/oracle body touched; all-175 parity re-run green.
 #
 # r14 restage: flag-free — the round's operator-adjacent changes are
 # output-identical for every registry query: util.remove_layout's

@@ -294,3 +294,88 @@ def test_checkpoint_scope_map_stays_bounded(spark, tmp_path):
         sizes.append(len(_USER_DIR_FOR))
     # constant across iterations (no per-use leak), and small
     assert len(set(sizes)) == 1 and sizes[-1] <= 3, sizes
+
+
+def test_compact_parquet_preserves_hive_partition_layout(spark, tmp_path):
+    """Compacting a hive-partitioned dataset must keep the col=value
+    layout: the partition-blind rewrite FLATTENED it, so every reader
+    that pruned on those dirs full-scanned from then on (r15 review).
+    Explicit partition_by and local auto-detection both preserve it."""
+    import os
+
+    from bigdata_flightanalysis_spark.sources.writers import (
+        compact_parquet,
+        write_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 3 AS STRING) AS region"
+    ).repartition(8)
+    write_parquet(df, src, partition_by=["region"])
+    assert any(e.startswith("region=") for e in os.listdir(src))
+
+    dst = str(tmp_path / "dst")
+    compact_parquet(spark, src, dst)  # auto-detected partitions
+    assert any(e.startswith("region=") for e in os.listdir(dst))
+    got = spark.read.parquet(dst)
+    assert got.count() == 1000
+    assert set(got.columns) == {"id", "region"}
+    # partition pruning still works on the compacted output
+    assert got.filter("region = '1'").count() == df.filter("region = '1'").count()
+
+    dst2 = str(tmp_path / "dst2")
+    compact_parquet(spark, src, dst2, partition_by=["region"])
+    assert any(e.startswith("region=") for e in os.listdir(dst2))
+
+
+def test_bench_sf_label_parses_only_trailing_sf_numbers():
+    """bench's sf label must not rsplit on 'sf' anywhere in the path
+    ('/data/transformed' used to label as 'ormed', r15 review)."""
+    import bench
+
+    assert bench.sf_label("/root/testdata/sf0.1") == 0.1
+    assert bench.sf_label("/root/testdata/sf0.01/") == 0.01
+    assert bench.sf_label("/data/transformed") == "transformed"
+    assert bench.sf_label("/data/transfer_set") == "transfer_set"
+    assert bench.sf_label("/x/sfabc") == "sfabc"
+
+
+def test_peek_detects_csv_dirs_and_uppercase_suffix(tmp_path):
+    """peek's CSV detection: case-insensitive suffix and directories
+    of CSV part files (the engine's own write_csv layout) — the bare
+    lowercase check fed both to the parquet reader (r15 review)."""
+    from bigdata_flightanalysis_spark.sources.peek import _is_csv
+
+    assert _is_csv("DATA.CSV")
+    assert _is_csv("/x/y/file.csv")
+    assert not _is_csv("/x/y/file.parquet")
+    d = tmp_path / "csv_out"
+    d.mkdir()
+    (d / "part-00000.csv").write_text("a,b\n1,2\n")
+    (d / "_SUCCESS").write_text("")
+    assert _is_csv(str(d))
+    p = tmp_path / "pq_out"
+    p.mkdir()
+    (p / "part-00000.snappy.parquet").write_bytes(b"x")
+    assert not _is_csv(str(p))
+
+
+def test_get_session_warns_when_reusing_mismatched_session(spark):
+    """getOrCreate with an active session silently keeps the existing
+    master/static confs — get_session must WARN when the requested
+    sizing was not applied instead of letting the caller assert
+    against someone else's session config (r15 review)."""
+    import warnings
+
+    from bigdata_flightanalysis_spark.session import get_session
+
+    current = spark.sparkContext.master  # conftest session: local[8]
+    mismatch = 2 if current == "local[4]" else 4
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = get_session("reuse-check", cores=mismatch)
+    assert got is spark  # same JVM session reused
+    assert any("NOT applied" in str(x.message) for x in w), [
+        str(x.message) for x in w
+    ]

@@ -26,16 +26,50 @@ def test_replaces_existing_file(tmp_path):
         assert json.load(f) == {"v": 2}
 
 
-def test_stale_temp_from_crashed_write_is_overwritten(tmp_path):
-    """A crash mid-write leaves only the .tmp (target untouched); the
-    next write must succeed and clean it up."""
+def test_stale_temp_from_crashed_write_does_not_break_next_write(tmp_path):
+    """A crash mid-write leaves only temp residue (target untouched);
+    the next write must succeed and publish a complete target. Since
+    the r15 concurrency fix each write uses a PRIVATE mkstemp name —
+    two writers sharing one fixed <path>.tmp inode could interleave
+    and publish a corrupt sidecar — so stale residue is no longer
+    reused or clobbered, just ignored."""
     p = str(tmp_path / "meta.json")
     with open(p + ".tmp", "w", encoding="utf-8") as f:
-        f.write('{"trunc')  # the torn state a crash leaves
+        f.write('{"trunc')  # the torn state an old-layout crash leaves
     atomic_write_json(p, {"ok": True})
     with open(p, encoding="utf-8") as f:
         assert json.load(f) == {"ok": True}
-    assert not os.path.exists(p + ".tmp")
+
+
+def test_concurrent_writers_never_publish_interleaved_json(tmp_path):
+    """Two writers racing one sidecar must each publish a COMPLETE
+    document (last replace wins): the old fixed sibling .tmp name let
+    writer B truncate writer A's half-written temp in place, and A's
+    remaining bytes then landed in the already-renamed live file — an
+    unparseable blend (r15 review)."""
+    import threading
+
+    p = str(tmp_path / "meta.json")
+    big_a = {"writer": "a", "pad": ["a" * 64] * 2000}
+    big_b = {"writer": "b", "pad": ["b" * 64] * 2000}
+    errs = []
+
+    def spin(obj):
+        try:
+            for _ in range(30):
+                atomic_write_json(p, obj)
+        except Exception as exc:  # pragma: no cover - failure detail
+            errs.append(exc)
+
+    ts = [threading.Thread(target=spin, args=(o,)) for o in (big_a, big_b)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    with open(p, encoding="utf-8") as f:
+        final = json.load(f)  # parses ⇒ complete, not interleaved
+    assert final["writer"] in ("a", "b")
 
 
 def test_check_sidecar_strict_vs_lenient(tmp_path):
@@ -357,3 +391,54 @@ def test_path_lock_resolves_symlinked_spellings_to_one_lock(tmp_path):
     # one lockfile, at the resolved path
     assert os.path.exists(direct + ".lock")
     assert len(util._PATH_LOCKS) >= 1
+
+
+def test_path_lock_exit_releases_rlock_even_if_unlock_fails(tmp_path, monkeypatch):
+    """If flock(LOCK_UN)/close raises at exit (EIO on a flaky mount),
+    the in-process RLock must still release and the fd slot clear —
+    the old exit left the RLock held by a thread that believed it had
+    exited, deadlocking every later entry (r15 review)."""
+    import fcntl
+
+    import pytest
+
+    from bigdata_flightanalysis_spark import util as U
+
+    lock = U.path_lock(str(tmp_path / "store"))
+    real_flock = fcntl.flock
+
+    def boom(fd, op):
+        if op == fcntl.LOCK_UN:
+            raise OSError(5, "I/O error")
+        return real_flock(fd, op)
+
+    with pytest.raises(OSError):
+        with monkeypatch.context() as m:
+            m.setattr(U._fcntl, "flock", boom)
+            with lock:
+                pass
+    assert lock._fd is None
+    # the lock must be re-enterable (RLock released, fd slot clean)
+    with lock:
+        pass
+
+
+def test_recover_layout_does_not_restore_file_shaped_old(tmp_path):
+    """A FILE named <layout>.old with NO live dir is garbage, not a
+    restorable layout: restoring it planted a file at the dir slot —
+    later parquet reads failed and the next staging swap's rename died
+    with NotADirectoryError (r15 review). It is removed instead."""
+    from bigdata_flightanalysis_spark.util import recover_layout
+
+    old = tmp_path / "store.old"
+    old.write_bytes(b"stray")
+    recover_layout(str(tmp_path / "store"))
+    assert not os.path.lexists(old)
+    assert not os.path.lexists(tmp_path / "store")
+    # a real directory .old still restores
+    d = tmp_path / "other.old"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x")
+    recover_layout(str(tmp_path / "other"))
+    assert os.path.isdir(tmp_path / "other")
+    assert not os.path.lexists(d)
