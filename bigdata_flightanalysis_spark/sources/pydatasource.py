@@ -158,13 +158,19 @@ class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         lo = start["next"]
         hi = min(lo + self.batch_rows, self.max_rows)
-        # materialized lists, not generators: the runtime pickles the
-        # returned rows across the driver/worker boundary
+        # a list ITERATOR over materialized rows, not a generator (the
+        # runtime copy.copy's it for cache replay — generators don't
+        # copy) and not a bare list: the wrapper's empty-batch
+        # validation calls next() on the returned value, so a bare
+        # list made every exhausted stream (end == start) die with
+        # "'list' object is not an iterator" instead of idling
         return (
-            [
-                _doc_row(self.seed, i, self.vocab, self.clique)
-                for i in range(lo, hi)
-            ],
+            iter(
+                [
+                    _doc_row(self.seed, i, self.vocab, self.clique)
+                    for i in range(lo, hi)
+                ]
+            ),
             {"next": hi},
         )
 

@@ -96,7 +96,17 @@ def main() -> None:
         raise SystemExit(__doc__)
     a, b = _load(sys.argv[1]), _load(sys.argv[2])
     if "queries" not in a or "queries" not in b:
-        # compact-only payload(s): totals are all there is to compare
+        # compact-only payload(s): totals are all there is to compare.
+        # A payload without even 'value' (bench's serialization-failure
+        # placeholder carries only metric+error) gets a diagnostic, not
+        # a KeyError traceback.
+        for side, payload in (("a", a), ("b", b)):
+            if "value" not in payload:
+                raise SystemExit(
+                    f"payload {side} has no 'value' or 'queries' "
+                    f"(keys: {sorted(payload)}) — not a bench result; "
+                    f"error: {payload.get('error', 'n/a')}"
+                )
         print(
             f"totals only (no per-query detail): {a['value']}s -> "
             f"{b['value']}s"

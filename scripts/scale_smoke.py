@@ -327,7 +327,10 @@ def _smoke_index(spark, args, out: dict) -> None:
         t0 = time.perf_counter()
         n = bm25_index_topk(spark, idx, terms=terms).count()
         post_times.append(round(time.perf_counter() - t0, 2))
-    assert n == out["n_serve_topk"], "compaction changed the served rows"
+    if n != out["n_serve_topk"]:  # explicit raise: assert strips under -O
+        raise RuntimeError(
+            f"compaction changed the served rows: {n} != {out['n_serve_topk']}"
+        )
     out["t_serve_post_compact_each_s"] = post_times
 
     t0 = time.perf_counter()
@@ -450,7 +453,10 @@ def _smoke_embstore(spark, args, out: dict) -> None:
     t_scan_after, fp_after = _scan_fingerprint()
     out["t_store_scan_after_s"] = t_scan_after
     out["compact_content_identical"] = fp_before == fp_after
-    assert fp_before == fp_after, (fp_before, fp_after)
+    if fp_before != fp_after:  # explicit raise: assert strips under -O
+        raise RuntimeError(
+            f"compaction changed store content: {fp_before} != {fp_after}"
+        )
 
 
 def _smoke_segmentation(spark, args, out: dict) -> None:
@@ -534,11 +540,16 @@ def _smoke_segmentation(spark, args, out: dict) -> None:
         for variant in ("_twopass", "_approx"):
             b = results[base + variant]
             n_b = sum(r["n_customers"] for r in b)
-            assert n_a == n_b == n_cust, (base, variant, n_a, n_b, n_cust)
+            if not (n_a == n_b == n_cust):  # explicit: -O strips assert
+                raise RuntimeError(
+                    f"partition mass mismatch {base}{variant}: "
+                    f"{n_a} vs {n_b} vs {n_cust}"
+                )
             m_b = sum(r[money] for r in b)
-            assert abs(m_a - m_b) <= 1e-9 * max(abs(m_a), 1.0), (
-                base, variant, m_a, m_b,
-            )
+            if abs(m_a - m_b) > 1e-9 * max(abs(m_a), 1.0):
+                raise RuntimeError(
+                    f"monetary mass mismatch {base}{variant}: {m_a} vs {m_b}"
+                )
     out["n_decile_buckets_twopass"] = len(
         results["customer_value_deciles_twopass"]
     )
@@ -582,14 +593,27 @@ def _smoke_streaming(spark, args, out: dict) -> None:
 
     def ingest(batch_df, batch_id):
         nonlocal n_batches, n_processed
+        # pin the batch once: foreachBatch frames re-execute the source
+        # per action, so a bare pre-count would double the driver-side
+        # generation this smoke is bounded by (halving rows_per_s)
+        batch_df = batch_df.localCheckpoint(eager=True)
         n = batch_df.count()
         if n == 0:
             return
         n_batches += 1
+        # batch_id passed through = the operator's exactly-once mode
+        # (a replayed epoch RE-EMITS its recorded survivors); without
+        # it this smoke would measure the at-most-once path while
+        # asserting exactly-once invariants
+        incremental_exact_dedup(
+            spark, batch_df, store, batch_id=batch_id
+        ).write.mode("append").parquet(kept_dir)
+        # bump AFTER the store landing and kept append: the poll loop
+        # stops the query the moment the tally reaches `rows`, so an
+        # early bump let q.stop() interrupt the final batch mid-write
+        # (flaky kept<store assert) and excluded that batch's write
+        # time from the throughput while counting its rows
         n_processed += n
-        incremental_exact_dedup(spark, batch_df, store).write.mode(
-            "append"
-        ).parquet(kept_dir)
 
     # availableNow would drain the simple reader in ONE batch; a
     # processing-time trigger exercises the real micro-batch cadence.
@@ -614,8 +638,14 @@ def _smoke_streaming(spark, args, out: dict) -> None:
     out["rows_per_s"] = round(n_processed / wall, 1)
     # exactly-once sanity: store fingerprints unique, kept==store size
     store_df = spark.read.parquet(store)
-    assert store_df.count() == store_df.distinct().count()
-    assert out["n_kept_unique"] == store_df.count()
+    n_store = store_df.count()
+    if n_store != store_df.distinct().count():  # explicit: -O strips assert
+        raise RuntimeError("fingerprint store contains duplicates")
+    if out["n_kept_unique"] != n_store:
+        raise RuntimeError(
+            f"exactly-once violated: kept {out['n_kept_unique']} "
+            f"!= store {n_store}"
+        )
 
 
 def main() -> None:

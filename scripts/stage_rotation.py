@@ -83,7 +83,12 @@ WINDOW = 50
 # shapes no query run produces), compact_parquet partition
 # preservation (no registry query compacts a partitioned layout),
 # bench sf-labeling and peek CSV detection (CLI surfaces) — no
-# query/oracle body touched; all-175 parity re-run green.
+# query/oracle body touched; all-175 parity re-run green. The third
+# batch (round tooling: scale_smoke, verify_driver_surface,
+# bench_compare, pydatasource's stream reader) touches no registry
+# query either — the synthetic sources exist only for smokes, and
+# the verify-script hardening (noop-sink materialization for
+# rows-only entries) only STRENGTHENS the gate; parity re-run green.
 #
 # r14 restage: flag-free — the round's operator-adjacent changes are
 # output-identical for every registry query: util.remove_layout's

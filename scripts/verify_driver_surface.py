@@ -86,9 +86,12 @@ def main() -> int:
                 print(f"MISMATCH {name}: columns {scols} vs {dcols}")
                 continue
             didx = [d[0] for d in rel.description]
+            # hoist the column-order lookup: list.index inside the
+            # per-row tuple was O(rows * cols^2)
+            order = [didx.index(c) for c in scols]
             drows = sorted(
                 [
-                    tuple(_norm(r[didx.index(c)]) for c in scols)
+                    tuple(_norm(r[i]) for i in order)
                     for r in rel.fetchall()
                 ],
                 key=repr,
@@ -102,9 +105,15 @@ def main() -> int:
             print(f"MISMATCH {name}")
     for name in sorted(set(qs) - set(oracles)):
         try:
-            # full count like the driver's rows-only check — limit(3)
-            # would short-circuit the plan and miss late-row failures
-            qs[name](spark, sf).count()
+            # full materialization, not a bare count(): Catalyst prunes
+            # unreferenced projections under Aggregate[count(1)], so
+            # count() alone would certify a query whose final select
+            # throws at evaluation (ANSI cast/divide, UDF). The noop
+            # sink evaluates EVERY column of every row; limit(3) would
+            # short-circuit and miss late-row failures.
+            df = qs[name](spark, sf)
+            df.write.format("noop").mode("overwrite").save()
+            df.count()
         except Exception as exc:  # noqa: BLE001 — one query, one report line
             bad.append(name)
             print(f"MISMATCH {name}: {type(exc).__name__}: {exc}"[:300])

@@ -243,3 +243,30 @@ def test_emit_detail_survives_circular_payload_and_bad_path(tmp_path, capsys):
     # unwritable path (a directory) → OSError branch, same degradation
     bench.emit_detail({"value": 1.0}, str(tmp_path))  # must not raise
     assert "could not write" in capsys.readouterr().err
+
+
+def test_compare_placeholder_payload_gets_diagnostic_not_keyerror(tmp_path):
+    """bench's serialization-failure placeholder carries only
+    metric+error — compare must exit with a diagnostic naming the bad
+    payload, not a KeyError traceback (r15 review)."""
+    import json
+
+    import pytest
+
+    from scripts import bench_compare as BC
+
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({"metric": "m", "value": 1.0}))
+    bad = tmp_path / "bad.json"
+    bad.write_text(
+        json.dumps({"metric": "headline_queries_detail", "error": "boom"})
+    )
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["bench_compare.py", str(good), str(bad)]
+    try:
+        with pytest.raises(SystemExit, match="not a bench result"):
+            BC.main()
+    finally:
+        sys.argv = argv

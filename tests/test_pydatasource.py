@@ -94,6 +94,15 @@ def test_streaming_source_replays_deterministically(registered, tmp_path):
         if registered.sql("SELECT count(*) FROM synth_stream_sink").first()[0] >= 200:
             break
         time.sleep(0.5)
+    # the stream is EXHAUSTED here (maxRows reached): the next
+    # latestOffset returns an empty batch with end == start, whose
+    # runtime validation calls next() on read()'s first element — a
+    # bare list (not an iterator) killed every exhausted stream with
+    # "'list' object is not an iterator" (r15 review). Give the idle
+    # wrapper a cycle and require the query still healthy.
+    time.sleep(2.0)
+    if q.exception() is not None:
+        raise AssertionError(f"exhausted stream died: {q.exception()}")
     q.stop()
     got = sorted(
         tuple(r) for r in registered.sql("SELECT * FROM synth_stream_sink").collect()
@@ -191,7 +200,11 @@ def test_stream_reader_honors_vocab_and_clique():
     opts = {"rowsPerBatch": "10", "maxRows": "20", "seed": "7",
             "vocab": "5000", "clique": "3"}
     reader = SyntheticDocsStreamReader(opts)
-    rows, end = reader.read(reader.initialOffset())
+    it, end = reader.read(reader.initialOffset())
+    # read() returns an ITERATOR (the runtime's empty-batch validation
+    # calls next() on it; a bare list crashed exhausted streams)
+    assert iter(it) is it
+    rows = list(it)
     assert end == {"next": 10}
     assert rows == [_doc_row(7, i, 5000, 3) for i in range(10)]
     # offset replay regenerates identically, with the same options
