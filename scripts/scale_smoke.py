@@ -41,11 +41,14 @@ ingest as two halves through the maintained store — exactly the same
 110,714 pairs, 9.6 s.
 
 --mode streaming drains the unbounded synthetic source through the
-exactly-once incremental-dedup ingest on a processing-time trigger
-(real micro-batch cadence; availableNow would collapse the simple
-reader to one batch). Reference run: 100k rows, 10 micro-batches,
-30.8 s (~3.2k rows/s — bounded by the reader's driver-side
-generation, not the sink), store unique, kept == store.
+exactly-once incremental-dedup ingest (batch_id passed through, so
+the replay-re-emit path is what's measured) on a processing-time
+trigger (real micro-batch cadence; availableNow would collapse the
+simple reader to one batch). Reference run (r15, after the ingest
+pinned each batch once and stopped counting rows before their writes
+landed): 100k rows, 10 micro-batches, 40.5 s (~2.5k rows/s — bounded
+by the reader's driver-side generation plus the per-batch staging
+write, not the sink), store unique, kept == store.
 
 --mode analytics smokes the round-6 operators (winnowing, duplicate
 spans, BM25, dup-graph triangles + k-core) at >=1M docs with a
