@@ -38,33 +38,6 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot_product(a, b) / denom)
 
 
-# ---------------------------------------------------------------------------
-# Fixed-dimension unrolled variants. Spark's higher-order functions
-# (``aggregate``/``zip_with``) are interpreted per element — outside
-# whole-stage codegen. For a known dim, an unrolled left-deep add chain
-# is the SAME float expression (identical op order, including the 0.0
-# seed, so bit-identical results) but compiles into generated code —
-# measured ~3× faster on the bucketed similarity join at sf0.1.
-# ---------------------------------------------------------------------------
-
-
-def dot_product_fixed(a: Column, b: Column, dim: int) -> Column:
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
-            "double"
-        )
-    return acc
-
-
-def l2_norm_fixed(a: Column, dim: int) -> Column:
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        x = F.element_at(a, i).cast("double")
-        acc = acc + x * x
-    return F.sqrt(acc)
-
-
 def cosine_from_parts(dot: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine from a precomputed dot and per-side norms — hoist the
     norms to per-ROW columns before a pair join so they're computed

@@ -73,6 +73,12 @@ def bloom_build(
         )
         .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("word"))
+        # stamp the build parameters onto the relation: probing with a
+        # DIFFERENT (k, m_bits) computes bit positions the build never
+        # set — false NEGATIVES, silently breaking mode='miss''s
+        # exactness. bloom_prune verifies the stamp at execution time.
+        .withColumn("__bloom_k", F.lit(k))
+        .withColumn("__bloom_m", F.lit(m_bits))
     )
 
 
@@ -99,13 +105,29 @@ def bloom_prune(
     """
     if mode not in ("maybe", "miss"):
         raise ValueError(f"mode must be 'maybe' or 'miss', got {mode!r}")
+    reserved = [c for c in probe.columns if c.startswith("__bloom_")]
+    if reserved:
+        # withColumn/drop below would silently clobber then remove them
+        raise ValueError(
+            f"probe carries reserved __bloom_* columns: {reserved}"
+        )
+    # a bloom_build bitmap carries its (k, m_bits) stamp; verify it at
+    # execution time (assert_true folds into the row expressions — no
+    # extra job, stays lazy) so a parameter mismatch fails loudly
+    # instead of producing silent false negatives. Un-stamped legacy
+    # bitmaps skip the check.
+    stamped = {"__bloom_k", "__bloom_m"}.issubset(set(bitmap.columns))
     out = probe
     hit = F.lit(True)
     for i, pos in enumerate(_positions(F.col(key), k, m_bits)):
         w = f"__bloom_w{i}"
-        b = bitmap.select(
-            F.col("word_idx").alias(f"{w}_idx"), F.col("word").alias(w)
-        )
+        cols = [F.col("word_idx").alias(f"{w}_idx"), F.col("word").alias(w)]
+        if i == 0 and stamped:
+            cols += [
+                F.col("__bloom_k").alias("__bloom_stamp_k"),
+                F.col("__bloom_m").alias("__bloom_stamp_m"),
+            ]
+        b = bitmap.select(*cols)
         out = (
             out.withColumn(f"{w}_pos", pos)
             .withColumn(f"{w}_probe_idx", (F.col(f"{w}_pos") / 64).cast("long"))
@@ -115,10 +137,29 @@ def bloom_prune(
                 "left",
             )
         )
+        if i == 0 and stamped:
+            # NULL stamps (probe word missed the bitmap) validate as
+            # true — only rows that actually joined a bitmap word can
+            # witness a parameter mismatch
+            ok = F.coalesce(
+                (F.col("__bloom_stamp_k") == F.lit(k))
+                & (F.col("__bloom_stamp_m") == F.lit(m_bits)),
+                F.lit(True),
+            )
+            hit = hit & F.isnull(
+                F.assert_true(
+                    ok,
+                    F.lit(
+                        f"bloom_prune(k={k}, m_bits={m_bits}) does not "
+                        "match this bitmap's bloom_build parameters — "
+                        "a mismatch produces false negatives"
+                    ),
+                )
+            )
         bit = F.expr(f"shiftleft(cast(1 as bigint), cast({w}_pos % 64 as int))")
         hit = hit & F.coalesce(
             F.col(w).bitwiseAND(bit) != F.lit(0), F.lit(False)
         )
     out = out.filter(hit if mode == "maybe" else ~hit)
-    drop = [c for c in out.columns if c.startswith("__bloom_w")]
+    drop = [c for c in out.columns if c.startswith("__bloom_")]
     return out.drop(*drop)

@@ -46,6 +46,19 @@ def _salt_col(df: DataFrame, n_salts: int, exclude: Sequence[str]) -> Column:
     return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_salts)).cast("int")
 
 
+def _guard_reserved(df: DataFrame, names: Sequence[str], op: str) -> None:
+    """Fail loud when an input already carries one of the operator's
+    internal column names: withColumn would silently REPLACE it, the
+    name would join into the key, and the final drop would delete the
+    caller's column — results change with no error."""
+    clash = [c for c in df.columns if c in names]
+    if clash:
+        raise ValueError(
+            f"{op}: input already carries reserved column(s) {clash}; "
+            "rename them first"
+        )
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -86,6 +99,8 @@ def salted_join(
             "(supported: inner/left/left_semi/left_anti)"
         )
     keys = [on] if isinstance(on, str) else list(on)
+    _guard_reserved(skewed, ["__salt"], "salted_join")
+    _guard_reserved(other, ["__salt"], "salted_join")
     salted = skewed.withColumn("__salt", _salt_col(skewed, n_salts, keys))
     replicated = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -120,6 +135,9 @@ def blocked_self_pairs(
     pairs from re-forming in mixed reducers.
     """
     buckets = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    _guard_reserved(
+        df, ["__s", "__t", "__i", "__j", "a", "b"], "blocked_self_pairs"
+    )
     row = F.struct(*[F.col(c) for c in df.columns])
     if n_blocks <= 1:
         a = df.select(*buckets, row.alias("a"))
@@ -188,6 +206,7 @@ def salted_aggregate(
             second.append(getattr(F, fn)(out).alias(out))
         else:
             raise ValueError(f"unsupported agg {spec!r}")
+    _guard_reserved(df, ["__salt"], "salted_aggregate")
     salted = df.withColumn("__salt", _salt_col(df, n_salts, keys))
     partial = salted.groupBy(*keys, "__salt").agg(*first)
     return partial.groupBy(*keys).agg(*second)

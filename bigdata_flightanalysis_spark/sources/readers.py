@@ -75,7 +75,15 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     try:
         df = spark.read.parquet(path)
-    except Exception:
+    except Exception as exc:
+        # set the flag ONLY for the NANOS schema-conversion failure: a
+        # bare except here would set it for ANY failure (typo'd path,
+        # corrupt footer), the retry would re-raise the unrelated
+        # error, and the flag would stay leaked session-wide — the
+        # exact silent bigint-surfacing this function exists to avoid
+        msg = str(exc)
+        if "NANOS" not in msg and "nanosAsLong" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     return normalize_event_ts(df)
@@ -100,7 +108,16 @@ def table_bytes(sf_dir: str, name: str) -> int:
         return os.path.getsize(path)
     total = 0
     for root, _dirs, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    if total == 0:
+        # an existing-but-empty dir (half-written or cleaned dataset)
+        # is the same size-switch hazard as a missing path: 0 bytes
+        # silently steers every size-based plan to the small-data shape
+        raise FileNotFoundError(f"table dir has no data files: {path}")
     return total
 
 
@@ -126,6 +143,14 @@ def read_csv(
     """
     reader = spark.read.option("header", str(header).lower())
     if compat_all_string:
+        if schema is not None:
+            # contradictory ask: the caller believes the typed schema
+            # applies while the compat scan returns all-string columns
+            # (string comparisons where it expected numeric ones)
+            raise ValueError(
+                "schema and compat_all_string=True are mutually "
+                "exclusive — the compat scan is all-string by contract"
+            )
         return reader.csv(path)
     if schema is None:
         raise ValueError("explicit schema required (or pass compat_all_string=True)")

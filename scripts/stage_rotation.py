@@ -89,6 +89,15 @@ WINDOW = 50
 # query either — the synthetic sources exist only for smokes, and
 # the verify-script hardening (noop-sink materialization for
 # rows-only entries) only STRENGTHENS the gate; parity re-run green.
+# The fourth batch (readers/bloom/skew/vector) is output-identical on
+# driver data too: the nanosAsLong guard and table_bytes empty-dir
+# raise are error paths (current testdata is MICROS and non-empty);
+# bloom_build now stamps (k, m_bits) and bloom_prune verifies the
+# stamp via assert_true — `bloom_filtered_lineitem_revenue` (r14-dated,
+# freshest) re-verified oracle-exact with the stamped bitmap, and its
+# plan keeps the same join shape; skew guards are raise-only; the
+# removed vector helpers were dead code with zero callers. All-175
+# parity re-run green at the changed tree.
 #
 # r14 restage: flag-free — the round's operator-adjacent changes are
 # output-identical for every registry query: util.remove_layout's

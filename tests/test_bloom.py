@@ -76,3 +76,44 @@ def test_bitmap_is_bounded_and_plan_is_jvm_only(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_prune_rejects_mismatched_build_parameters(spark):
+    """The bitmap carries its (k, m_bits) stamp; probing with different
+    parameters computes bit positions the build never set — false
+    NEGATIVES that silently break mode='miss' exactness (r15 review).
+    The stamp check is folded into the row expressions (assert_true),
+    so the mismatch fails loudly at execution."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    build = spark.range(100).select(F.col("id").alias("k"))
+    probe = spark.range(200).select(F.col("id").alias("k"))
+    bitmap = bloom_build(build, "k", k=2)
+    # matching parameters: exact no-false-negative routing holds
+    misses = bloom_prune(probe, "k", bitmap, k=2, mode="miss")
+    assert misses.filter(F.col("k") < 100).count() == 0
+    # stamp columns never leak into the output
+    assert set(misses.columns) == {"k"}
+    with pytest.raises(Exception, match="does not match"):
+        bloom_prune(probe, "k", bitmap, k=3, mode="miss").count()
+
+
+def test_bloom_prune_rejects_reserved_probe_columns(spark):
+    import pytest
+
+    from bigdata_flightanalysis_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    build = spark.range(10).select(F.col("id").alias("k"))
+    probe = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1).alias("__bloom_w0")
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        bloom_prune(probe, "k", bloom_build(build, "k"))

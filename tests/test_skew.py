@@ -198,3 +198,33 @@ def test_salting_key_only_frame_raises(spark):
         salted_join(keys_only, dim, "k")
     with pytest.raises(ValueError, match="non-key content"):
         salted_aggregate(keys_only, "k", {"n": "count:*"})
+
+
+def test_reserved_column_names_fail_loud(spark):
+    """Inputs already carrying the operators' internal names used to be
+    silently clobbered (the __salt became part of the join key, then
+    the final drop deleted the caller's column) — now a loud error
+    (r15 review)."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.operators.skew import (
+        blocked_self_pairs,
+        salted_aggregate,
+        salted_join,
+    )
+
+    left = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(0).alias("__salt"), F.lit(1).alias("v")
+    )
+    right = spark.range(10).select(F.col("id").alias("k"), F.lit(2).alias("w"))
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(left, right, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(right, left, "k")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_aggregate(left, "k", {"n": "count:*"})
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("bkt"), F.lit(1).alias("__s")
+    )
+    with pytest.raises(ValueError, match="__s"):
+        blocked_self_pairs(docs, "bkt", "doc_id", n_blocks=4)

@@ -379,3 +379,55 @@ def test_get_session_warns_when_reusing_mismatched_session(spark):
     assert any("NOT applied" in str(x.message) for x in w), [
         str(x.message) for x in w
     ]
+
+
+def test_read_events_does_not_leak_nanos_flag_on_unrelated_errors(spark):
+    """_read_events must set the session-global nanosAsLong flag ONLY
+    for the NANOS schema-conversion failure: a bare except set it on
+    ANY failure (typo'd path), re-raised the unrelated error, and left
+    the flag leaked — every later parquet NANOS column silently
+    surfaced as bigint (r15 review)."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    with pytest.raises(Exception):
+        read_table(spark, "/nonexistent_sf_dir", "events")
+    assert spark.conf.get(key, None) == before
+
+
+def test_table_bytes_raises_on_empty_dir(tmp_path):
+    """An existing-but-empty dataset dir is the same size-switch hazard
+    as a missing path: 0 bytes silently steers every size-based plan
+    switch to the small-data shape (r15 review)."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.sources.readers import table_bytes
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    with pytest.raises(FileNotFoundError, match="no data files"):
+        table_bytes(str(tmp_path), "events")
+    (d / "_SUCCESS").write_bytes(b"")  # markers alone are not data
+    with pytest.raises(FileNotFoundError, match="no data files"):
+        table_bytes(str(tmp_path), "events")
+    (d / "part-0.parquet").write_bytes(b"xx")
+    assert table_bytes(str(tmp_path), "events") == 2
+
+
+def test_read_csv_rejects_schema_with_compat_mode(spark, tmp_path):
+    """schema + compat_all_string=True is a contradictory ask: the
+    caller believes the typed schema applies while the compat scan is
+    all-string by contract (r15 review)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from bigdata_flightanalysis_spark.sources.readers import read_csv
+
+    p = tmp_path / "x.csv"
+    p.write_text("a,b\n1,2\n")
+    schema = T.StructType([T.StructField("a", T.IntegerType())])
+    with pytest.raises(ValueError, match="mutually"):
+        read_csv(spark, str(p), schema=schema, compat_all_string=True)
