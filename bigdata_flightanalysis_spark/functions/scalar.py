@@ -87,6 +87,8 @@ def typed_fillna(df, fills: Mapping[str, object]):
             or isinstance(value, int) and not isinstance(value, bool)
             and spark_t in ("int", "bigint", "smallint", "tinyint", "double", "float")
             or isinstance(value, float) and spark_t in ("double", "float")
+            or isinstance(value, (int, float)) and not isinstance(value, bool)
+            and spark_t.startswith("decimal")
             or isinstance(value, str) and spark_t == "string"
         )
         if not ok:
@@ -111,17 +113,52 @@ def typed_fillna(df, fills: Mapping[str, object]):
 # engine). Same trick at 100 TB also buys overflow-safe money sums.
 
 
+def _nan_guarded(c: Column) -> Column:
+    """Fail loud on NaN addends: casting NaN to DECIMAL yields NULL
+    (even under ANSI), so SUM would silently SKIP the row and return a
+    finite wrong total — while the DuckDB twin errors on the same
+    cast. assert_true folds into the row expressions (codegen'd, no
+    extra job); NULLs pass through untouched (SUM ignores them on both
+    engines by definition)."""
+    ok = F.isnull(c) | ~F.isnan(c.cast("double"))
+    return F.when(
+        F.isnull(
+            F.assert_true(
+                ok,
+                F.lit(
+                    "dsum/exact_avg input contains NaN — the decimal "
+                    "accumulation would silently drop it; sanitize the "
+                    "expression upstream (e.g. nanvl)"
+                ),
+            )
+        ),
+        c,
+    )
+
+
 def dsum(col: Column | str, alias: str) -> Column:
-    """Deterministic double sum: exact decimal accumulation."""
+    """Deterministic double sum: exact decimal accumulation.
+
+    NaN input raises at execution (see :func:`_nan_guarded`) — the
+    decimal cast would otherwise silently drop NaN addends, diverging
+    from both plain double SUM (NaN-propagating) and the DuckDB twin
+    (errors)."""
     col = F.col(col) if isinstance(col, str) else col
-    return F.sum(col.cast("decimal(38,6)")).cast("double").alias(alias)
+    return (
+        F.sum(_nan_guarded(col).cast("decimal(38,6)"))
+        .cast("double")
+        .alias(alias)
+    )
 
 
 def exact_avg(col: Column | str, alias: str) -> Column:
-    """Deterministic average: exact decimal sum / count, divided in double."""
+    """Deterministic average: exact decimal sum / count, divided in
+    double. NaN input raises (see :func:`dsum`) — unguarded, the sum
+    would skip the NaN while COUNT still counted its row."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.sum(c.cast("decimal(38,6)")).cast("double") / F.count(c)
+        F.sum(_nan_guarded(c).cast("decimal(38,6)")).cast("double")
+        / F.count(c)
     ).alias(alias)
 
 

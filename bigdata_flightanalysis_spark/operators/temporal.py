@@ -63,7 +63,11 @@ def asof_join(
     # output would carry two identically-named columns and every
     # select-by-name downstream becomes ambiguous — fail loud instead.
     out_names = [f"{c}{suffix}" if c in left.columns else c for c in rpay]
-    dup = {n for n in (lpay + out_names) if (lpay + out_names).count(n) > 1}
+    # the guard must cover the KEY columns too — they are emitted as
+    # well, so a suffixed right column landing on a key name is the
+    # same duplicate-output corruption
+    all_out = keys + lpay + out_names
+    dup = {n for n in all_out if all_out.count(n) > 1}
     if dup:
         raise ValueError(
             f"asof_join suffix {suffix!r} produces duplicate output "
@@ -84,7 +88,12 @@ def asof_join(
         l_struct.alias("__l"),
         F.lit(None).cast(r_type).alias("__r"),
     )
-    r2 = right.select(
+    # NULL-timestamped right rows can never be "the latest row at or
+    # before" anything: __ts asc sorts NULLs FIRST, so an unfiltered
+    # NULL-ts payload would be carried forward as the match for every
+    # left row with no real earlier match — DuckDB ASOF (p.ts >= c.ts)
+    # and pandas merge_asof never match NULL timestamps
+    r2 = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
@@ -157,6 +166,22 @@ def range_join_bucketed(
         # misuse instead of reporting "no matches"
         raise ValueError(f"window_seconds must be positive, got {window_seconds}")
     keys = [on] if isinstance(on, str) else list(on)
+    # same fail-loud posture as asof_join: suffixing must not CREATE a
+    # duplicate output column (right carrying both x and x_r), and the
+    # internal __bin name must be free on both sides
+    out_r = [
+        f"{c}_r" if c in left.columns else c
+        for c in right.columns
+        if c not in keys
+    ]
+    all_out = list(left.columns) + out_r
+    dup = {n for n in all_out if all_out.count(n) > 1}
+    if dup or "__bin" in all_out:
+        raise ValueError(
+            "range_join_bucketed would emit duplicate/reserved output "
+            f"columns {sorted(dup | ({'__bin'} & set(all_out)))} — "
+            "rename the colliding columns first"
+        )
     bin_l = F.floor(F.unix_micros(F.col(left_ts)) / (window_seconds * 1_000_000))
     bin_r = F.floor(F.unix_micros(F.col(right_ts)) / (window_seconds * 1_000_000))
 
@@ -216,6 +241,22 @@ def interval_overlap_join(
         # silently empty join instead of an error
         raise ValueError(f"bucket_micros must be positive, got {bucket_micros}")
     keys = [on] if isinstance(on, str) else list(on)
+    # fail-loud duplicate/reserved guard (same class as asof_join /
+    # range_join_bucketed): a right side already carrying both x and
+    # x<suffix> would emit two identically-named output columns
+    out_r = [
+        f"{c}{suffix}" if (c in left.columns and c not in keys) else c
+        for c in right.columns
+        if c not in keys
+    ]
+    all_out = list(left.columns) + out_r
+    dup = {n for n in all_out if all_out.count(n) > 1}
+    if dup or "__bin" in all_out:
+        raise ValueError(
+            "interval_overlap_join would emit duplicate/reserved output "
+            f"columns {sorted(dup | ({'__bin'} & set(all_out)))} — "
+            "rename the colliding columns or pick a different suffix"
+        )
 
     def bins(s: str, e: str) -> Column:
         return F.sequence(

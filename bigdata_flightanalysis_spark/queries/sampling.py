@@ -571,15 +571,16 @@ _TWO_60 = float(1 << 60)
     oracle=f"""
         WITH keyed AS (
             SELECT doc_id, n_chars AS weight,
+                   CASE WHEN n_chars > 0 THEN
                    ln(CAST(({md5_long_sql("CAST(doc_id AS VARCHAR)", seed=ES_SEED)} + 1)
                            AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE))
-                   / CAST(n_chars AS DOUBLE) AS k
+                   / CAST(n_chars AS DOUBLE) END AS k
             FROM documents
         )
         SELECT doc_id, weight,
                CAST(floor(k * 1000000.0 + 0.5) AS BIGINT) AS key_micro
         FROM keyed
-        ORDER BY k DESC, doc_id
+        ORDER BY k DESC NULLS LAST, doc_id
         LIMIT {ES_SAMPLE_K}
     """,
     description=f"Weighted sampling WITHOUT replacement (Efraimidis–"
@@ -599,12 +600,17 @@ def doc_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
         md5_long(F.col("doc_id").cast("string"), seed=ES_SEED) + 1
     ).cast("double") / F.lit(_TWO_60)
-    k = F.log(u) / F.col("n_chars").cast("double")
+    # zero-weight (n_chars=0) docs: probability 0, key NULL on BOTH
+    # engines and sorted last — an unguarded division aborts the whole
+    # query with DIVIDE_BY_ZERO under ANSI Spark while DuckDB completes
+    k = F.when(
+        F.col("n_chars") > 0, F.log(u) / F.col("n_chars").cast("double")
+    )
     keyed = docs.select(
         "doc_id", F.col("n_chars").alias("weight"), k.alias("k")
     )
     return (
-        keyed.orderBy(F.desc("k"), "doc_id")
+        keyed.orderBy(F.desc_nulls_last("k"), "doc_id")
         .limit(ES_SAMPLE_K)
         .select(
             "doc_id",

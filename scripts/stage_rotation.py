@@ -97,7 +97,15 @@ WINDOW = 50
 # freshest) re-verified oracle-exact with the stamped bitmap, and its
 # plan keeps the same join shape; skew guards are raise-only; the
 # removed vector helpers were dead code with zero callers. All-175
-# parity re-run green at the changed tree.
+# parity re-run green at the changed tree. The fifth batch
+# (scalar/temporal/sampling): the one changed query/oracle BODY is
+# doc_weighted_sample_es (zero-weight guard, identical output on
+# driver data where min n_chars=44) — IN the r15 window, fresh driver
+# row over the new text; the dsum/exact_avg NaN guard and the asof
+# NULL-ts filter change Spark-side expressions used by many queries
+# but are output-identical on NaN-free/NULL-ts-free driver data
+# (all-175 parity re-run green); the temporal duplicate guards and
+# typed_fillna decimal row are raise-only/error-path.
 #
 # r14 restage: flag-free — the round's operator-adjacent changes are
 # output-identical for every registry query: util.remove_layout's

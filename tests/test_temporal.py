@@ -240,3 +240,79 @@ def test_asof_suffix_collision_raises(spark):
     )
     with pytest.raises(ValueError, match="duplicate output columns"):
         asof_join(left, right, on="k")
+
+
+def test_asof_never_matches_null_timestamped_right_rows(spark):
+    """__ts asc sorts NULLs first, so an unfiltered NULL-ts right
+    payload was carried forward as the match for every left row with
+    no real earlier match — DuckDB ASOF (l.ts >= r.ts) and pandas
+    merge_asof never match NULL timestamps (r15 review)."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts(10)), (2, "k", None)],
+        "lid int, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, "k", None)], "rid int, key string, ts timestamp"
+    )
+    out = {r["lid"]: r["rid"] for r in asof_join(left, right, "key").collect()}
+    assert out == {1: None, 2: None}
+    # a real (non-NULL) right row still matches normally
+    right2 = spark.createDataFrame(
+        [(100, "k", None), (200, "k", _ts(5))],
+        "rid int, key string, ts timestamp",
+    )
+    out2 = {r["lid"]: r["rid"] for r in asof_join(left, right2, "key").collect()}
+    assert out2 == {1: 200, 2: None}
+
+
+def test_asof_guard_covers_key_column_collisions(spark):
+    """A suffixed right payload column landing on a KEY name slipped
+    past the duplicate guard (it scanned only lpay+out_names) and
+    produced two identically-named output columns (r15 review)."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, "a", _ts(1), 1.0)], "x_right int, key string, ts timestamp, x double"
+    ).select("key", "ts", "x", "x_right")
+    right = spark.createDataFrame(
+        [("a", _ts(0), 2.0)], "key string, ts timestamp, x double"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        asof_join(left, right, "key", suffix="_right")
+
+
+def test_range_and_interval_joins_reject_created_duplicates(spark):
+    """range_join_bucketed / interval_overlap_join now share asof's
+    fail-loud posture: a right side already carrying both x and
+    x<suffix> used to return a frame with two identically-named
+    columns (r15 review)."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [("k", _ts(1), 1.0)], "key string, ts timestamp, x double"
+    )
+    right = spark.createDataFrame(
+        [("k", _ts(0), 2.0, 3.0)],
+        "key string, ts timestamp, x double, x_r double",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        range_join_bucketed(left, right, "key", window_seconds=60)
+
+    ileft = spark.createDataFrame(
+        [("k", 0, 10, 1.0)], "key string, s long, e long, x double"
+    )
+    iright = spark.createDataFrame(
+        [("k", 5, 15, 2.0, 3.0)],
+        "key string, s long, e long, x double, x_r double",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        interval_overlap_join(
+            ileft, iright, "key",
+            left_start="s", left_end="e",
+            right_start="s", right_end="e",
+            bucket_micros=10,
+        )
