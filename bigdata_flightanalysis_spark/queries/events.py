@@ -23,14 +23,39 @@ _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 
+#: DuckDB twin of ``get_json_object(props, '$.k')`` (fuzz-pinned, see
+#: tests/test_text_differential_fuzz.py): json_extract_string returns
+#: the UNQUOTED text like get_json_object (bare json_extract keeps the
+#: JSON quoting), and the json_valid guard matches Spark's NULL on
+#: malformed/empty input where DuckDB's extractor would ERROR.
+_SQL_JSON_K = (
+    "CASE WHEN props IS NOT NULL AND json_valid(props) "
+    "THEN json_extract_string(props, '$.k') END"
+)
+
+#: DuckDB twin of Spark's strict ``try_cast(<text> AS BIGINT)``: the
+#: integer regex gate is required because DuckDB's TRY_CAST parses and
+#: ROUNDS decimal text ('5.9' → 6, '1000.0' → 1000) where Spark's
+#: try_cast yields NULL (measured).
+def _sql_strict_bigint(expr: str) -> str:
+    return (
+        f"TRY_CAST(CASE WHEN regexp_matches({expr}, "
+        f"'^\\s*[-+]?[0-9]+\\s*$') THEN {expr} END AS BIGINT)"
+    )
+
+
 @register(
     "events_json_extract",
     oracle=f"""
+        WITH extracted AS (
+            SELECT event_type, value, {_SQL_JSON_K} AS k_txt
+            FROM events
+        )
         SELECT event_type,
-               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(SUM({_sql_strict_bigint("k_txt")}) AS BIGINT) AS sum_k,
                COUNT(*) AS n_events,
                {dsum_sql("value", "sum_value")}
-        FROM events
+        FROM extracted
         GROUP BY event_type
         ORDER BY event_type
     """,
@@ -43,7 +68,11 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select(
             "event_type",
-            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            # try_cast, not cast: a single non-integer k ('5.9', '1e3')
+            # would abort the whole aggregation under ANSI; the oracle
+            # twin gates DuckDB's rounding TRY_CAST to the same strict
+            # integer domain (fuzz-pinned)
+            F.get_json_object("props", "$.k").try_cast("bigint").alias("k"),
             "value",
         )
         .groupBy("event_type")

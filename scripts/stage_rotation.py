@@ -105,7 +105,13 @@ WINDOW = 50
 # NULL-ts filter change Spark-side expressions used by many queries
 # but are output-identical on NaN-free/NULL-ts-free driver data
 # (all-175 parity re-run green); the temporal duplicate guards and
-# typed_fillna decimal row are raise-only/error-path.
+# typed_fillna decimal row are raise-only/error-path. Sixth change:
+# events_json_extract's pair pinned by the new JSON fuzz lane
+# (json_valid-guarded json_extract_string twin; strict integer-gated
+# TRY_CAST vs DuckDB's rounding one; Spark side try_cast so a
+# non-integer k can't abort the aggregation under ANSI) —
+# output-identical on driver data, and the query is IN the r15
+# window for a fresh driver row over the new oracle text.
 #
 # r14 restage: flag-free — the round's operator-adjacent changes are
 # output-identical for every registry query: util.remove_layout's

@@ -311,3 +311,119 @@ def test_decimal_and_timestamp_rendering_match_duckdb(spark):
     ).fetchall():
         assert spd[i] == (a, b), (ds[i], spd[i], (a, b))
     con.close()
+
+
+def test_json_extraction_matches_duckdb_on_adversarial_payloads(spark):
+    """Differential fuzz of the JSON-in-string pair used by
+    events_json_extract: Spark get_json_object + strict try_cast vs
+    the pinned DuckDB macros (_SQL_JSON_K / _sql_strict_bigint).
+
+    The lane pinned two real gaps (r15): DuckDB's extractor ERRORS on
+    malformed JSON where get_json_object yields NULL (json_valid
+    guard), and DuckDB's TRY_CAST parses-and-ROUNDS decimal text
+    ('5.9' → 6, '1000.0' → 1000) where Spark's try_cast is strict
+    NULL (integer regex gate). Raw text extraction itself agrees on
+    every case measured — including unquoted strings, duplicate keys,
+    unicode escapes, whitespace padding, and int64 boundaries."""
+    from bigdata_flightanalysis_spark.queries.events import (
+        _SQL_JSON_K,
+        _sql_strict_bigint,
+    )
+
+    cases = [
+        '{"k": 5}', '{"k": -3}', '{"k": 0}', '{"k": "7"}', '{"k": null}',
+        '{}', '{"K": 5}', '{"k": 5.9}', '{"k": true}', '{"k": [1,2]}',
+        '{"k": {"x": 1}}', '{"k": 1152921504606846976}',
+        '{"k": 9223372036854775807}', ' {"k": 5} ', '{"k":5,"k":6}',
+        'not json', '', None, 'null', '{"k": 5',
+        '{"k": "\\u0035"}', '{"k": 1e3}', '{"k": -0}', '{"k": " 8 "}',
+        '{"k": ""}', '{"k": "+12"}', '{"k": "0012"}',
+    ]
+    rows = [(i, s) for i, s in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, props string")
+    sp = {
+        r["i"]: (r["raw"], r["b"])
+        for r in df.select(
+            "i",
+            F.get_json_object("props", "$.k").alias("raw"),
+            F.get_json_object("props", "$.k").try_cast("bigint").alias("b"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, props VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    for i, raw, b in con.execute(
+        f"SELECT i, {_SQL_JSON_K}, {_sql_strict_bigint(_SQL_JSON_K)} FROM t"
+    ).fetchall():
+        assert sp[i][0] == raw, (cases[i], sp[i][0], raw)
+        assert sp[i][1] == b, (cases[i], sp[i][1], b)
+    con.close()
+
+
+def test_pii_url_regex_family_matches_duckdb(spark):
+    """Differential fuzz of the governance regex family (EMAIL/PHONE/
+    ID/URL/DOMAIN — written in the Java-regex / RE2 common subset):
+    counts, chained replacements, and first-group extraction must
+    agree on boundary-adversarial strings (1-char TLDs, doubled @,
+    trailing dots, country-code length edges, scheme case, unicode
+    neighbors, repeated matches)."""
+    from bigdata_flightanalysis_spark.queries.governance import (
+        DOMAIN_RE,
+        EMAIL_RE,
+        ID_RE,
+        PHONE_RE,
+        URL_RE,
+    )
+
+    cases = [
+        "plain text no pii",
+        "a@b.co", "x a@b.co y", "UPPER@CASE.ORG", "a.b+c_d%e@sub.domain.info",
+        "a@b.c", "a@@b.com", "@b.com", "a@b..com", "a@-b.com", "a@b.com.",
+        "twice a@b.com c@d.org",
+        "+1-555-1234", "+123-456-789012", "+1234-555-1234", "+1-55-1234",
+        "SSN-123456", "SSN- 12", "xSSN-99", "SSN-",
+        "https://example.com", "http://example.com/path/to_x-y.z",
+        "HTTPS://UPPER.COM", "https://a.b/p?q=1",
+        "see https://www.x.example.com/p/1 and http://cdn3.assets-en.net/x.js",
+        "email ὕ@b.com unicode", "ΣΣ a@b.gr",
+        "a@b.com" * 30,
+        "nested http://a.com/https://b.com path",
+    ]
+    rows = [(i, s) for i, s in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, t string")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        ID_RE,
+        "<ID>",
+    )
+    sp = {
+        r["i"]: tuple(r[1:])
+        for r in df.select(
+            "i",
+            F.regexp_count("t", F.lit(EMAIL_RE)).alias("ne"),
+            F.regexp_count("t", F.lit(PHONE_RE)).alias("np"),
+            F.regexp_count("t", F.lit(ID_RE)).alias("ni"),
+            red.alias("red"),
+            F.regexp_count("t", F.lit(URL_RE)).alias("nu"),
+            F.regexp_extract("t", DOMAIN_RE, 1).alias("dom"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    q = f"""SELECT i,
+      len(regexp_extract_all(t, '{EMAIL_RE}')),
+      len(regexp_extract_all(t, '{PHONE_RE}')),
+      len(regexp_extract_all(t, '{ID_RE}')),
+      regexp_replace(regexp_replace(regexp_replace(
+          t, '{EMAIL_RE}', '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g'),
+          '{ID_RE}', '<ID>', 'g'),
+      len(regexp_extract_all(t, '{URL_RE}')),
+      coalesce(regexp_extract(t, '{DOMAIN_RE}', 1), '')
+    FROM t"""
+    for row in con.execute(q).fetchall():
+        i, dk = row[0], tuple(row[1:])
+        assert sp[i] == dk, (cases[i], sp[i], dk)
+    con.close()
