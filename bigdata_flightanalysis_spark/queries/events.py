@@ -36,11 +36,23 @@ _SQL_JSON_K = (
 #: DuckDB twin of Spark's strict ``try_cast(<text> AS BIGINT)``: the
 #: integer regex gate is required because DuckDB's TRY_CAST parses and
 #: ROUNDS decimal text ('5.9' → 6, '1000.0' → 1000) where Spark's
-#: try_cast yields NULL (measured).
+#: try_cast yields NULL (measured). Edge padding must be STRIPPED
+#: before the cast, not merely gated: Spark's cast trims the exact set
+#: [\x00-\x20\x7f] off both ends (measured: NUL/\x1f/\x7f/\x0b strip,
+#: \x85/\x9f/NBSP/U+2000 unicode spaces do NOT), while DuckDB's
+#: TRY_CAST itself cannot parse control-padded text — so the twin
+#: strips that same set, then strict-gates the remainder.
+_SQL_PAD_RE = r"[\x00-\x20\x7f]"
+
+
 def _sql_strict_bigint(expr: str) -> str:
+    stripped = (
+        f"regexp_replace({expr}, "
+        f"'^{_SQL_PAD_RE}+|{_SQL_PAD_RE}+$', '', 'g')"
+    )
     return (
-        f"TRY_CAST(CASE WHEN regexp_matches({expr}, "
-        f"'^\\s*[-+]?[0-9]+\\s*$') THEN {expr} END AS BIGINT)"
+        f"TRY_CAST(CASE WHEN regexp_matches({stripped}, "
+        f"'^[-+]?[0-9]+$') THEN {stripped} END AS BIGINT)"
     )
 
 
@@ -466,11 +478,16 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("first_view").alias("n_viewed"),
         F.count("first_click").alias("n_clicked_after_view"),
         F.count("first_purchase").alias("n_purchased_after_click"),
-        (F.count("first_click").cast("double") / F.count("first_view")).alias(
-            "view_to_click_rate"
-        ),
-        (
-            F.count("first_purchase").cast("double") / F.count("first_click")
+        # zero-denominator guards: a corpus with no view (or click)
+        # events would divide by 0 — an ANSI THROW in Spark, while
+        # DuckDB's double/0 quietly yields NULL; when() → NULL matches
+        F.when(
+            F.count("first_view") > 0,
+            F.count("first_click").cast("double") / F.count("first_view"),
+        ).alias("view_to_click_rate"),
+        F.when(
+            F.count("first_click") > 0,
+            F.count("first_purchase").cast("double") / F.count("first_click"),
         ).alias("click_to_purchase_rate"),
     )
 
@@ -782,8 +799,10 @@ def events_load_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first-activity month (linearized year·12+month so month "
     "arithmetic is pure integers), distinct user-months joined back "
     "to the cohort, counts per (cohort, months-since). Both "
-    "aggregates and the join share the user_id key — cohort frame is "
-    "small and broadcast.",
+    "aggregates and the join share the user_id key, so the shuffled "
+    "join reuses the exchange (the firsts frame is one row PER USER — "
+    "unbounded at scale, never force-broadcast; AQE still broadcasts "
+    "it when it fits).",
     tags=("events", "cohort", "retention"),
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -791,8 +810,12 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     month_lin = (F.year("ts") * 12 + F.month("ts") - 1).cast("int")
     firsts = ev.groupBy("user_id").agg(F.min(month_lin).alias("cohort_m"))
     activity = ev.select("user_id", month_lin.alias("act_m")).distinct()
+    # no F.broadcast: firsts is per-USER (unbounded in the user count
+    # at 100 TB — forcing a broadcast collects it all to the driver);
+    # both sides are keyed and pre-aggregated on user_id, so the
+    # shuffled join is exchange-reusing, and AQE broadcasts when small
     return (
-        activity.join(F.broadcast(firsts), "user_id")
+        activity.join(firsts, "user_id")
         .select(
             "cohort_m",
             (F.col("act_m") - F.col("cohort_m")).cast("int").alias(
@@ -853,11 +876,13 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bare expression divides by (k-1)=0, which THROWS under
     # Spark 4's default ANSI mode (DuckDB's float 0/0 quietly yields
     # NaN and the z > 2.5 filter drops the row; when() → NULL drops
-    # it identically, keeping the oracle exact).
-    z = F.when(
-        k > 1,
-        (F.col("n") - s1 / k) / F.sqrt((s2 - s1 * s1 / k) / (k - 1)),
-    )
+    # it identically, keeping the oracle exact). Nested sd > 0 guard
+    # (inside the k branch so (k-1) is never 0 when sd evaluates):
+    # ZERO-variance groups — every bucket the same count — make both
+    # the numerator and sd exactly 0, and 0/0 also THROWS under ANSI
+    # while DuckDB yields NULL and the filter drops the row.
+    sd = F.sqrt((s2 - s1 * s1 / k) / (k - 1))
+    z = F.when(k > 1, F.when(sd > 0, (F.col("n") - s1 / k) / sd))
     return (
         hourly.join(F.broadcast(stats), "event_type")
         .withColumn("z", z)
@@ -1425,8 +1450,13 @@ def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = read_table(spark, sf_dir, "events").select("ts", "event_type", "value")
-    b1 = ev.where(F.dayofmonth("ts") <= 15)
-    b2 = ev.where(F.dayofmonth("ts") > 15)
+    # the split must PARTITION the table: a NULL ts makes dayofmonth
+    # NULL, which fails BOTH bare predicates — the row would silently
+    # vanish from the incremental result while the oracle's direct
+    # GROUP BY counts it; route NULL-ts rows with batch 1
+    day = F.dayofmonth("ts")
+    b1 = ev.where((day <= 15) | day.isNull())
+    b2 = ev.where(day > 15)
     state = partial_aggregate(b1, ["event_type"], "value")
     state = merge_aggregate_state(
         state, partial_aggregate(b2, ["event_type"], "value"), ["event_type"]
@@ -1475,6 +1505,28 @@ _MAD_ORACLE = """
     """
 
 
+def _mad_finalize(dev: DataFrame, mad: DataFrame) -> DataFrame:
+    """Shared tail of the MAD pair (window form and its percentile_disc
+    twopass twin): broadcast the |keys|-row MAD thresholds back and
+    emit the per-type anomaly report. ONE definition — the two forms
+    share one oracle and must stay hash-identical, so the predicate and
+    output schema cannot be edited in one place and drift in the other
+    (the _winsorize_from_thresholds pattern)."""
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum((F.col("dev") > 3 * F.col("mad")).cast("long"))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "events_mad_anomalies",
     oracle=_MAD_ORACLE,
@@ -1515,19 +1567,7 @@ def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.min(F.when(F.col("cd") >= 0.5, F.col("dev"))).alias("mad"))
     )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum((F.col("dev") > 3 * F.col("mad")).cast("long"))
-            .cast("bigint")
-            .alias("n_anomalies"),
-            F.min("med").alias("median_value"),
-            F.min("mad").alias("mad"),
-        )
-        .orderBy("event_type")
-    )
+    return _mad_finalize(dev, mad)
 
 
 @register(

@@ -64,7 +64,13 @@ def events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     path = f"{sf_dir}/events.parquet"
     try:
         return spark.read.parquet(path).schema
-    except Exception:
+    except Exception as exc:
+        # message-gated like _read_events: a bare except would set the
+        # session-global flag for ANY failure (typo'd path), re-raise
+        # the unrelated error, and leave the flag leaked
+        msg = str(exc)
+        if "NANOS" not in msg and "nanosAsLong" not in msg:
+            raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path).schema
 
@@ -154,7 +160,19 @@ def streaming_session_windows(events: DataFrame) -> DataFrame:
 def streaming_unique_first_events(events: DataFrame) -> DataFrame:
     """First event per (user_id, event_type) with state expiry —
     ``dropDuplicatesWithinWatermark``, the streaming dedup form whose
-    state store stays bounded by the watermark horizon."""
+    state store stays bounded by the watermark horizon.
+
+    CONTRACT (r15 review): this keeps the first-ARRIVED row per key —
+    the only semantics the operator offers in append mode (a keyed
+    min-by aggregate has no window for the watermark to close, so it
+    cannot emit in append mode). It equals the batch twin
+    ``events_dedup_first_per_user_type`` (earliest (ts, event_id) per
+    key) only when rows arrive in event-time order — true for the
+    bounded single-file replay the tests run (asserted there), NOT
+    guaranteed for a multi-partition source at scale. A production
+    exactly-first pipeline should treat this as the dedup PRE-pass and
+    resolve ties downstream (e.g. the batch twin over the deduped
+    landing), or run the twin as a periodic batch reconciliation."""
     return (
         events.withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
@@ -230,13 +248,21 @@ def streaming_user_stats_stateful(events: DataFrame) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
-        n, total, mx = state.get if state.exists else (0, 0.0, None)
+        n, total, mx = state.get if state.exists else (0, None, None)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-            batch_max = float(pdf["value"].max()) if len(pdf) else None
-            if batch_max is not None:
-                mx = batch_max if mx is None else max(mx, batch_max)
+            # NULL semantics must match the batch aggregates: F.sum /
+            # F.max ignore NULLs and return NULL when every value is
+            # NULL. pandas renders NULL as NaN, and an unguarded
+            # .max() over an all-NaN column returns NaN (not None) —
+            # which then STICKS through every later max() — while
+            # sum() returns 0.0 where the batch twin returns NULL.
+            vals = pdf["value"].dropna()
+            if len(vals):
+                s = float(vals.sum())
+                total = s if total is None else total + s
+                bm = float(vals.max())
+                mx = bm if mx is None else max(mx, bm)
         state.update((n, total, mx))
         yield pd.DataFrame(
             {
@@ -791,12 +817,16 @@ def streaming_user_stats_tws(events: DataFrame) -> DataFrame:
             if self._state.exists():
                 n, total, mx = self._state.get()
             else:
-                n, total, mx = 0, 0.0, None
+                n, total, mx = 0, None, None
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-                if len(pdf):
-                    bm = float(pdf["value"].max())
+                # same NULL semantics as the legacy twin above: ignore
+                # NULLs, stay None when nothing non-NULL arrived
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    s = float(vals.sum())
+                    total = s if total is None else total + s
+                    bm = float(vals.max())
                     mx = bm if mx is None else max(mx, bm)
             self._state.update((n, total, mx))
             yield pd.DataFrame(

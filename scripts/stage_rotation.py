@@ -111,7 +111,21 @@ WINDOW = 50
 # TRY_CAST vs DuckDB's rounding one; Spark side try_cast so a
 # non-integer k can't abort the aggregation under ANSI) —
 # output-identical on driver data, and the query is IN the r15
-# window for a fresh driver row over the new oracle text.
+# window for a fresh driver row over the new oracle text. Seventh
+# (sixth review batch, events/streaming): zero-variance and
+# zero-denominator ANSI division guards (events_hourly_anomalies,
+# events_funnel — NULL both engines, output-identical on driver
+# data), NULL-ts routing in events_incremental_agg_merge's split,
+# events_cohort_retention's per-user frame no longer force-broadcast
+# (plan-only), the MAD pair's shared tail factored (plan-identical),
+# and the strict-bigint oracle macro now STRIPS Spark's measured
+# [\x00-\x20\x7f] trim set. Of the changed names,
+# events_json_extract and events_mad_anomalies_twopass are IN the
+# r15 window (fresh driver rows over the new text); funnel / hourly
+# / cohort / incremental-merge / mad-window are r14-dated (freshest,
+# due r16). All re-proved by the all-175 parity run at the changed
+# tree, with dedicated zero-variance / zero-denominator / NULL-ts
+# regression fixtures in tests/test_events_ops.py.
 #
 # r14 restage: flag-free — the round's operator-adjacent changes are
 # output-identical for every registry query: util.remove_layout's

@@ -132,3 +132,103 @@ def test_referential_integrity_report_fires_on_orphans(spark, tmp_path):
         "supplier.s_nationkey->nation": (1, 0, 0),
         "nation.n_regionkey->region": (2, 1, 0),
     }
+
+
+def test_hourly_anomalies_survive_zero_variance_groups(spark, tmp_path):
+    """A type whose hourly buckets all carry the same count has zero
+    variance: the z expression divides 0/0, which THROWS under ANSI
+    while DuckDB quietly yields NULL and the filter drops the row —
+    the sd > 0 guard produces the same NULL (r15 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "evzv"
+    d.mkdir()
+    hour_us = 3_600_000_000
+    base_us = 1_700_000_000_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                # one event in each of two different hours: k=2, var=0
+                "ts": pa.array(
+                    [base_us, base_us + hour_us], pa.timestamp("us")
+                ),
+                "user_id": pa.array([1, 2], pa.int64()),
+                "event_type": pa.array(["x", "x"], pa.string()),
+                "value": pa.array([1.0, 1.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+
+    out = load_all()["events_hourly_anomalies"].fn(spark, str(d))
+    assert out.collect() == []  # no crash, no spurious anomaly
+
+
+def test_funnel_zero_denominators_yield_null_rates(spark, tmp_path):
+    """An events table with no 'view' events used to crash the funnel
+    with DIVIDE_BY_ZERO under ANSI; the when() guards yield NULL like
+    DuckDB's double/0 (r15 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "evnoview"
+    d.mkdir()
+    base_us = 1_700_000_000_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(
+                    [base_us, base_us + 1_000_000], pa.timestamp("us")
+                ),
+                "user_id": pa.array([1, 1], pa.int64()),
+                "event_type": pa.array(["click", "purchase"], pa.string()),
+                "value": pa.array([1.0, 2.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+
+    row = load_all()["events_funnel"].fn(spark, str(d)).collect()[0]
+    assert row["n_viewed"] == 0
+    assert row["view_to_click_rate"] is None
+
+
+def test_incremental_agg_merge_keeps_null_ts_rows(spark, tmp_path):
+    """The two-batch split must PARTITION the table: a NULL ts failed
+    both bare dayofmonth predicates and silently vanished from the
+    incremental result while the direct aggregate counted it (r15
+    review — NULL-ts rows now route with batch 1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "evnullts"
+    d.mkdir()
+    base_us = 1_700_000_000_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(
+                    [base_us, None, base_us + 16 * 86_400_000_000],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 2, 3], pa.int64()),
+                "event_type": pa.array(["x", "x", "x"], pa.string()),
+                "value": pa.array([1.0, 10.0, 100.0], pa.float64()),
+                "props": pa.array(["{}"] * 3, pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    from bigdata_flightanalysis_spark.queries.catalog import load_all
+
+    row = load_all()["events_incremental_agg_merge"].fn(spark, str(d)).collect()[0]
+    assert row["n_rows"] == 3
+    assert row["sum_value"] == 111.0

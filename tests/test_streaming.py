@@ -255,3 +255,74 @@ def test_transform_with_state_matches_legacy_and_batch(spark):
     )
     cols = ["user_id", "n_events", "max_value"]
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_stateful_user_stats_null_values_match_batch_semantics(spark, tmp_path):
+    """Users whose values are all NULL must emit NULL total/max like
+    the batch F.sum/F.max (NULL-ignoring) — pandas renders NULL as
+    NaN, and the unguarded .max() returned NaN (which then STICKS
+    through every later max) while .sum() returned 0.0 (r15 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "evnull"
+    d.mkdir()
+    base_us = 1_700_000_000_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array(
+                    [base_us + i * 1_000_000 for i in range(4)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([10, 10, 20, 20], pa.int64()),
+                "event_type": pa.array(["a"] * 4, pa.string()),
+                # user 10: all NULL; user 20: one NULL, one real
+                "value": pa.array([None, None, None, 2.5], pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    from bigdata_flightanalysis_spark.sources.readers import read_table
+
+    stream = run_to_memory(
+        streaming_user_stats_stateful(stream_events(spark, str(d))),
+        spark,
+        output_mode="update",
+    )
+    final = stream.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    batch = (
+        read_table(spark, str(d), "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    cols = ["user_id", "n_events", "total_value", "max_value"]
+    assert _rows(final, cols) == _rows(batch, cols)
+    got = {r["user_id"]: r for r in final.collect()}
+    assert got[10]["total_value"] is None and got[10]["max_value"] is None
+    assert got[20]["max_value"] == 2.5
+
+
+def test_stream_schema_probe_does_not_leak_nanos_flag(spark):
+    """The schema probe must set the session-global nanosAsLong flag
+    only for the NANOS footer failure, not for ANY error (r15 review —
+    same gate as sources.readers._read_events)."""
+    from bigdata_flightanalysis_spark.streaming.events import (
+        events_stream_schema,
+    )
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    with pytest.raises(Exception):
+        events_stream_schema(spark, "/nonexistent_dir_for_probe")
+    assert spark.conf.get(key, None) == before

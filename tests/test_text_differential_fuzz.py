@@ -338,6 +338,13 @@ def test_json_extraction_matches_duckdb_on_adversarial_payloads(spark):
         'not json', '', None, 'null', '{"k": 5',
         '{"k": "\\u0035"}', '{"k": 1e3}', '{"k": -0}', '{"k": " 8 "}',
         '{"k": ""}', '{"k": "+12"}', '{"k": "0012"}',
+        # padding class pins: Spark's cast trims exactly [\x00-\x20\x7f]
+        # off both ends — NUL/unit-sep/DEL/VT strip (value casts), the
+        # high ISO controls and unicode spaces do NOT (NULL both sides)
+        '{"k": "\\u00005\\u0000"}', '{"k": "\\u001f+5\\u001f"}',
+        '{"k": "\\u007f5"}', '{"k": "\\u000b5\\u000b"}',
+        '{"k": "\\u00855"}', '{"k": "\\u00a05"}', '{"k": "\\u20005"}',
+        '{"k": "5\\u00005"}',  # interior control: NULL both sides
     ]
     rows = [(i, s) for i, s in enumerate(cases)]
     df = spark.createDataFrame(rows, "i int, props string")
