@@ -166,10 +166,16 @@ def price_stddev_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(p * p).cast("double").alias("sa2"),
     )
     n, sa, sa2 = F.col("n"), F.col("sa"), F.col("sa2")
+    # n > 1 guard: a single-order status group divides by (n-1)=0 — an
+    # ANSI THROW in Spark, while DuckDB's double/0 quietly yields NULL
+    # (measured); when() → NULL matches (built-in stddev_samp is also
+    # NULL at n=1)
     return grouped.select(
         "o_orderstatus",
         "n",
-        F.sqrt((sa2 - sa * sa / n) / (n - 1)).alias("stddev_price"),
+        F.when(n > 1, F.sqrt((sa2 - sa * sa / n) / (n - 1))).alias(
+            "stddev_price"
+        ),
     ).orderBy("o_orderstatus")
 
 
@@ -1052,20 +1058,42 @@ def status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "customer_scd2_merge",
-    oracle="""
-        WITH updates AS (
-            SELECT c_custkey, 0.0 AS c_acctbal,
-                   TIMESTAMP '1999-06-01 00:00:00' AS eff
-            FROM customer WHERE c_acctbal < 0.0
-        ),
-        versions AS (
+#: SCD2 version stream of the customer dimension — base snapshot
+#: effective 1995-01-01, negative balances zeroed effective
+#: 1999-06-01. ONE definition (Spark + oracle CTE body) shared by
+#: customer_scd2_merge and orders_pit_customer_balance, so the magic
+#: dates and the correction rule cannot drift between the two queries
+#: the docs describe as "the same deterministic SCD2 construction".
+_SQL_CUSTOMER_VERSIONS = """
             SELECT c_custkey, c_acctbal,
                    TIMESTAMP '1995-01-01 00:00:00' AS valid_from
             FROM customer
             UNION ALL
-            SELECT c_custkey, c_acctbal, eff FROM updates
+            SELECT c_custkey, 0.0 AS c_acctbal,
+                   TIMESTAMP '1999-06-01 00:00:00' AS valid_from
+            FROM customer WHERE c_acctbal < 0.0
+"""
+
+
+def _customer_versions(customer: DataFrame) -> DataFrame:
+    base = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    corrections = customer.filter(F.col("c_acctbal") < 0.0).select(
+        "c_custkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("1999-06-01 00:00:00").cast("timestamp").alias("valid_from"),
+    )
+    return base.unionByName(corrections)
+
+
+@register(
+    "customer_scd2_merge",
+    oracle=f"""
+        WITH versions AS (
+            {_SQL_CUSTOMER_VERSIONS}
         )
         SELECT c_custkey, c_acctbal,
                strftime(valid_from, '%Y-%m-%d') AS valid_from,
@@ -1090,20 +1118,7 @@ def status_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = read_table(spark, sf_dir, "customer")
-    base = customer.select(
-        "c_custkey",
-        "c_acctbal",
-        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
-    )
-    updates = (
-        customer.filter(F.col("c_acctbal") < 0.0)
-        .select(
-            "c_custkey",
-            F.lit(0.0).alias("c_acctbal"),
-            F.lit("1999-06-01 00:00:00").cast("timestamp").alias("valid_from"),
-        )
-    )
-    versions = base.unionByName(updates)
+    versions = _customer_versions(customer)
     w = Window.partitionBy("c_custkey").orderBy("valid_from")
     nxt = F.lead("valid_from").over(w)
     return (
@@ -1153,12 +1168,20 @@ def order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
-    return wide.unpivot(
-        "o_orderstatus",
-        ["n_orders", "total_price", "max_price"],
-        "metric",
-        "value",
-    ).orderBy("o_orderstatus", "metric")
+    return (
+        wide.unpivot(
+            "o_orderstatus",
+            ["n_orders", "total_price", "max_price"],
+            "metric",
+            "value",
+        )
+        # pin the NULL contract to the oracle: DuckDB's UNPIVOT
+        # EXCLUDES NULL values by default while Spark's retains them —
+        # an all-NULL metric (e.g. total_price of an all-NULL-price
+        # status) would otherwise emit a row the oracle never produces
+        .where(F.col("value").isNotNull())
+        .orderBy("o_orderstatus", "metric")
+    )
 
 
 @register(
@@ -1359,17 +1382,26 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decile_bounds_sql() -> str:
+def _bucket_bounds_sql(col: str, prefix: str, n: int) -> str:
+    """percentile_disc boundary columns for an n-bucket split of
+    ``col`` — ONE definition shared by the decile (n=10) and
+    RFM-quintile (n=5) twopass oracles, so the boundary formulation
+    (fraction repr, percentile_disc semantics) cannot drift between
+    them."""
     return ",\n                   ".join(
-        f"percentile_disc({i / 10!r}) WITHIN GROUP (ORDER BY spend) AS p{i}"
-        for i in range(1, 10)
+        f"percentile_disc({i / n!r}) WITHIN GROUP (ORDER BY {col})"
+        f" AS {prefix}{i}"
+        for i in range(1, n)
     )
 
 
-def _decile_case_sql() -> str:
-    return " + ".join(
-        f"(CASE WHEN spend < p{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+def _bucket_case_sql(col: str, prefix: str, n: int, op: str) -> str:
+    """1-based bucket id: count of crossed boundaries + 1."""
+    cases = " + ".join(
+        f"(CASE WHEN {col} {op} {prefix}{i} THEN 1 ELSE 0 END)"
+        for i in range(1, n)
     )
+    return f"1 + {cases}"
 
 
 @register(
@@ -1382,11 +1414,11 @@ def _decile_case_sql() -> str:
                        AS spend
             FROM orders GROUP BY o_custkey
         ), bounds AS (
-            SELECT {_decile_bounds_sql()}
+            SELECT {_bucket_bounds_sql("spend", "p", 10)}
             FROM per_cust
         ), assigned AS (
             SELECT n_orders, spend,
-                   CAST(1 + {_decile_case_sql()} AS BIGINT) AS decile
+                   CAST({_bucket_case_sql("spend", "p", 10, "<")} AS BIGINT) AS decile
             FROM per_cust CROSS JOIN bounds
         )
         SELECT decile,
@@ -1745,15 +1777,9 @@ def customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_pit_customer_balance",
-    oracle="""
+    oracle=f"""
         WITH versions AS (
-            SELECT c_custkey, c_acctbal,
-                   TIMESTAMP '1995-01-01 00:00:00' AS valid_from
-            FROM customer
-            UNION ALL
-            SELECT c_custkey, 0.0 AS c_acctbal,
-                   TIMESTAMP '1999-06-01 00:00:00' AS valid_from
-            FROM customer WHERE c_acctbal < 0.0
+            {_SQL_CUSTOMER_VERSIONS}
         )
         SELECT o.o_orderkey,
                o.o_custkey AS c_custkey,
@@ -1784,17 +1810,7 @@ def orders_pit_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     customer = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
-    base = customer.select(
-        "c_custkey",
-        "c_acctbal",
-        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
-    )
-    corrections = customer.filter(F.col("c_acctbal") < 0.0).select(
-        "c_custkey",
-        F.lit(0.0).alias("c_acctbal"),
-        F.lit("1999-06-01 00:00:00").cast("timestamp").alias("valid_from"),
-    )
-    versions = base.unionByName(corrections)
+    versions = _customer_versions(customer)
     left = orders.select(
         F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_orderdate"
     )
@@ -2173,22 +2189,6 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quintile_bounds_sql(col: str, prefix: str) -> str:
-    return ",\n                   ".join(
-        f"percentile_disc({i / 5!r}) WITHIN GROUP (ORDER BY {col})"
-        f" AS {prefix}{i}"
-        for i in range(1, 5)
-    )
-
-
-def _quintile_case_sql(col: str, prefix: str, op: str) -> str:
-    cases = " + ".join(
-        f"(CASE WHEN {col} {op} {prefix}{i} THEN 1 ELSE 0 END)"
-        for i in range(1, 5)
-    )
-    return f"1 + {cases}"
-
-
 @register(
     "customer_rfm_segments_twopass",
     oracle=f"""
@@ -2203,14 +2203,14 @@ def _quintile_case_sql(col: str, prefix: str, op: str) -> str:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_custkey
         ), bounds AS (
-            SELECT {_quintile_bounds_sql("recency_days", "rp")},
-                   {_quintile_bounds_sql("frequency", "fp")},
-                   {_quintile_bounds_sql("monetary", "mp")}
+            SELECT {_bucket_bounds_sql("recency_days", "rp", 5)},
+                   {_bucket_bounds_sql("frequency", "fp", 5)},
+                   {_bucket_bounds_sql("monetary", "mp", 5)}
             FROM rfm
         ), scored AS (
-            SELECT ({_quintile_case_sql("recency_days", "rp", "<")}) * 100
-                   + ({_quintile_case_sql("frequency", "fp", ">")}) * 10
-                   + ({_quintile_case_sql("monetary", "mp", ">")})
+            SELECT ({_bucket_case_sql("recency_days", "rp", 5, "<")}) * 100
+                   + ({_bucket_case_sql("frequency", "fp", 5, ">")}) * 10
+                   + ({_bucket_case_sql("monetary", "mp", 5, ">")})
                        AS rfm_code,
                    monetary
             FROM rfm CROSS JOIN bounds

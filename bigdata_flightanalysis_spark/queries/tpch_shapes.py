@@ -650,7 +650,13 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey"
     )
     return (
-        lineitem.join(
+        # NOT IN semantics need the PROBE side non-null too: a NULL
+        # l_suppkey fails `NOT IN (...)` (NULL) and the oracle drops
+        # the row, but a bare left_anti KEEPS it (NULL never matches) —
+        # a group of only NULL-FK rows would appear with
+        # supplier_cnt = 0 that the oracle never emits
+        lineitem.filter(F.col("l_suppkey").isNotNull())
+        .join(
             F.broadcast(bad_suppliers),
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
@@ -937,7 +943,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            # try_divide: a zero-quantity line is an ANSI THROW with
+            # bare /, while DuckDB's double/0 quietly yields NULL
+            # (which MIN skips on both engines)
+            F.min(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))).alias(
                 "unit_price"
             )
         )

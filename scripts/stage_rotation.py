@@ -125,7 +125,19 @@ WINDOW = 50
 # / cohort / incremental-merge / mad-window are r14-dated (freshest,
 # due r16). All re-proved by the all-175 parity run at the changed
 # tree, with dedicated zero-variance / zero-denominator / NULL-ts
-# regression fixtures in tests/test_events_ops.py.
+# regression fixtures in tests/test_events_ops.py. Eighth (seventh
+# review batch, relational_ext/tpch_shapes): ANSI guards for the n=1
+# stddev group and q2's zero-quantity division, q16's probe-side
+# NULL-FK filter (NOT IN semantics), order_metrics_unpivot's NULL
+# contract pinned to DuckDB's NULL-excluding UNPIVOT, and two
+# dedup refactors (shared _customer_versions SCD2 construction and
+# generalized _bucket_*_sql helpers — oracle text byte-identical).
+# Of the changed names, order_metrics_unpivot is IN the r15 window;
+# price_stddev_by_status / q2 / scd2 are staged r16 leaders; q16 and
+# orders_pit are r13/r14-dated. All output-identical on driver data
+# (all-175 parity re-run green) with a crafted edge-star
+# differential fixture in tests/test_adversarial_parity.py proving
+# both engines agree on the edge data itself.
 #
 # r14 restage: flag-free — the round's operator-adjacent changes are
 # output-identical for every registry query: util.remove_layout's

@@ -256,3 +256,74 @@ def test_event_edges_match_oracle(
     name, spark, edge_events_dir, edge_events_duck
 ):
     _compare(name, spark, edge_events_dir, edge_events_duck)
+
+
+@pytest.fixture(scope="module")
+def edge_star_dir(spark, tmp_path_factory):
+    """Tiny star tables targeting the r15 relational edges: a status
+    with exactly ONE order (stddev n=1), a status whose every price is
+    NULL (unpivot NULL contract), a NULL l_suppkey lineitem row (NOT IN
+    probe-side semantics), and a zero-quantity line (q2 division)."""
+    base = tmp_path_factory.mktemp("edge_star")
+    orders = [
+        # (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        #  o_orderdate, o_orderpriority)
+        (1, 1, "F", 100.0, datetime(1996, 1, 1), "1-URGENT"),
+        (2, 1, "F", 200.0, datetime(1996, 2, 1), "1-URGENT"),
+        (3, 2, "S", 50.0, datetime(1996, 3, 1), "2-HIGH"),   # n=1 group
+        (4, 2, "N", None, datetime(1996, 4, 1), "2-HIGH"),   # all-NULL price
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{base}/orders.parquet")
+    part = [(1, "Brand#2", "STD", 5), (2, "Brand#3", "STD", 5)]
+    spark.createDataFrame(
+        part, "p_partkey bigint, p_brand string, p_type string, p_size int"
+    ).write.mode("overwrite").parquet(f"{base}/part.parquet")
+    supplier = [(1, "S1", -5.0, 1), (2, "S2", 10.0, 1)]
+    spark.createDataFrame(
+        supplier,
+        "s_suppkey bigint, s_name string, s_acctbal double, s_nationkey bigint",
+    ).write.mode("overwrite").parquet(f"{base}/supplier.parquet")
+    lineitem = [
+        # (l_orderkey, l_partkey, l_suppkey, l_extendedprice, l_quantity)
+        (1, 1, 2, 100.0, 4.0),
+        (1, 1, None, 70.0, 2.0),   # NULL FK: NOT IN drops it on both sides
+        (2, 2, 2, 90.0, 0.0),      # zero quantity: q2 try_divide
+        (2, 2, 1, 80.0, 2.0),      # bad supplier (s_acctbal < 0): anti'd
+    ]
+    spark.createDataFrame(
+        lineitem,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_extendedprice double, l_quantity double",
+    ).write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def edge_star_duck(edge_star_dir):
+    con = duckdb.connect()
+    for t in ("orders", "part", "supplier", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{edge_star_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "price_stddev_by_status",     # n=1 group: ANSI div-by-zero guard
+        "order_metrics_unpivot",      # all-NULL metric: DuckDB UNPIVOT drops it
+        "q16_supplier_part_counts",   # NULL probe FK: NOT IN semantics
+        "q2_min_cost_supplier",       # zero quantity: try_divide
+    ],
+)
+def test_relational_edges_match_oracle(
+    name, spark, edge_star_dir, edge_star_duck
+):
+    _compare(name, spark, edge_star_dir, edge_star_duck)
