@@ -55,80 +55,24 @@ def register(
 # query accumulates a verified run: names listed here are yielded first
 # (in list order), everything else follows in registration order.
 #
-# Round-15 rotation (scripts/stage_rotation.py computed it; validated
-# with --check after restaging). After r14, per-query newest-driver-row
-# dates: 26 at r11 (the oldest), 49 at r12, 50 at r13, 50 at r14; all
-# 175 green at their newest row. The round's code changes (ADVICE
-# items in operators/incremental.py, operators/graph.py,
-# operators/checkpointing.py, pipeline/flights.py) are output-identical
-# for every registry query — error-path guards, eager-materialization
-# of an already-correct frame, cache unpersists, and a rename of an
-# internal join key none of the three assign_components callers can
-# observe (each selects explicit columns) — so the window is pure
-# staleness order: (1) the 26 r11-dated rows; (2) backfill with the 24
-# alphabetically-first r12-dated rows. Window = 26 + 24 = 50 — exactly
-# the set the r14 comment staged below its cut. The remaining 25 r12
-# names plus the 25 oldest r13 names are listed below the cut and lead
-# the r16 window; steady state holds (after this window lands nothing
-# is older than r12).
+# Round-16 rotation (scripts/stage_rotation.py computed it; validated
+# with --check after restaging). After r15, per-query newest-driver-row
+# dates: 25 at r12 (the oldest), 50 at r13, 50 at r14, 50 at r15; all
+# 175 green at their newest row. The restage is flag-free (r16 opens
+# with bookkeeping only — driver-detail snapshot, archive restore —
+# before any query-body change; any review-batch fix that touches a
+# query/oracle body will be adjudicated in stage_rotation.py's
+# STAGED_CHANGED note or restaged with --changed), so the window is
+# pure staleness order: (1) the 25 r12-dated rows; (2) backfill with
+# the 25 alphabetically-first r13-dated rows. Window = 25 + 25 = 50 —
+# exactly the set the r15 comment staged below its cut. The remaining
+# 25 r13 names plus the 25 alphabetically-first r14 names are listed
+# below the cut and lead the r17 window; steady state holds (after
+# this window lands nothing is older than r13).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) the r15 window: the 26 r11-dated rows (oldest remaining
-    #     after r14) plus the 24 alphabetically-first r12-dated rows —
-    #     exactly the set the r14 comment staged below its cut.
-    "embed_decontamination",
-    "embed_ivf_topk",
-    "embed_lsh_topk",
-    "embed_near_dup_pairs",
-    "embed_quantize_int8",
-    "embed_standardize",
-    "events_dedup_first_per_user_type",
-    "events_json_extract",
-    "events_mad_anomalies_twopass",
-    "events_session_windows",
-    "events_sliding_hourly",
-    "events_tumbling_hourly",
-    "events_type_pivot",
-    "events_type_trend",
-    "events_value_winsorized_twopass",
-    "grouping_sets_order_stats",
-    "kmeans_embedding_clusters",
-    "large_orders_q18",
-    "lineitem_safe_math",
-    "max_order_per_status_argmax",
-    "order_metrics_unpivot",
-    "order_price_percentile_rank",
-    "orders_profile_approx",
-    "orders_quality_report",
-    "status_priority_sets",
-    "supplier_trailing_week_quantity",
-    "customer_rfm_segments",
-    "customer_snapshot_diff",
-    "doc_bigram_nll_quality",
-    "doc_bm25_topk",
-    "doc_clean_normalize",
-    "doc_dup_canonical_pagerank",
-    "doc_dup_graph_triangles",
-    "doc_duplicate_spans",
-    "doc_near_dup_candidates_largemode",
-    "doc_pii_redaction",
-    "doc_quality_weighted_sample",
-    "doc_repetition_scores",
-    "doc_salient_terms",
-    "doc_shuffle_shards",
-    "doc_source_mixture_weights",
-    "doc_split_leakage_check",
-    "doc_stopword_ratio",
-    "doc_stratified_sample",
-    "doc_temperature_mixture_sample",
-    "doc_term_first_positions",
-    "doc_train_test_split",
-    "doc_training_manifest",
-    "doc_url_domains",
-    "doc_weighted_sample_es",
-    # The 50-query window ends here (26 r11-stale + 24 r12-dated
-    # backfill). The entries below are the oldest remaining rows once
-    # this window lands — the remaining 25 r12 rows plus the 25 oldest
-    # r13 rows lead the r16 window.
+    # (1) the r16 window: the 25 r12-dated rows (oldest remaining
+    #     after r15) plus the 25 alphabetically-first r13-dated rows —
+    #     exactly the set the r15 comment staged below its cut.
     "doc_winnow_fingerprints",
     "embed_label_centroids",
     "events_user_activity_ranked",
@@ -179,6 +123,60 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embed_quantized_topk",
     "events_activity_incident_overlap",
     "events_asof_purchase_click",
+    # The 50-query window ends here (25 r12-stale + 25 r13-dated
+    # backfill). The entries below are the oldest remaining rows once
+    # this window lands — the remaining 25 r13 rows plus the 25
+    # alphabetically-first r14 rows lead the r17 window.
+    "events_minutely_gapfill",
+    "events_range_join_error_context",
+    "events_sessionization_gaps",
+    "events_sliding_distinct_users",
+    "nation_share_of_region_revenue",
+    "order_priority_tiers",
+    "order_value_quartiles",
+    "orderdate_parts",
+    "orders_anti_bloom_check",
+    "part_affinity_topk",
+    "parts_never_ordered",
+    "q11_important_parts",
+    "q12_priority_by_flag",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    "q8_market_share",
+    "returnflag_in_list",
+    "revenue_by_region",
+    "segments_of_open_order_customers",
+    "supplier_running_revenue",
+    "top_customers_per_segment",
+    "union_priority_extremes",
+    "approx_distinct_users_by_type",
+    "bloom_filtered_lineitem_revenue",
+    "count_distinct_parts",
+    "customer_rfm_segments_sketch",
+    "customer_rfm_segments_twopass",
+    "customer_value_deciles",
+    "customer_value_deciles_sketch",
+    "customer_value_deciles_twopass",
+    "delayed_order_label",
+    "distinct_flag_status",
+    "doc_bm25_compact_topk",
+    "doc_bm25_index_topk",
+    "doc_bm25_refresh_topk",
+    "doc_bm25_serve_topk",
+    "doc_boilerplate_density",
+    "doc_chunk_windows",
+    "doc_dedup_keep_best",
+    "doc_length_histogram",
+    "doc_minhash_estimate_vs_exact",
+    "doc_ngram_topk",
+    "doc_pack_sequences",
+    "doc_simhash_near_dup",
+    "doc_token_stats",
+    "embed_cosine_topk",
+    "events_approx_quantile_contract",
 )
 
 

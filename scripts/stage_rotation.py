@@ -47,6 +47,28 @@ WINDOW = 50
 # same frame instead of misreporting a legitimately-staged window as
 # WRONG. Explicit --changed flags on the command line override it.
 #
+# r16 restage: flag-free — staged at round open, before any query/
+# oracle body change (the first r16 commits are bookkeeping: driver
+# r15 detail snapshot + 74.11 s archive restore). The window is pure
+# staleness order: the 25 r12-dated rows plus the 25 alphabetically-
+# first r13-dated rows — exactly the set the r15 catalog comment
+# staged below its cut. Any later review-batch fix that touches a
+# query/oracle body will be adjudicated here (output-identical on
+# driver data, all-175 parity re-run) or restaged with --changed.
+# R16 adjudications so far: the five r15 driver-ADVICE closures are
+# output-identical for every registry query — the MAD twopass tail
+# now CALLS _mad_finalize (plan-identical refactor; both names
+# re-proved by the all-175 parity run), the _USER_DIR_FOR nested-
+# scope pop and bloom stamp witness are non-query lifecycle/guard
+# paths (bloom_filtered_lineitem_revenue re-verified oracle-exact
+# with the witnessed stamp and keeps its join shape; it is an r17
+# leader staged below the cut), q16's build-side NULL filter is a
+# no-op on TPC-H PK data (q16 is an r17 leader too), and the verify-
+# script count() drop is tooling-only. The review batches over
+# relational/governance/multimodal/codecs/introspect and the codec
+# fuzz lane are adjudicated in this comment's later paragraphs as
+# they land.
+#
 # r15 restage: flag-free — the round's planned changes are the five
 # driver-ADVICE items (operators/incremental.py replay materialization
 # + glob escaping, operators/graph.py reserved join-key name,
