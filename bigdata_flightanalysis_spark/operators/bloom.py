@@ -115,19 +115,44 @@ def bloom_prune(
     # execution time (assert_true folds into the row expressions — no
     # extra job, stays lazy) so a parameter mismatch fails loudly
     # instead of producing silent false negatives. Un-stamped legacy
-    # bitmaps skip the check.
+    # bitmaps skip the check. The stamp is distilled to a ONE-ROW
+    # aggregate cross-joined (broadcast) onto the probe so EVERY probe
+    # row witnesses the parameters — carrying the stamp on the
+    # first-hash word join left rows whose word_idx missed the sparse
+    # bitmap un-witnessed, and exactly those rows are the definite
+    # misses mode='miss' emits (r15 driver ADVICE).
     stamped = {"__bloom_k", "__bloom_m"}.issubset(set(bitmap.columns))
     out = probe
     hit = F.lit(True)
+    if stamped:
+        stamp = bitmap.groupBy().agg(
+            F.max("__bloom_k").alias("__bloom_stamp_k"),
+            F.max("__bloom_m").alias("__bloom_stamp_m"),
+        )
+        out = out.crossJoin(F.broadcast(stamp))
+        # an EMPTY bitmap aggregates to one all-NULL stamp row: there
+        # are no set bits, so no parameterization can produce a false
+        # negative — NULL validates as true
+        ok = F.coalesce(
+            (F.col("__bloom_stamp_k") == F.lit(k))
+            & (F.col("__bloom_stamp_m") == F.lit(m_bits)),
+            F.lit(True),
+        )
+        hit = hit & F.isnull(
+            F.assert_true(
+                ok,
+                F.lit(
+                    f"bloom_prune(k={k}, m_bits={m_bits}) does not "
+                    "match this bitmap's bloom_build parameters — "
+                    "a mismatch produces false negatives"
+                ),
+            )
+        )
     for i, pos in enumerate(_positions(F.col(key), k, m_bits)):
         w = f"__bloom_w{i}"
-        cols = [F.col("word_idx").alias(f"{w}_idx"), F.col("word").alias(w)]
-        if i == 0 and stamped:
-            cols += [
-                F.col("__bloom_k").alias("__bloom_stamp_k"),
-                F.col("__bloom_m").alias("__bloom_stamp_m"),
-            ]
-        b = bitmap.select(*cols)
+        b = bitmap.select(
+            F.col("word_idx").alias(f"{w}_idx"), F.col("word").alias(w)
+        )
         out = (
             out.withColumn(f"{w}_pos", pos)
             .withColumn(f"{w}_probe_idx", (F.col(f"{w}_pos") / 64).cast("long"))
@@ -137,25 +162,6 @@ def bloom_prune(
                 "left",
             )
         )
-        if i == 0 and stamped:
-            # NULL stamps (probe word missed the bitmap) validate as
-            # true — only rows that actually joined a bitmap word can
-            # witness a parameter mismatch
-            ok = F.coalesce(
-                (F.col("__bloom_stamp_k") == F.lit(k))
-                & (F.col("__bloom_stamp_m") == F.lit(m_bits)),
-                F.lit(True),
-            )
-            hit = hit & F.isnull(
-                F.assert_true(
-                    ok,
-                    F.lit(
-                        f"bloom_prune(k={k}, m_bits={m_bits}) does not "
-                        "match this bitmap's bloom_build parameters — "
-                        "a mismatch produces false negatives"
-                    ),
-                )
-            )
         bit = F.expr(f"shiftleft(cast(1 as bigint), cast({w}_pos % 64 as int))")
         hit = hit & F.coalesce(
             F.col(w).bitwiseAND(bit) != F.lit(0), F.lit(False)

@@ -89,6 +89,13 @@ def checkpoint_scope(
         yield lambda df: df.checkpoint(eager=True)
     finally:
         if prev is not None:
+            # With nested scopes the ACTIVE dir at exit time is not
+            # this scope's own `cur`: an inner scope's exit restored
+            # our dir through a FRESH resolution that superseded it.
+            # Capture the active dir so its mapping is dropped too —
+            # popping only `cur` leaked one entry per nested-scope
+            # cycle (r15 driver ADVICE).
+            active = sc.getCheckpointDir()
             # restore the user-level path, not the UUID-resolved one
             with _USER_DIR_LOCK:
                 restore_to = _USER_DIR_FOR.get(prev, prev)
@@ -101,12 +108,15 @@ def checkpoint_scope(
                     )
                 # `after` is a FRESH resolution of the same user-level
                 # path and carries the mapping from here on, so the
-                # superseded prev resolution (and this scope's own)
-                # can be dropped — this bounds the map instead of
-                # leaking one entry per scope use
+                # superseded prev resolution, this scope's own, and
+                # whatever resolution was active at exit can all be
+                # dropped — this bounds the map instead of leaking
+                # one entry per scope use
                 _USER_DIR_FOR.pop(prev, None)
                 if cur is not None:
                     _USER_DIR_FOR.pop(cur, None)
+                if active is not None and active != after:
+                    _USER_DIR_FOR.pop(active, None)
         # prev None: no restore possible, cur STAYS the active dir
         # (the documented residue) — keep its mapping so a LATER
         # scope's exit still restores the user-level path (that later

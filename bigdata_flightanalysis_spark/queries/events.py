@@ -1603,19 +1603,7 @@ def events_mad_anomalies_twopass(
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)").alias("mad")
     )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum((F.col("dev") > 3 * F.col("mad")).cast("long"))
-            .cast("bigint")
-            .alias("n_anomalies"),
-            F.min("med").alias("median_value"),
-            F.min("mad").alias("mad"),
-        )
-        .orderBy("event_type")
-    )
+    return _mad_finalize(dev, mad)
 
 
 @register(

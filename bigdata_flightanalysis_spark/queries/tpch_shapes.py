@@ -619,7 +619,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND p_type <> 'PROMO'
           AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
           AND l_suppkey NOT IN (
-              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+              -- s_suppkey IS NOT NULL mirrors the Spark build-side
+              -- filter: it pins NOT IN to defined semantics (one NULL
+              -- in the subquery would otherwise empty the result)
+              -- instead of relying on the TPC-H PK assumption
+              SELECT s_suppkey FROM supplier
+              WHERE s_acctbal < 0.0 AND s_suppkey IS NOT NULL
           )
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
@@ -643,7 +648,13 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad_suppliers = (
         read_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0.0)
+        # NOT IN semantics need the BUILD side non-null too: one NULL
+        # s_suppkey makes `NOT IN (...)` return zero rows, while a
+        # left_anti just ignores the NULL build row. s_suppkey is a
+        # non-null PK in TPC-H so this filter is a no-op on real data;
+        # it pins the semantics rather than relying on the PK
+        # assumption (r15 driver ADVICE).
+        .filter((F.col("s_acctbal") < 0.0) & F.col("s_suppkey").isNotNull())
         .select("s_suppkey")
     )
     lineitem = read_table(spark, sf_dir, "lineitem").select(

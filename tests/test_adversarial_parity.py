@@ -282,7 +282,10 @@ def edge_star_dir(spark, tmp_path_factory):
     spark.createDataFrame(
         part, "p_partkey bigint, p_brand string, p_type string, p_size int"
     ).write.mode("overwrite").parquet(f"{base}/part.parquet")
-    supplier = [(1, "S1", -5.0, 1), (2, "S2", 10.0, 1)]
+    # the NULL s_suppkey with a negative balance hits q16's NOT-IN
+    # subquery: unfiltered it would empty the oracle result while the
+    # left_anti kept rows — both sides now pin s_suppkey IS NOT NULL
+    supplier = [(1, "S1", -5.0, 1), (2, "S2", 10.0, 1), (None, "S3", -1.0, 1)]
     spark.createDataFrame(
         supplier,
         "s_suppkey bigint, s_name string, s_acctbal double, s_nationkey bigint",

@@ -117,3 +117,42 @@ def test_bloom_prune_rejects_reserved_probe_columns(spark):
     )
     with pytest.raises(ValueError, match="reserved"):
         bloom_prune(probe, "k", bloom_build(build, "k"))
+
+
+def test_bloom_prune_mismatch_caught_even_for_sparse_misses(spark):
+    """With a mismatched m_bits, a probe row whose computed word_idx is
+    ABSENT from the sparse bitmap used to get NULL stamps, validate as
+    true, and be silently emitted as a definite miss in mode='miss' —
+    exactly the rows the no-false-negative guarantee covers (r15 driver
+    ADVICE). The stamp is now a one-row broadcast witnessed by EVERY
+    probe row, so the mismatch raises regardless of which words join."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    build = spark.range(8).select(F.col("id").alias("k"))
+    probe = spark.range(4096).select(F.col("id").alias("k"))
+    # 8 keys over 2^17 bits → at most 16 occupied words of 2048: almost
+    # every probe row's first-hash word misses the bitmap entirely
+    bitmap = bloom_build(build, "k", k=2, m_bits=1 << 17)
+    with pytest.raises(Exception, match="does not match"):
+        bloom_prune(probe, "k", bitmap, k=2, m_bits=1 << 16, mode="miss").count()
+
+
+def test_bloom_prune_empty_bitmap_is_not_a_mismatch(spark):
+    """An EMPTY build side aggregates to an all-NULL stamp row; there
+    are no set bits so no parameterization can yield a false negative —
+    the witness must validate instead of raising, and mode='miss' must
+    route every probe row as a definite miss."""
+    from bigdata_flightanalysis_spark.operators.bloom import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    build = spark.range(10).filter("id < 0").select(F.col("id").alias("k"))
+    probe = spark.range(50).select(F.col("id").alias("k"))
+    bitmap = bloom_build(build, "k", k=2)
+    assert bloom_prune(probe, "k", bitmap, k=3, mode="miss").count() == 50

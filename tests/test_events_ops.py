@@ -232,3 +232,26 @@ def test_incremental_agg_merge_keeps_null_ts_rows(spark, tmp_path):
     row = load_all()["events_incremental_agg_merge"].fn(spark, str(d)).collect()[0]
     assert row["n_rows"] == 3
     assert row["sum_value"] == 111.0
+
+
+def test_mad_pair_shares_one_finalize_tail(spark, monkeypatch):
+    """The MAD window form and its twopass twin share one oracle, so
+    their join/groupBy/orderBy tails must be ONE definition — the
+    twopass body inlined an identical copy, leaving the documented
+    anti-drift guarantee unenforced (r15 driver ADVICE). Both query
+    bodies must route through _mad_finalize."""
+    from bigdata_flightanalysis_spark.queries import events as events_mod
+
+    calls = []
+    real = events_mod._mad_finalize
+
+    def spy(dev, mad):
+        calls.append(1)
+        return real(dev, mad)
+
+    monkeypatch.setattr(events_mod, "_mad_finalize", spy)
+    sf = "/root/testdata/sf0.001"
+    a = events_mod.events_mad_anomalies(spark, sf)
+    b = events_mod.events_mad_anomalies_twopass(spark, sf)
+    assert len(calls) == 2
+    assert a.columns == b.columns

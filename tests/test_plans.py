@@ -716,6 +716,7 @@ def test_nested_loop_joins_only_on_documented_bounded_builds(registry_plans):
         # pattern 1 — crossJoin on a ONE-ROW scalar-aggregate frame
         # (global thresholds/corpus stats joined to every row; the
         # build side is a single row by construction):
+        "bloom_filtered_lineitem_revenue",    # bloom (k,m) stamp witness row
         "customer_rfm_segments_twopass",      # global R/F/M percentile bounds
         "customer_rfm_segments_sketch",       # one sketch row per axis (3 joins)
         "customer_value_deciles_twopass",     # global decile bounds row
@@ -728,6 +729,7 @@ def test_nested_loop_joins_only_on_documented_bounded_builds(registry_plans):
         "doc_training_manifest",              # mixture stage reuses the same rows
         "embed_standardize",                  # per-dimension mean/std stats row
         "kmeans_embedding_clusters",          # contract booleans vs corpus-size row
+        "orders_anti_bloom_check",            # bloom (k,m) stamp witness row
         "q11_important_parts",                # scalar value-share threshold
         "q22_idle_rich_customers",            # scalar avg-balance threshold
         # pattern 2 — broadcast of a BOUNDED frame (query vectors,

@@ -431,3 +431,28 @@ def test_read_csv_rejects_schema_with_compat_mode(spark, tmp_path):
     schema = T.StructType([T.StructField("a", T.IntegerType())])
     with pytest.raises(ValueError, match="mutually"):
         read_csv(spark, str(p), schema=schema, compat_all_string=True)
+
+
+def test_checkpoint_scope_nested_cycles_do_not_leak(spark, tmp_path):
+    """Nested scopes: the inner exit restores the outer dir through a
+    FRESH resolution that supersedes the outer scope's captured `cur`;
+    the outer exit used to pop only the stale `cur`, leaking the fresh
+    entry — one per nested-scope cycle (r15 driver ADVICE). The exit
+    now also pops the resolution that is ACTUALLY active."""
+    from bigdata_flightanalysis_spark.operators.checkpointing import (
+        _USER_DIR_FOR,
+        checkpoint_scope,
+    )
+
+    base = str(tmp_path / "nest_base")
+    outer = str(tmp_path / "nest_outer")
+    inner = str(tmp_path / "nest_inner")
+    with checkpoint_scope(spark, base):
+        pass  # establishes a residue dir (or restores a prior one)
+    sizes = []
+    for _ in range(6):
+        with checkpoint_scope(spark, outer):
+            with checkpoint_scope(spark, inner):
+                pass
+        sizes.append(len(_USER_DIR_FOR))
+    assert len(set(sizes)) == 1 and sizes[-1] <= 3, sizes
