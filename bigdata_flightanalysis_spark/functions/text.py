@@ -113,6 +113,29 @@ def md5_long_sql(expr: str, seed: int | None = None) -> str:
     return f"CAST(('0x' || substr(md5({salted}), 1, 15)) AS BIGINT)"
 
 
+# DuckDB twins of tokenize / normalize_text / md5_long(normalize_text)
+# over a column literally named `text` — the ONE definition every
+# oracle that claims fingerprint/token compatibility with the dedup
+# store must import (r16 review: corpus_card carried a hand-copied
+# duplicate of the İ/ς case-folding fragment that the next pin added
+# here would silently have missed).
+#
+# Blank-text guard: DuckDB's string_split_regex('') yields [''] (one
+# empty token) while Spark's tokenize('') yields [] — every oracle
+# token count would diverge on a blank/whitespace-only doc without
+# the CASE. Parenthesized so call sites can slice/index it directly.
+SQL_TOKENS = (
+    "(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END)"
+)
+# same İ/ς case-folding pins as normalize_text
+SQL_NORM_TEXT = (
+    "trim(regexp_replace(replace(lower(replace(text, 'İ', 'i')), 'ς', 'σ'),"
+    " '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
+)
+SQL_FINGERPRINT = md5_long_sql(SQL_NORM_TEXT)
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Fraction of non-space characters that are punctuation/symbols."""
     col = F.col(col) if isinstance(col, str) else col

@@ -55,7 +55,10 @@ def sniff_format(payload: bytes) -> str | None:
     (truncated magics — e.g. a bare ``b"RIFF"`` — are unrecognized)."""
     if payload[:8] == _PNG_SIG:
         return "png"
-    if payload[:2] in (b"P6", b"P5") and len(payload) > 2 and payload[2:3] in b" \t\n\r":
+    # whitespace set matches decode_ppm's header parser (bytes.isspace:
+    # \x0B and \f are legal magic separators too — omitting them routed
+    # spec-valid files to the PIL fallback, r16 review)
+    if payload[:2] in (b"P6", b"P5") and len(payload) > 2 and payload[2:3] in b" \t\n\x0b\f\r":
         return "ppm" if payload[:2] == b"P6" else "pgm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
@@ -365,11 +368,9 @@ def encode_image(fmt: str, arr: np.ndarray) -> bytes:
     if fmt == "bmp":
         return encode_bmp(arr)
     if pil_available():
-        import io as _io
-
         from PIL import Image
 
-        buf = _io.BytesIO()
+        buf = io.BytesIO()
         Image.fromarray(arr).save(buf, format=fmt.upper())
         return buf.getvalue()
     raise NotImplementedError(f"cannot encode format {fmt!r} without PIL")

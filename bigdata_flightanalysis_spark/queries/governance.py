@@ -31,6 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_flightanalysis_spark.functions.text import (
+    SQL_FINGERPRINT,
+    SQL_TOKENS,
+)
 from bigdata_flightanalysis_spark.queries.catalog import register
 from bigdata_flightanalysis_spark.sources.readers import read_table
 
@@ -187,30 +191,24 @@ def doc_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CARD_SQL_TOKENS = "string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')"
-_CARD_SQL_FP = (
-    "CAST(('0x' || substr(md5("
-    "trim(regexp_replace(replace(lower(replace(text, 'İ', 'i')), 'ς', 'σ'),"
-    " '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
-    "), 1, 15)) AS BIGINT)"
-)
-
-
 @register(
     "corpus_card",
     oracle=f"""
         WITH t AS (
             SELECT lang, source, n_chars,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len({_CARD_SQL_TOKENS}) END AS n_tokens,
-                   {_CARD_SQL_FP} AS fp
+                   len({SQL_TOKENS}) AS n_tokens,
+                   {SQL_FINGERPRINT} AS fp
             FROM documents
         ),
-        cd AS (
-            SELECT n_tokens, cume_dist() OVER (ORDER BY n_tokens) AS cd
+        -- percentile_disc, not a cume_dist CTE: the window form
+        -- counted NULL n_tokens rows in its denominator while Spark's
+        -- percentile_disc aggregate ignores NULLs — one NULL-text doc
+        -- shifted the oracle's p50 a rank late (r16 review)
+        p50 AS (
+            SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)
+                       AS v
             FROM t
         ),
-        p50 AS (SELECT MIN(CASE WHEN cd >= 0.5 THEN n_tokens END) AS v FROM cd),
         a AS (
             SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
                    CAST(SUM(n_chars) AS DOUBLE) AS total_chars,

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_flightanalysis_spark.functions.text import md5_long_sql
 from bigdata_flightanalysis_spark.operators.multimodal import (
     extract_payload_features,
     text_as_payload,
@@ -23,7 +24,9 @@ from bigdata_flightanalysis_spark.queries.catalog import register
 from bigdata_flightanalysis_spark.sources.readers import read_table
 
 _SQL_MD5 = "md5(text)"
-_SQL_FP = f"CAST(('0x' || substr({_SQL_MD5}, 1, 15)) AS BIGINT)"
+# the shared 60-bit md5→BIGINT twin, not a hand copy: it must stay
+# byte-compatible with extract_payload_features' int(d[:15], 16)
+_SQL_FP = md5_long_sql("text")
 
 
 @register(
@@ -79,8 +82,14 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sampling",
     oracle="""
         SELECT asset_id, n_frames,
-               array_to_string(range(0, n_frames, 25), ',') AS frame_ids,
-               CAST(len(range(0, n_frames, 25)) AS INT) AS n_sampled
+               -- COALESCE pins the NULL contract to the Spark side's
+               -- frame_sample_offsets: an unknown frame count plans
+               -- ZERO decodes (''/0), while range(0, NULL, 25) is
+               -- NULL/NULL (r16 review)
+               COALESCE(array_to_string(range(0, n_frames, 25), ','), '')
+                   AS frame_ids,
+               CAST(COALESCE(len(range(0, n_frames, 25)), 0) AS INT)
+                   AS n_sampled
         FROM (
             SELECT doc_id AS asset_id,
                    CAST(1 + n_chars % 500 AS INT) AS n_frames

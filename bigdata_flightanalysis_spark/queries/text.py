@@ -21,6 +21,9 @@ from bigdata_flightanalysis_spark.functions.text import (
     minhash_perm,
     minhash_perm_sql,
     normalize_text,
+    SQL_FINGERPRINT,
+    SQL_NORM_TEXT,
+    SQL_TOKENS,
     punct_ratio,
     simhash_from_votes,
     simhash_votes,
@@ -34,33 +37,37 @@ from bigdata_flightanalysis_spark.sources.readers import read_table
 
 # DuckDB twins of the tokenizer/shingler. Both sides: trim → split on
 # whitespace runs → 3-word shingles (short texts yield one whole-text
-# shingle).
-# Blank-text guard: DuckDB's string_split_regex('') yields [''] (one
-# empty token) while Spark's tokenize('') yields [] — every oracle
-# token count would diverge on a blank/whitespace-only doc without
-# the CASE. Parenthesized so call sites can slice/index it directly.
-_SQL_TOKENS = (
-    "(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
-    "ELSE string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END)"
-)
-# same İ/ς case-folding pins as functions.text.normalize_text
-_SQL_NORM_TEXT = (
-    "trim(regexp_replace(replace(lower(replace(text, 'İ', 'i')), 'ς', 'σ'),"
-    " '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
-)
-_SQL_FINGERPRINT = md5_long_sql(_SQL_NORM_TEXT)
+# shingle). The token/normalize/fingerprint fragments live beside
+# their Spark definitions in functions.text (one definition for every
+# oracle that must stay fingerprint-compatible with the dedup store);
+# the aliases keep this module's oracle text byte-identical.
+_SQL_TOKENS = SQL_TOKENS
+_SQL_NORM_TEXT = SQL_NORM_TEXT
+_SQL_FINGERPRINT = SQL_FINGERPRINT
 
 
 def _sql_shingles(n: int = 3) -> str:
     """DuckDB twin of ``word_shingles(tokenize(text), n)``. The
     zero-token guard matches the Spark side exactly: a blank doc
     yields [] (no shingles), not the ['']-single-shingle the
-    greatest(...,1) floor would fabricate from an empty token list."""
+    greatest(...,1) floor would fabricate from an empty token list.
+    The NULL guard likewise: NULL text tokenizes to NULL on both
+    engines, and Spark's word_shingles propagates NULL — without it
+    the len(...)=0 test is NULL, the ELSE fires, and the transform
+    fabricates a [NULL] single-shingle list (len 1, zero distinct)
+    that skewed every downstream count/ratio/join against Spark's
+    NULL (r16 review: doc_repetition_scores reported rep_ratio 1.0
+    and doc_jaccard_pairs_sample 0.0-similarity pairs for a NULL
+    doc the Spark side scored NULL)."""
     inner = (
         f"list_transform(range(1, greatest(len({_SQL_TOKENS}) - {n - 1}, 1) + 1), "
         f"i -> array_to_string({_SQL_TOKENS}[i:i+{n - 1}], ' '))"
     )
-    return f"(CASE WHEN len({_SQL_TOKENS}) = 0 THEN []::VARCHAR[] ELSE {inner} END)"
+    return (
+        f"(CASE WHEN {_SQL_TOKENS} IS NULL THEN NULL "
+        f"WHEN len({_SQL_TOKENS}) = 0 THEN []::VARCHAR[] "
+        f"ELSE {inner} END)"
+    )
 
 
 @register(
@@ -716,8 +723,17 @@ def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents WHERE doc_id < 40
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-                   / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+               -- NULL guard pinned to Spark: array_intersect/union
+               -- propagate a NULL side (similarity undefined), while
+               -- DuckDB's list_intersect returns [] and || treats a
+               -- typed NULL list as empty — 0.0 instead of NULL
+               -- (r16 review)
+               CASE WHEN a.shingles IS NULL OR b.shingles IS NULL
+                    THEN NULL
+                    ELSE CAST(len(list_intersect(a.shingles, b.shingles))
+                              AS DOUBLE)
+                         / len(list_distinct(a.shingles || b.shingles))
+               END AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         ORDER BY doc_a, doc_b
     """,

@@ -64,10 +64,29 @@ WINDOW = 50
 # with the witnessed stamp and keeps its join shape; it is an r17
 # leader staged below the cut), q16's build-side NULL filter is a
 # no-op on TPC-H PK data (q16 is an r17 leader too), and the verify-
-# script count() drop is tooling-only. The review batches over
-# relational/governance/multimodal/codecs/introspect and the codec
-# fuzz lane are adjudicated in this comment's later paragraphs as
-# they land.
+# script count() drop is tooling-only. First review batch
+# (relational/governance/multimodal/codecs/introspect): three
+# cross-engine NULL-contract pins, all output-identical on driver
+# data (NO testdata row has NULL text/n_chars; all-175 parity re-run
+# green) and each proven by a NULL-doc row added to the edge_docs
+# differential fixture — corpus_card's p50 oracle now uses
+# percentile_disc (the cume_dist CTE counted NULL n_tokens rows in
+# its denominator), _sql_shingles now propagates NULL token lists
+# (the ELSE branch fabricated a [NULL] single-shingle list, skewing
+# doc_repetition_scores to 1.0 and doc_jaccard_pairs_sample to 0.0
+# where Spark scores NULL — the macro feeds ~12 oracle sites across
+# text/text_ext/retrieval, all re-proved), and
+# multimodal_frame_sampling's oracle COALESCEs range(0, NULL, 25) to
+# the Spark side's ''/0 zero-decode plan. Of the changed names,
+# corpus_card / doc_jaccard_pairs_sample / doc_minhash_signatures /
+# doc_near_dup_candidates / doc_decontamination are IN the r16
+# window (fresh driver rows over the new oracle text); the
+# remaining macro users and the multimodal pair are r14/r15-dated —
+# freshest in the rotation. The batch also deduped the
+# fingerprint/tokenizer SQL twins into functions/text.py
+# (SQL_TOKENS/SQL_NORM_TEXT/SQL_FINGERPRINT — oracle text
+# byte-identical via aliases) and fixed sniff_format's netpbm
+# whitespace set (\x0B/\f — non-registry codec surface).
 #
 # r15 restage: flag-free — the round's planned changes are the five
 # driver-ADVICE items (operators/incremental.py replay materialization

@@ -164,6 +164,12 @@ def edge_docs_dir(spark, tmp_path_factory):
         (4, "alpha\x0bbeta gamma", "en", "s1", 16),    # \x0B separator
         (5, "word", "de", "s0", 4),                    # single token
         (6, "la la la la", "es", "s1", 11),            # heavy repetition
+        # NULL text + NULL n_chars: corpus_card's old cume_dist oracle
+        # counted the NULL n_tokens row in its p50 denominator (Spark's
+        # percentile_disc ignores it) and frame sampling's range(0,
+        # NULL, 25) oracle yielded NULL/NULL vs Spark's ''/0 (r16
+        # review — both now pinned)
+        (7, None, "en", "s0", None),
     ]
     base = tmp_path_factory.mktemp("edge_docs")
     spark.createDataFrame(rows, _DOC_SCHEMA).write.mode("overwrite").parquet(
@@ -194,6 +200,10 @@ def edge_docs_duck(edge_docs_dir):
         "doc_fingerprints",
         "doc_jaccard_pairs_sample",
         "doc_langid",
+        "corpus_card",
+        "multimodal_payload_stats",
+        "multimodal_feature_extract",
+        "multimodal_frame_sampling",
     ],
 )
 def test_text_edges_match_oracle(name, spark, edge_docs_dir, edge_docs_duck):

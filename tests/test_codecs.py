@@ -148,6 +148,19 @@ def test_ppm_comment_header():
     assert decode_ppm(data).shape == (2, 2, 3)
 
 
+def test_ppm_sniff_accepts_every_isspace_separator():
+    """sniff_format's netpbm whitespace set must match decode_ppm's
+    header parser (bytes.isspace): \\f and \\x0B after the magic are
+    spec-legal, and omitting them routed decodable files to the PIL
+    fallback — NotImplementedError in this container (r16 review)."""
+    for sep in (b" ", b"\t", b"\n", b"\r", b"\x0b", b"\f"):
+        data = b"P6" + sep + b"2 2\n255\n" + bytes(range(12))
+        assert sniff_format(data) == "ppm", sep
+        assert decode_ppm(data).shape == (2, 2, 3), sep
+        data5 = b"P5" + sep + b"2 2\n255\n" + bytes(range(4))
+        assert sniff_format(data5) == "pgm", sep
+
+
 def test_resize_nearest_block_semantics():
     arr = np.array([[[0], [10]], [[20], [30]]], dtype=np.uint8)
     up = resize_nearest(arr, 4, 4)
