@@ -44,6 +44,13 @@ BUILTIN_IMAGE_FORMATS = ("png", "ppm", "pgm", "bmp")
 BUILTIN_AUDIO_FORMATS = ("wav",)
 
 
+#: Decoder allocation cap (1 GiB of raw pixels). Payload headers are
+#: UNTRUSTED at ingest: a malformed PNG can claim 2^31 x 2^31 px and a
+#: few-KiB deflate stream can inflate to GiB — decode must fail with
+#: ValueError before allocating, never OOM an executor.
+_MAX_DECODED_BYTES = 1 << 30
+
+
 def pil_available() -> bool:
     import importlib.util
 
@@ -90,6 +97,8 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError("truncated PNG chunk")
         pos += 12 + length
         if tag == b"IHDR":
+            if len(chunk) != 13:
+                raise ValueError("bad PNG IHDR length")
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
@@ -111,9 +120,22 @@ def decode_png(data: bytes) -> np.ndarray:
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     except KeyError:
         raise ValueError(f"bad PNG color type {ctype}") from None
-    raw = zlib.decompress(b"".join(idat))
     stride = w * channels
-    if len(raw) != (stride + 1) * h:
+    expected = (stride + 1) * h
+    # header-driven allocation cap + BOUNDED inflate: a malformed (or
+    # adversarial) payload may claim absurd dimensions or carry a
+    # decompression bomb — a few KiB of deflate expanding to GiB.
+    # Never allocate or inflate past what the header promises.
+    if expected > _MAX_DECODED_BYTES:
+        raise ValueError(
+            f"PNG dimensions {w}x{h}x{channels} exceed the decoder cap"
+        )
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG compressed data: {exc}") from None
+    if len(raw) != expected:
         raise ValueError("PNG pixel data length mismatch")
     bpp = channels
     out = np.empty((h, stride), np.uint8)
@@ -303,7 +325,16 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         if f.getsampwidth() != 2:
             raise NotImplementedError("only 16-bit PCM WAV supported")
         sr, nch, nfr = f.getframerate(), f.getnchannels(), f.getnframes()
-        samples = np.frombuffer(f.readframes(nfr), np.int16)
+        raw = f.readframes(nfr)
+    # stdlib wave silently returns however many frames the (possibly
+    # truncated) data chunk holds — a cut payload must FAIL, not
+    # masquerade as a shorter recording (r16 codec fuzz)
+    if len(raw) != nfr * nch * 2:
+        raise ValueError(
+            f"truncated WAV data: header declares {nfr} frames, "
+            f"payload holds {len(raw) // max(nch * 2, 1)}"
+        )
+    samples = np.frombuffer(raw, np.int16)
     return sr, samples.reshape(-1, nch)
 
 

@@ -50,6 +50,23 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+#: One stats schema for every modality (unused columns NULL per kind)
+#: plus the quarantine column: ``error_kind`` is the exception class
+#: name when the payload failed to decode, NULL when it decoded.
+MEDIA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mean_value", T.DoubleType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("error_kind", T.StringType()),
+    ]
+)
+
 
 def text_as_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Wrap a text column as a binary payload + meta — the ingest shape
@@ -186,6 +203,80 @@ def extract_payload_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("asset_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def decode_media_stats(
+    df: DataFrame,
+    kind: str = "image",
+    *,
+    on_error: str = "null",
+    fake: bool = False,
+) -> DataFrame:
+    """Arrow-batched decode → stats with QUARANTINE semantics — the
+    ingest-hardened twin of the per-payload ``decode_image`` /
+    ``decode_audio``.
+
+    At corpus scale a crawl ALWAYS contains truncated, bit-flipped, or
+    mislabeled payloads; one such byte string must not fail a
+    1000-executor job. ``on_error='null'`` (default) catches the
+    decode failure per row and emits NULL stats plus ``error_kind``
+    (the exception class name) so downstream can
+    ``WHERE error_kind IS NULL`` for the clean side and route the rest
+    to a quarantine sink — the same permissive/quarantine pattern as
+    ``sources.readers.read_csv``. ``on_error='raise'`` keeps strict
+    fail-fast semantics for curated inputs. NULL payloads quarantine
+    as ``error_kind='NullPayload'``.
+
+    Input needs (asset_id, payload); output is MEDIA_STATS_SCHEMA.
+    The decoders bound their own allocations (``codecs.decode_png``
+    caps header-claimed dimensions and inflates bounded), so a
+    malformed header cannot OOM an executor either.
+    """
+    if kind not in ("image", "audio"):
+        raise ValueError(f"kind must be 'image' or 'audio', got {kind!r}")
+    if on_error not in ("null", "raise"):
+        raise ValueError(
+            f"on_error must be 'null' or 'raise', got {on_error!r}"
+        )
+    mime = "image/*" if kind == "image" else "audio/*"
+    decode = decode_image if kind == "image" else decode_audio
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MEDIA_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                stats = dict.fromkeys(cols)
+                stats["asset_id"] = aid
+                if payload is None:
+                    stats["error_kind"] = "NullPayload"
+                    rows.append(stats)
+                    continue
+                try:
+                    d = decode(bytes(payload), mime, fake=fake)
+                except Exception as exc:  # noqa: BLE001 — quarantine:
+                    # ANY decode failure (ValueError, zlib/struct/wave
+                    # errors, NotImplementedError for formats outside
+                    # the built-in set) is a per-payload data problem,
+                    # not a job problem
+                    if on_error == "raise":
+                        raise
+                    stats["error_kind"] = type(exc).__name__
+                    rows.append(stats)
+                    continue
+                for k, v in d.items():
+                    if k in ("width", "height", "sample_rate", "n_frames"):
+                        stats[k] = int(v)
+                    elif k == "channels":
+                        stats["n_channels"] = int(v)
+                    elif k in ("mean_value", "checksum"):
+                        stats[k] = v
+                rows.append(stats)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("asset_id", "payload").mapInPandas(
+        batches, MEDIA_STATS_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = T.StructType(

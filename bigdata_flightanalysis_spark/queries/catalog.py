@@ -63,16 +63,22 @@ def register(
 # before any query-body change; any review-batch fix that touches a
 # query/oracle body will be adjudicated in stage_rotation.py's
 # STAGED_CHANGED note or restaged with --changed), so the window is
-# pure staleness order: (1) the 25 r12-dated rows; (2) backfill with
-# the 25 alphabetically-first r13-dated rows. Window = 25 + 25 = 50 —
-# exactly the set the r15 comment staged below its cut. The remaining
-# 25 r13 names plus the 25 alphabetically-first r14 names are listed
+# the one NEW query (multimodal_decode_quarantine, registered this
+# round — staging rule 1) followed by pure staleness order: (1) the
+# 25 r12-dated rows; (2) backfill with 24 of the 25 alphabetically-
+# first r13-dated rows the r15 comment staged below its cut. Window =
+# 1 + 25 + 24 = 50. The displaced 25th r13 name plus the remaining 24
+# r13 names and the 25 alphabetically-first r14 names are listed
 # below the cut and lead the r17 window; steady state holds (after
 # this window lands nothing is older than r13).
 _VERIFY_FIRST: tuple[str, ...] = (
-    # (1) the r16 window: the 25 r12-dated rows (oldest remaining
-    #     after r15) plus the 25 alphabetically-first r13-dated rows —
-    #     exactly the set the r15 comment staged below its cut.
+    # (1) the r16 window: the one NEW query this round (no driver row
+    #     yet — enters outright per staging rule 1), the 25 r12-dated
+    #     rows (oldest remaining after r15), and 24 of the 25
+    #     alphabetically-first r13-dated rows the r15 comment staged
+    #     below its cut (the displaced 25th, events_asof_purchase_click,
+    #     now leads the r17 window).
+    "multimodal_decode_quarantine",
     "doc_winnow_fingerprints",
     "embed_label_centroids",
     "events_user_activity_ranked",
@@ -122,11 +128,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "embed_pq_topk",
     "embed_quantized_topk",
     "events_activity_incident_overlap",
+    # The 50-query window ends here (1 new + 25 r12-stale + 24
+    # r13-dated backfill). The entries below are the oldest remaining
+    # rows once this window lands — the displaced r13 name plus the
+    # remaining 24 r13 rows and the 25 alphabetically-first r14 rows
+    # lead the r17 window.
     "events_asof_purchase_click",
-    # The 50-query window ends here (25 r12-stale + 25 r13-dated
-    # backfill). The entries below are the oldest remaining rows once
-    # this window lands — the remaining 25 r13 rows plus the 25
-    # alphabetically-first r14 rows lead the r17 window.
     "events_minutely_gapfill",
     "events_range_join_error_context",
     "events_sessionization_gaps",
@@ -176,7 +183,6 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "doc_simhash_near_dup",
     "doc_token_stats",
     "embed_cosine_topk",
-    "events_approx_quantile_contract",
 )
 
 

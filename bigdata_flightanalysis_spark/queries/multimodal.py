@@ -301,3 +301,80 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(batches, schema).orderBy("asset_id")
+
+
+@register(
+    "multimodal_decode_quarantine",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN CAST(4 + doc_id % 7 AS INT) END AS width,
+               CASE WHEN doc_id % 3 = 0
+                    THEN CAST(4 + doc_id % 13 AS INT) END AS height,
+               CASE WHEN doc_id % 3 = 0 THEN 3 END AS n_channels,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   CAST(list_sum(list_transform(
+                       range(0, CAST((4 + doc_id % 13) * (4 + doc_id % 7) * 3
+                                     AS INT)),
+                       i -> (doc_id * 7 + i * 13) % 256
+                   )) AS DOUBLE)
+                   / ((4 + doc_id % 13) * (4 + doc_id % 7) * 3)
+               END AS mean_value,
+               CASE WHEN doc_id % 3 <> 0 THEN 'ValueError' END AS error_kind
+        FROM documents
+        ORDER BY asset_id
+    """,
+    description="Corrupt-payload quarantine through the tolerant batch "
+    "decoder (operators.multimodal.decode_media_stats): per asset the "
+    "deterministic PNG of `multimodal_image_stats` is synthesized, "
+    "then every 3rd payload is TRUNCATED mid-stream (doc_id%3=1) or "
+    "BIT-FLIPPED in its zlib header (doc_id%3=2) before decoding with "
+    "on_error='null'. Malformed payloads must come back as NULL-stat "
+    "rows carrying error_kind='ValueError' — never an executor "
+    "exception — while intact ones decode to exact stats; the oracle "
+    "recomputes both sides arithmetically. This is the 100 TB ingest "
+    "contract: a crawl's corrupt bytes are per-row data problems, "
+    "quarantined like read_csv's permissive mode, not job failures.",
+    tags=("multimodal", "image", "pandas-udf", "quality"),
+)
+def multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_flightanalysis_spark.operators.multimodal import (
+        decode_media_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    pay_schema = "asset_id bigint, payload binary"
+
+    def corrupt(it):
+        import numpy as np
+        import pandas as pd
+
+        from bigdata_flightanalysis_spark.operators.codecs import encode_png
+
+        for pdf in it:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                h, w = 4 + did % 13, 4 + did % 7
+                i = np.arange(h * w * 3, dtype=np.int64)
+                raster = ((did * 7 + i * 13) % 256).astype(np.uint8)
+                payload = bytearray(encode_png(raster.reshape(h, w, 3)))
+                mode = did % 3
+                if mode == 1:
+                    # mid-stream cut: always lands inside IHDR/IDAT for
+                    # these sizes, so the chunk-length check trips
+                    payload = payload[: len(payload) // 2]
+                elif mode == 2:
+                    # sig(8) + IHDR chunk(25) + IDAT len/tag(8) = 41:
+                    # first zlib CMF byte — flipping it breaks the
+                    # header check deterministically
+                    payload[41] ^= 0xFF
+                ids.append(did)
+                payloads.append(bytes(payload))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    assets = docs.mapInPandas(corrupt, pay_schema)
+    stats = decode_media_stats(assets, "image", on_error="null")
+    return stats.select(
+        "asset_id", "width", "height", "n_channels", "mean_value", "error_kind"
+    ).orderBy("asset_id")

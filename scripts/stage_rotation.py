@@ -86,7 +86,15 @@ WINDOW = 50
 # fingerprint/tokenizer SQL twins into functions/text.py
 # (SQL_TOKENS/SQL_NORM_TEXT/SQL_FINGERPRINT — oracle text
 # byte-identical via aliases) and fixed sniff_format's netpbm
-# whitespace set (\x0B/\f — non-registry codec surface).
+# whitespace set (\x0B/\f — non-registry codec surface). Second
+# batch (codec fuzz lane, verdict item 5): ONE new registry query,
+# multimodal_decode_quarantine, restaged into the window outright
+# per rule 1 (displacing events_asof_purchase_click, r13, to lead
+# r17); its plumbing (decode_media_stats quarantine operator, the
+# PNG allocation-cap/bounded-inflate/IHDR-length hardening, the
+# decode_wav truncated-data check) touches no existing oracle —
+# multimodal_image_stats/audio_stats synthesize well-formed payloads
+# the hardening accepts unchanged (all-175 parity re-run green).
 #
 # r15 restage: flag-free — the round's planned changes are the five
 # driver-ADVICE items (operators/incremental.py replay materialization
