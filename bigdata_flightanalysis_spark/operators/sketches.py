@@ -18,9 +18,12 @@ def approx_top_k_items(df: DataFrame, col: str, k: int) -> DataFrame:
     """Heavy hitters via ``approx_top_k`` (space-saving style sketch):
     returns one row per item with its estimated count, sorted by
     (count DESC, item). EXACT whenever the column's cardinality is at
-    most the sketch's tracked-item budget (default 10·k ≥ distinct
-    values) — the estimates degrade gracefully past that, which is the
-    regime a 100 TB key-frequency scan actually runs in.
+    most the sketch's tracked-item budget — Spark's default
+    maxItemsTracked is 10000 regardless of k (verified via DESCRIBE
+    FUNCTION on 4.1; raising k does NOT grow the budget, pass
+    maxItemsTracked explicitly to size it) — and the estimates
+    degrade gracefully past that, which is the regime a 100 TB
+    key-frequency scan actually runs in.
     """
     pair = df.agg(
         F.expr(f"approx_top_k(`{col.replace(chr(96), chr(96) * 2)}`, {int(k)})").alias("tk")

@@ -41,6 +41,14 @@ def main(argv: list[str] | None = None) -> None:
         help="run on built-in fixtures (implied when no CSVs given)",
     )
     args = parser.parse_args(argv)
+    # one CSV alone silently ran the built-in fixtures and wrote
+    # demo artifacts that looked like results for the user's file
+    # (r16 review) — the pair is all-or-nothing, and --demo must not
+    # contradict explicit CSVs
+    if bool(args.csv_2019) != bool(args.csv_2023):
+        parser.error("--csv-2019 and --csv-2023 must be given together")
+    if args.demo and args.csv_2019:
+        parser.error("--demo contradicts --csv-2019/--csv-2023")
 
     from bigdata_flightanalysis_spark.pipeline import (
         run_flight_pipeline,

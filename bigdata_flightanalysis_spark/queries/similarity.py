@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from bigdata_flightanalysis_spark.functions.vector import (
     cosine_from_parts,
+    dot_product,
     l2_norm,
 )
 from bigdata_flightanalysis_spark.queries.catalog import register
@@ -39,6 +40,38 @@ def _prepared(emb: DataFrame, *extra) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("e"),
         l2_norm(F.col("embedding")).alias("nrm"),
         *extra,
+    )
+
+
+def _exact_cosine_rerank(cands: DataFrame) -> DataFrame:
+    """Stage-2 exact rerank shared by the int8 and PQ/ADC paths: from
+    candidate rows (query_id, neighbor_id, label, qe, ce) — double
+    arrays — compute the exact float cosine (zero-norm guarded:
+    bare 0/0 is NaN, which DESC-sorts FIRST so a zero vector would
+    outrank every true neighbor; NULL sorts last like the exact path)
+    and keep the top-K under the (cosine desc, neighbor_id) total
+    order. ONE definition (r16 review): the two quantized paths
+    carried character-identical copies of this determinism-critical
+    arithmetic, which also re-implemented functions.vector's
+    dot_product/l2_norm folds."""
+    reranked = cands.select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        cosine_from_parts(
+            dot_product(F.col("qe"), F.col("ce")),
+            l2_norm(F.col("qe")),
+            l2_norm(F.col("ce")),
+        ).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "label", "cosine", "rn")
+        .orderBy("query_id", "rn")
     )
 
 
@@ -548,12 +581,9 @@ def ivf_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = model.transform(feat).select(
         "vec_id", "embedding", F.col("prediction").alias("list_id")
     )
-    pre = assigned.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-        "list_id",
-    )
+    # _prepared is the one source of truth for the (e, nrm) expression
+    # every ANN determinism argument leans on — no inline copy
+    pre = _prepared(assigned, "list_id")
 
     # Probe plan: per query, the IVF_NPROBE nearest centroids by
     # (squared) euclidean distance. Centroids are a k-row literal —
@@ -750,7 +780,12 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_standardize",
     oracle=f"""
         WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+            -- NULL-embedding rows are excluded on BOTH sides: Spark's
+            -- posexplode emits no rows for a NULL array while this
+            -- range()-driven unnest would emit DIM x-NULL rows,
+            -- inflating every dimension's n (r16 review)
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+            FROM embeddings WHERE embedding IS NOT NULL
         ),
         dims AS (
             SELECT vec_id, t.i AS pos, t.x AS x FROM (
@@ -799,8 +834,12 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ml", "scaling"),
 )
 def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        # matches the oracle's WHERE embedding IS NOT NULL — a missing
+        # vector can't be standardized and must not skew the moments
+        .where(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     )
     dims = emb.select(F.posexplode("e").alias("pos", "x"))
     mean = F.col("sx") / F.col("n")
@@ -848,17 +887,23 @@ def embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embed_quantize_int8",
     oracle="""
-        SELECT vec_id,
-               list_max(list_transform(CAST(embedding AS DOUBLE[]),
-                                       x -> abs(x))) AS maxabs,
+        SELECT vec_id, maxabs,
+               -- zero-vector guard on BOTH engines: 127/0 is an ANSI
+               -- exception on Spark and NULL here — a zero vector
+               -- quantizes to all-zero codes by definition
                array_to_string(list_transform(
-                   CAST(embedding AS DOUBLE[]),
+                   e,
                    x -> CAST(floor(
-                       x * (127.0 / list_max(list_transform(
-                               CAST(embedding AS DOUBLE[]), y -> abs(y))))
+                       CASE WHEN maxabs > 0 THEN x * (127.0 / maxabs)
+                            ELSE 0.0 END
                        + 0.5) AS INT)
                ), ',') AS q
-        FROM embeddings
+        FROM (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> abs(x))) AS maxabs
+            FROM embeddings
+        )
         ORDER BY vec_id
     """,
     description="Symmetric int8 quantization (the 4× embedding-store "
@@ -880,10 +925,16 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     maxabs = F.array_max(F.transform("e", lambda x: F.abs(x)))
     scaled = emb.select("vec_id", "e", maxabs.alias("maxabs"))
+    # zero-vector guard: 127/0 throws under ANSI (the oracle's CASE is
+    # the same pin) — a zero vector quantizes to all-zero codes
     q = F.transform(
         "e",
-        lambda x: F.floor(x * (F.lit(127.0) / F.col("maxabs")) + F.lit(0.5))
-        .cast("int"),
+        lambda x: F.floor(
+            F.when(
+                F.col("maxabs") > 0, x * (F.lit(127.0) / F.col("maxabs"))
+            ).otherwise(F.lit(0.0))
+            + F.lit(0.5)
+        ).cast("int"),
     )
     return (
         scaled.select(
@@ -901,19 +952,23 @@ def quantized_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recall-contract summary (candidate order under quantization is
     engine-arithmetic-specific, so the checkable surface is recall)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    # int8-quantized corpus: q = floor(x·(127/maxabs) + 0.5)
+    # int8-quantized corpus: q = floor(x·(127/maxabs) + 0.5), zero
+    # vectors to all-zero codes (127/0 throws under ANSI — the same
+    # guard as embed_quantize_int8)
     e_dbl = F.col("embedding").cast("array<double>")
     maxabs = F.array_max(F.transform(e_dbl, lambda x: F.abs(x)))
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         "label",
         e_dbl.alias("ce"),
-        maxabs.alias("c_maxabs"),
         F.transform(
             e_dbl,
-            lambda x: F.floor(x * (F.lit(127.0) / maxabs) + F.lit(0.5)).cast(
-                "int"
-            ),
+            lambda x: F.floor(
+                F.when(maxabs > 0, x * (F.lit(127.0) / maxabs)).otherwise(
+                    F.lit(0.0)
+                )
+                + F.lit(0.5)
+            ).cast("int"),
         ).alias("cq"),
     )
     queries = corpus.filter(F.col("neighbor_id") < N_QUERIES).select(
@@ -943,33 +998,7 @@ def quantized_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("crn") <= cand_k
     )
     # stage 2: exact float cosine rerank of the survivors only
-    dot = F.aggregate(
-        F.zip_with("qe", "ce", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
-                    lambda acc, x: acc + x)
-    )
-    reranked = cands.select(
-        "query_id",
-        "neighbor_id",
-        "label",
-        # zero-norm guard (cosine_from_parts): bare 0/0 is NaN, which
-        # DESC-sorts FIRST — a zero vector would outrank every true
-        # neighbor; NULL sorts last like the exact path
-        cosine_from_parts(dot, norm(F.col("qe")), norm(F.col("ce"))).alias("cosine"),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        reranked.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "label", "cosine", "rn")
-        .orderBy("query_id", "rn")
-    )
+    return _exact_cosine_rerank(cands)
 
 
 @register(
@@ -1174,39 +1203,8 @@ def _pq_adc_rerank(
     cv = emb.select(
         F.col("vec_id").alias("neighbor_id"), "label", F.col("e").alias("ce")
     )
-    dot = F.aggregate(
-        F.zip_with("qe", "ce", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    reranked = (
-        cands.join(F.broadcast(qv), "query_id")
-        .join(cv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "label",
-            # zero-norm guard (cosine_from_parts): bare 0/0 is NaN,
-            # which DESC-sorts FIRST — a zero vector would outrank
-            # every true neighbor; NULL sorts last like the exact path
-            cosine_from_parts(dot, norm(F.col("qe")), norm(F.col("ce"))).alias("cosine"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        reranked.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", "label", "cosine", "rn")
-        .orderBy("query_id", "rn")
+    return _exact_cosine_rerank(
+        cands.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
     )
 
 

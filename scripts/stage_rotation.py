@@ -95,6 +95,22 @@ WINDOW = 50
 # decode_wav truncated-data check) touches no existing oracle —
 # multimodal_image_stats/audio_stats synthesize well-formed payloads
 # the hardening accepts unchanged (all-175 parity re-run green).
+# Third batch (sketches/bloom-query/reports/run/similarity review):
+# two cross-engine pins proven by a new edge-embeddings differential
+# fixture (a zero vector and a NULL embedding) — embed_quantize_int8
+# guards 127/maxabs=0 (ANSI exception vs DuckDB NULL; zero vectors
+# now quantize to all-zero codes on BOTH engines) and
+# embed_standardize excludes NULL embeddings symmetrically (Spark's
+# posexplode dropped them while the oracle's range() unnest counted
+# them in every dimension's n). Both names are r15-dated (freshest);
+# both changes are output-identical on driver data (no zero/NULL
+# embeddings in testdata; all-176 parity re-run green). The same
+# batch deduped the int8/PQ stage-2 rerank into _exact_cosine_rerank
+# and routed IVF's projection through _prepared (plan/output-
+# identical — recall suites green; embed_pq_topk/embed_quantized_topk
+# are IN the r16 window for fresh rows), dropped a dead c_maxabs
+# column, made run.py reject a half-specified CSV pair (CLI surface),
+# and corrected approx_top_k_items' documented budget (comment-only).
 #
 # r15 restage: flag-free — the round's planned changes are the five
 # driver-ADVICE items (operators/incremental.py replay materialization

@@ -340,3 +340,54 @@ def test_relational_edges_match_oracle(
     name, spark, edge_star_dir, edge_star_duck
 ):
     _compare(name, spark, edge_star_dir, edge_star_duck)
+
+
+# ---------------------------------------------------------------------------
+# r16 embedding edges: a zero vector (ANSI 127/0 in the int8 quantizer)
+# and a NULL embedding (posexplode-vs-unnest denominator skew in the
+# standardizer) — latent in the sf fixtures, which carry neither.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def edge_emb_dir(spark, tmp_path_factory):
+    import numpy as np
+
+    dim = 64
+    rows = []
+    rng = np.random.default_rng(7)
+    for vid in range(6):
+        if vid == 3:
+            vec = [0.0] * dim          # zero vector
+        elif vid == 4:
+            vec = None                  # NULL embedding
+        else:
+            vec = [float(x) for x in rng.normal(size=dim).astype("float32")]
+        rows.append((vid, vec, vid % 3))
+    base = tmp_path_factory.mktemp("edge_emb")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{base}/embeddings.parquet")
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def edge_emb_duck(edge_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{edge_emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "embed_quantize_int8",   # zero vector: ANSI divide-by-zero
+        "embed_standardize",     # NULL embedding: n-denominator skew
+    ],
+)
+def test_embedding_edges_match_oracle(name, spark, edge_emb_dir, edge_emb_duck):
+    _compare(name, spark, edge_emb_dir, edge_emb_duck)

@@ -39,3 +39,21 @@ def test_engine_cli_list_and_run(capsys):
     main(["run", "q6_forecast_revenue", "--limit", "5"])
     out = capsys.readouterr().out
     assert "revenue" in out
+
+
+def test_cli_rejects_half_specified_csv_pair(tmp_path):
+    """One CSV alone used to fall through SILENTLY to the built-in
+    fixtures and write demo artifacts that looked like results for the
+    user's file (r16 review) — the pair is all-or-nothing, and --demo
+    must not contradict explicit CSVs."""
+    out = str(tmp_path / "out")
+    with pytest.raises(SystemExit):
+        main(["--out", out, "--csv-2023", "/nonexistent/2023.csv"])
+    with pytest.raises(SystemExit):
+        main(["--out", out, "--csv-2019", "/nonexistent/2019.csv"])
+    with pytest.raises(SystemExit):
+        main([
+            "--out", out, "--demo",
+            "--csv-2019", "/nonexistent/2019.csv",
+            "--csv-2023", "/nonexistent/2023.csv",
+        ])
