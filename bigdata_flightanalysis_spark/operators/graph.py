@@ -95,9 +95,14 @@ def connected_components(
     *,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """Return (node, component) for every node appearing in ``edges``,
-    where component is the MINIMUM node id of its connected component
-    (a deterministic canonical label). Undirected: (a,b) ≡ (b,a).
+    """Return (node, component) for every node appearing in a
+    NON-degenerate edge, where component is the MINIMUM node id of its
+    connected component (a deterministic canonical label). Undirected:
+    (a,b) ≡ (b,a). Self-loops are dropped by orientation, so a node
+    whose ONLY edges are self-loops is absent from the output (it has
+    no neighbors to group with; blessed by
+    test_connected_components_empty_schema_matches_nonempty) —
+    callers counting isolated nodes must union them in themselves.
 
     ``checkpoint_dir`` (or ``SPARK_GRAFT_CHECKPOINT_DIR``) switches
     the per-round lineage truncation to reliable ``checkpoint()`` —

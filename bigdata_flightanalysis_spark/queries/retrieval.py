@@ -568,19 +568,55 @@ def bm25_index_topk(
     tags=("text", "retrieval", "index"),
 )
 def doc_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_temp_index(
+        spark,
+        "bm25_index_",
+        lambda p: build_text_index(spark, sf_dir, p),
+    )
+
+
+def serve_bm25_topk(
+    spark: SparkSession,
+    index_path: str,
+    terms: tuple[str, ...] = BM25_TERMS,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Concurrency-safe serve: plan AND materialize the k-row result
+    under the index's maintenance lock (re-entrant), so a racing
+    refresh/compact's two-rename swap can neither vanish a relation
+    mid-read nor pair new postings with old corpus totals (r16
+    review — :func:`bm25_index_topk` alone reads the three relations
+    unlocked). The pinned result is k rows — bounded — so holding the
+    lock across the action costs one serve latency, and the returned
+    frame never re-reads the index (safe to serve from a temp dir the
+    caller then removes). The lazy ``bm25_index_topk`` stays exposed
+    for plan inspection (partition-pruning tests) and single-writer
+    callers."""
+    from bigdata_flightanalysis_spark.util import path_lock
+
+    with path_lock(index_path):
+        return bm25_index_topk(spark, index_path, terms, k).localCheckpoint(
+            eager=True
+        )
+
+
+def _with_temp_index(spark: SparkSession, prefix: str, populate) -> DataFrame:
+    """Temp-index lifecycle shared by the three registered
+    build/refresh/compact entries: mkdtemp → populate(index_path) →
+    locked serve with the k rows pinned eagerly → ALWAYS remove the
+    index and its sibling .lock (r16 review: the three unshared
+    copies leaked the corpus-sized temp dir whenever any leg raised,
+    and triplicated the pin-before-rmtree dance)."""
     import tempfile
 
     from bigdata_flightanalysis_spark.util import remove_layout
 
-    index_path = tempfile.mkdtemp(prefix="bm25_index_")
-    build_text_index(spark, sf_dir, index_path)
-    # Pin the k-row result BEFORE removing the index: the returned
-    # frame otherwise lazily re-reads the parquet we are about to
-    # delete, and without the rmtree every driver/bench invocation
-    # leaks a corpus-sized index dir under /tmp.
-    result = bm25_index_topk(spark, index_path).localCheckpoint(eager=True)
-    remove_layout(index_path)  # also reclaims the sibling .lock file
-    return result
+    index_path = tempfile.mkdtemp(prefix=prefix)
+    try:
+        populate(index_path)
+        return serve_bm25_topk(spark, index_path)
+    finally:
+        remove_layout(index_path)  # also reclaims the sibling .lock file
 
 
 def refresh_text_index(
@@ -884,34 +920,46 @@ def _compact_text_index_locked(spark: SparkSession, index_path: str) -> None:
     "doc_bm25_refresh_topk",
     oracle=_bm25_oracle(),
     description="BM25 top-10 served from an index built on HALF the "
-    "corpus then incrementally REFRESHED with the other half plus an "
-    "overlapping replay (refresh_text_index: batch-only tokenization, "
-    "postings-first append order, distinct-doc df makes replay "
-    "duplicates harmless) — hash-matching the same full-corpus oracle "
-    "as doc_bm25_topk proves refresh converges to exactly the "
-    "built-once index. The driver row covers the index MAINTENANCE "
-    "path, not just build/serve.",
+    "corpus then incrementally REFRESHED with a batch overlapping the "
+    "built half (refresh_text_index: batch-only tokenization, the "
+    "doc_stats anti-join drops the already-ingested overlap) AND a "
+    "raw torn-refresh replay appended on top — byte-identical "
+    "duplicate postings rows served WITHOUT compaction, proving the "
+    "serve path's duplicate immunity (distinct-doc df, max-pivoted "
+    "tf) on a driver row, not just in tests (r16 review: the old "
+    "'overlapping replay' slice appended nothing — the anti-join "
+    "filtered all of it — so that immunity claim went unexercised). "
+    "Hash-matching the same full-corpus oracle as doc_bm25_topk "
+    "proves refresh+replay converges to exactly the built-once "
+    "index. The driver row covers the index MAINTENANCE path, not "
+    "just build/serve.",
     tags=("text", "retrieval", "index", "incremental"),
 )
 def doc_bm25_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    def populate(index_path: str) -> None:
+        docs = read_table(spark, sf_dir, "documents")
+        n = docs.count()
+        build_text_index_from(
+            spark, docs.where(F.col("doc_id") < n // 2), index_path
+        )
+        # refresh with the second half PLUS an overlapping slice (the
+        # anti-join ingests only the unseen half)
+        refresh_text_index(
+            spark, docs.where(F.col("doc_id") >= n // 3), index_path
+        )
+        # torn-refresh replay of the overlap: raw postings append,
+        # bypassing the anti-join — the duplicates the serve path must
+        # (and does) neutralize without a compaction pass
+        overlap = docs.where(
+            (F.col("doc_id") >= n // 3) & (F.col("doc_id") < n // 2)
+        )
+        _write_postings(
+            _postings_of(_toks_of(overlap), _index_buckets(index_path)),
+            index_path,
+            mode="append",
+        )
 
-    from bigdata_flightanalysis_spark.util import remove_layout
-
-    index_path = tempfile.mkdtemp(prefix="bm25_refresh_")
-    docs = read_table(spark, sf_dir, "documents")
-    n = docs.count()
-    build_text_index_from(
-        spark, docs.where(F.col("doc_id") < n // 2), index_path
-    )
-    # refresh with the second half PLUS an overlapping slice (replay)
-    refresh_text_index(
-        spark, docs.where(F.col("doc_id") >= n // 3), index_path
-    )
-    # Pin the k rows, then drop the temp index (see doc_bm25_index_topk)
-    result = bm25_index_topk(spark, index_path).localCheckpoint(eager=True)
-    remove_layout(index_path)  # also reclaims the sibling .lock file
-    return result
+    return _with_temp_index(spark, "bm25_refresh_", populate)
 
 
 @register(
@@ -930,32 +978,28 @@ def doc_bm25_refresh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "retrieval", "index", "compaction"),
 )
 def doc_bm25_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    def populate(index_path: str) -> None:
+        docs = read_table(spark, sf_dir, "documents")
+        n = docs.count()
+        build_text_index_from(
+            spark, docs.where(F.col("doc_id") < n // 2), index_path
+        )
+        batch2 = docs.where(F.col("doc_id") >= n // 2)
+        refresh_text_index(spark, batch2, index_path)
+        # Simulate the torn refresh that motivates compaction: a crash
+        # between the postings append and the doc_stats append, then a
+        # retry — the retry re-appends batch2's byte-identical postings
+        # rows (a plain second refresh_text_index call appends NOTHING,
+        # since its doc_stats anti-join sees batch2 as already
+        # ingested).
+        _write_postings(
+            _postings_of(_toks_of(batch2), _index_buckets(index_path)),
+            index_path,
+            mode="append",
+        )
+        compact_text_index(spark, index_path)
 
-    from bigdata_flightanalysis_spark.util import remove_layout
-
-    index_path = tempfile.mkdtemp(prefix="bm25_compact_")
-    docs = read_table(spark, sf_dir, "documents")
-    n = docs.count()
-    build_text_index_from(
-        spark, docs.where(F.col("doc_id") < n // 2), index_path
-    )
-    batch2 = docs.where(F.col("doc_id") >= n // 2)
-    refresh_text_index(spark, batch2, index_path)
-    # Simulate the torn refresh that motivates compaction: a crash
-    # between the postings append and the doc_stats append, then a
-    # retry — the retry re-appends batch2's byte-identical postings
-    # rows (a plain second refresh_text_index call appends NOTHING,
-    # since its doc_stats anti-join sees batch2 as already ingested).
-    _write_postings(
-        _postings_of(_toks_of(batch2), _index_buckets(index_path)),
-        index_path,
-        mode="append",
-    )
-    compact_text_index(spark, index_path)
-    result = bm25_index_topk(spark, index_path).localCheckpoint(eager=True)
-    remove_layout(index_path)  # also reclaims the sibling .lock file
-    return result
+    return _with_temp_index(spark, "bm25_compact_", populate)
 
 
 # Session-scoped pre-built index for the serve-only driver row: built
@@ -1001,10 +1045,16 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
 
 def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
     import atexit
+    import os
     import tempfile
 
     from bigdata_flightanalysis_spark.util import remove_layout
 
+    # realpath key, like util.path_lock: two spellings of the same
+    # corpus dir (trailing slash, symlink, relative path) must hit ONE
+    # cache entry, not build and hold two full serve indexes (r16
+    # review)
+    sf_dir = os.path.realpath(sf_dir)
     with _SERVE_INDEX_LOCK:
         cached = _SERVE_INDEX_CACHE.get(sf_dir)
         if cached is not None:
@@ -1047,7 +1097,7 @@ def _served_index_path(spark: SparkSession, sf_dir: str) -> str:
     tags=("text", "retrieval", "index", "serve"),
 )
 def doc_bm25_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bm25_index_topk(spark, _served_index_path(spark, sf_dir))
+    return serve_bm25_topk(spark, _served_index_path(spark, sf_dir))
 
 
 def build_text_index_from(
@@ -1082,10 +1132,18 @@ def _build_text_index_from_locked(
     from bigdata_flightanalysis_spark.util import _remove_any
 
     # _remove_any: a FILE squatting on a relation path would survive
-    # rmtree(ignore_errors) and fail the parquet write below
+    # rmtree(ignore_errors) and fail the parquet write below.
+    # .new/.staging residue must go too (r16 review): a COMPLETE
+    # corpus_stats.new left by a refresh that crashed before its swap
+    # would survive the rebuild and be promoted by the next serve's
+    # _recover_corpus_stats OVER the fresh build's totals — totals
+    # computed from the pre-rebuild corpus, silently skewing every
+    # served BM25 score from then on.
     for rel in ("postings", "doc_stats", "corpus_stats"):
         _remove_any(f"{index_path}/{rel}")
         _remove_any(f"{index_path}/{rel}.old")
+        _remove_any(f"{index_path}/{rel}.new")
+        _remove_any(f"{index_path}/{rel}.staging")
     _record_index_buckets(index_path)
     toks = _toks_of(docs)
     toks.select("doc_id", "dl").write.mode("overwrite").parquet(

@@ -111,6 +111,23 @@ WINDOW = 50
 # are IN the r16 window for fresh rows), dropped a dead c_maxabs
 # column, made run.py reject a half-specified CSV pair (CLI surface),
 # and corrected approx_top_k_items' documented budget (comment-only).
+# Fourth batch (graph/retrieval/sampling/functions-text review): the
+# BM25 rebuild now clears .new/.staging residue so a crashed
+# refresh's complete corpus_stats.new can never be promoted over a
+# fresh rebuild's totals (regression-tested; proven failing pre-fix);
+# serves route through serve_bm25_topk (plan+materialize under the
+# re-entrant maintenance lock — closes the serve-vs-swap race; the
+# lazy form stays for plan tests); the three lifecycle entries share
+# _with_temp_index (try/finally — temp index reclaimed on failure);
+# doc_bm25_refresh_topk now appends a REAL torn-refresh replay so
+# the serve path's duplicate immunity gets a driver row (its old
+# 'overlap' was fully anti-joined away — same oracle, same hash,
+# output-identical, re-proved by the all-176 parity run; the name is
+# an r17 leader); the serve cache keys by realpath; and
+# connected_components' contract text now states the self-loop-only
+# exclusion. doc_bm25_index_topk / doc_bm25_compact_topk /
+# doc_bm25_serve_topk are refactor-only (pin+cleanup order
+# unchanged). All four BM25 names are r14-dated r17 leaders.
 #
 # r15 restage: flag-free — the round's planned changes are the five
 # driver-ADVICE items (operators/incremental.py replay materialization

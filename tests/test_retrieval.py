@@ -1149,3 +1149,78 @@ def test_bm25_serve_tolerates_duplicate_doc_stats(spark, tmp_path):
     assert again == inline  # no duplicated slot, scores unchanged
     ids = [r[0] for r in again]
     assert len(ids) == len(set(ids))
+
+
+def test_rebuild_clears_stale_corpus_stats_residue(spark, tmp_path):
+    """A refresh that crashed AFTER writing a complete corpus_stats.new
+    but BEFORE its swap leaves the .new behind; a rebuild over the
+    index used to keep it, and the next serve's recovery hook promoted
+    the stale totals OVER the fresh build's — silently skewing every
+    served score forever on a serve-only workload (r16 review). The
+    rebuild now clears .new/.staging residue for every relation."""
+    import os
+
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        _recover_corpus_stats,
+        build_text_index,
+    )
+
+    idx = str(tmp_path / "bm25_residue")
+    build_text_index(spark, SF, idx)
+    # fabricate the crashed-refresh residue: a COMPLETE .new with
+    # absurd totals (and no doc_stats.staging, so recovery trusts it)
+    stale = f"{idx}/corpus_stats.new"
+    spark.createDataFrame(
+        [(999999, 999999999)], "n_docs bigint, sum_dl bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(stale)
+    assert os.path.exists(f"{stale}/_SUCCESS")
+    # the operator's documented recovery: re-run the build
+    build_text_index(spark, SF, idx)
+    assert not os.path.exists(stale), "rebuild must clear .new residue"
+    _recover_corpus_stats(idx)
+    row = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert row["n_docs"] == n_docs, "stale totals must not survive a rebuild"
+
+
+def test_with_temp_index_removes_dir_when_populate_raises(spark):
+    """The shared lifecycle scaffold must reclaim the temp index (and
+    its sibling .lock) even when a build/refresh leg raises — the
+    three unshared copies leaked a corpus-sized dir per failure (r16
+    review)."""
+    import os
+
+    import pytest as _pytest
+
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        _with_temp_index,
+    )
+
+    seen = {}
+
+    def boom(index_path):
+        seen["path"] = index_path
+        raise RuntimeError("populate failed")
+
+    with _pytest.raises(RuntimeError, match="populate failed"):
+        _with_temp_index(spark, "bm25_leak_", boom)
+    assert not os.path.exists(seen["path"])
+    assert not os.path.exists(seen["path"] + ".lock")
+
+
+def test_serve_bm25_topk_matches_lazy_form(spark, tmp_path):
+    """The locked+pinned serve wrapper returns exactly the lazy form's
+    rows, and the pinned frame survives index removal."""
+    from bigdata_flightanalysis_spark.queries.retrieval import (
+        bm25_index_topk,
+        build_text_index,
+        serve_bm25_topk,
+    )
+    from bigdata_flightanalysis_spark.util import remove_layout
+
+    idx = str(tmp_path / "bm25_pin")
+    build_text_index(spark, SF, idx)
+    lazy_rows = [tuple(r) for r in bm25_index_topk(spark, idx).collect()]
+    pinned = serve_bm25_topk(spark, idx)
+    remove_layout(idx)
+    assert [tuple(r) for r in pinned.collect()] == lazy_rows
