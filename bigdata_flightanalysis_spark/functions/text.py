@@ -144,9 +144,21 @@ def punct_ratio(col: Column | str) -> Column:
     return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
 
 
-def stopword_hits(tokens: Column, lang: str) -> Column:
-    """How many tokens are stopwords of ``lang``."""
-    stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+def stopword_hits(
+    tokens: Column,
+    lang: str | None = None,
+    *,
+    words: tuple[str, ...] | None = None,
+) -> Column:
+    """How many tokens are stopwords of ``lang`` (LANG_STOPWORDS) or
+    of an explicit ``words`` list — ONE definition of the
+    filter/array_contains counting expression (r16 review: the
+    stopword-ratio query inlined a verbatim copy against its own word
+    table)."""
+    if (lang is None) == (words is None):
+        raise ValueError("pass exactly one of lang or words")
+    ws = LANG_STOPWORDS[lang] if lang is not None else words
+    stops = F.array(*[F.lit(s) for s in ws])
     return F.size(F.filter(tokens, lambda t: F.array_contains(stops, t)))
 
 

@@ -93,6 +93,12 @@ def zorder_value(
         raise ValueError("zorder needs at least one column")
     if len(cols) * bits > 63:
         raise ValueError("z-value exceeds a signed long; lower bits or cols")
+    if "__z" in df.columns:
+        # withColumn would silently REPLACE the caller's column and
+        # zorder_layout's trailing drop would delete it — same
+        # reserved-name rule as the __min_*/__max_* hardening below
+        # (r16 review)
+        raise ValueError("zorder reserves the __z column name")
     # stats aliases are keyed by column INDEX (the profile_table
     # hardening): embedding the raw name would break on names with
     # dots/backticks and could collide with a real __min_* column

@@ -48,6 +48,13 @@ def per_group_top_n(
     the post-window filter, and Spark's WindowGroupLimit pushes the
     rank limit into the sort at scale.
     """
+    if rank_col in df.columns:
+        # withColumn would silently REPLACE the caller's column with
+        # ranks (r16 review — reserved-name rule)
+        raise ValueError(
+            f"per_group_top_n rank_col {rank_col!r} already exists on "
+            "the input; pass a different rank_col"
+        )
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return (
         df.withColumn(rank_col, F.row_number().over(w))
@@ -69,14 +76,19 @@ def semi_filter_topk(
     distributed and applies it as a broadcast LEFT SEMI join, so no
     list ever crosses the driver boundary.
     """
+    # NULL keys can't survive the semi join (NULL = NULL never
+    # matches), so a NULL-key group must not compete for a top-K slot
+    # either — unfiltered, it could both rank in the list AND match
+    # nothing, silently displacing the real K-th group (r16 review)
+    keyed = fact.where(F.col(key).isNotNull())
     topk = (
-        fact.groupBy(key)
+        keyed.groupBy(key)
         .agg(order_metric.alias("__metric"))
         .orderBy(F.col("__metric").desc(), F.col(key).asc())
         .limit(k)
         .select(key)
     )
-    return fact.join(F.broadcast(topk), on=key, how="left_semi")
+    return keyed.join(F.broadcast(topk), on=key, how="left_semi")
 
 
 def deduplicate_exact(
@@ -94,6 +106,11 @@ def deduplicate_exact(
     """
     if keep_order is None:
         return df.dropDuplicates(list(key_cols))
+    if "__rn" in df.columns:
+        # withColumn would silently REPLACE the caller's column and the
+        # trailing drop would delete it (the assign_components /
+        # zorder reserved-name rule, r16 review)
+        raise ValueError("deduplicate_exact reserves the __rn column name")
     w = Window.partitionBy(*key_cols).orderBy(*keep_order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

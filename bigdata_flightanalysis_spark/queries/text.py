@@ -501,7 +501,12 @@ def doc_near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands after each ingest); here it is derived from the "old" slice
     # once so the query is self-contained on driver testdata.
     store = _band_frame(_signatures_of(docs.filter(~is_new)))
-    batch = _band_frame(_signatures_of(docs.filter(is_new)))
+    # Materialize the batch bands ONCE (narrow: docs × bands rows):
+    # the batch feeds BOTH join sides (probe and store-union), so the
+    # unmaterialized form tokenized/hashed the new slice twice per run
+    # — the advertised O(batch_text + store_join) cost, actually held
+    # (r16 review).
+    batch = _band_frame(_signatures_of(docs.filter(is_new))).localCheckpoint()
     probe_side = store.unionByName(batch)  # batch-vs-store AND batch-vs-batch
     a, b = batch.alias("a"), probe_side.alias("b")
     pairs = (
@@ -1004,7 +1009,13 @@ def _sql_pagerank_iterations(n_iters: int) -> str:
     for k in range(1, n_iters + 1):
         its.append(f"""r{k} AS (
             SELECT n2.node,
-                   ((1.0 - 0.85) / nn.n)
+                   -- DOUBLE-cast literals: DuckDB's bare (1.0 - 0.85)
+                   -- folds in DECIMAL to exactly 0.15 while Python's
+                   -- is 0.15000000000000002 — the op-identical IEEE
+                   -- claim needs the subtraction done in DOUBLE
+                   -- (r16 review; verified equal for the base/n
+                   -- division across engines)
+                   ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n)
                    + 0.85 * COALESCE(CAST(s.in_sum AS DOUBLE), 0.0) AS rank
             FROM nodes n2 CROSS JOIN nn
             LEFT JOIN (
@@ -1035,7 +1046,10 @@ def _sql_pagerank_iterations(n_iters: int) -> str:
         ), ed AS (
             SELECT e.s, e.d, g.deg FROM edges e JOIN deg g ON g.s = e.s
         ), r0 AS (
-            SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+            -- DOUBLE division like graph.py's lit(1.0 / n): DuckDB's
+            -- DECIMAL 1.0/n carries extra precision into round 1
+            SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+            FROM nodes CROSS JOIN nn
         ), {_sql_pagerank_iterations(PAGERANK_ITERS)},
         cc(node, lbl) AS (
             SELECT DISTINCT s, s FROM edges
@@ -1273,7 +1287,12 @@ def doc_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("text", "dedup", "graph"),
 )
 def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _candidate_pairs(spark, sf_dir)
+    # Materialize the LSH pairs ONCE (localCheckpoint): the triple
+    # self-join plus the two degree scans and the edge count would
+    # otherwise re-execute the whole MinHash→bands→join pipeline ~6×
+    # — ReusedExchange does not fire across self-join scans (the
+    # doc_dup_canonical_pagerank precedent, r16 review).
+    e = _candidate_pairs(spark, sf_dir).localCheckpoint()
 
     e1 = e.alias("e1")
     e2 = e.alias("e2")

@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bigdata_flightanalysis_spark.functions.text import tokenize, word_shingles
+from bigdata_flightanalysis_spark.functions.text import (
+    stopword_hits,
+    tokenize,
+    word_shingles,
+)
 from bigdata_flightanalysis_spark.queries.catalog import register
 from bigdata_flightanalysis_spark.queries.text import _SQL_TOKENS, _sql_shingles
 from bigdata_flightanalysis_spark.sources.readers import read_table
@@ -641,8 +645,11 @@ def doc_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokenize("text")
     counts = None
     for lg, ws in sorted(_STOPWORDS.items()):
-        lit = F.array(*[F.lit(w) for w in ws])
-        n = F.size(F.filter(toks, lambda t: F.array_contains(lit, t)))
+        # the shared counting expression (functions.text) against THIS
+        # query's ratio-tuned word table — one filter/contains
+        # definition, two deliberate word lists (langid's evidence
+        # lists live in LANG_STOPWORDS)
+        n = stopword_hits(toks, words=ws)
         counts = (
             F.when(F.col("lang") == lg, n)
             if counts is None

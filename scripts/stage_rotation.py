@@ -128,6 +128,22 @@ WINDOW = 50
 # exclusion. doc_bm25_index_topk / doc_bm25_compact_topk /
 # doc_bm25_serve_topk are refactor-only (pin+cleanup order
 # unchanged). All four BM25 names are r14-dated r17 leaders.
+# Fifth batch (text/text_ext/layout/relational review):
+# doc_dup_canonical_pagerank's oracle now does its teleport/init
+# arithmetic in DOUBLE (DuckDB's bare (1.0-0.85) folds in DECIMAL to
+# a different double than Python's — empirically verified; the
+# op-identical IEEE claim now actually holds; output-identical on
+# driver data, r15-dated); doc_dup_graph_triangles localCheckpoints
+# its pairs (plan-only, the pagerank precedent — was re-running the
+# LSH pipeline ~6x) and doc_near_dup_incremental its batch bands
+# (plan-only; IN the r16 window); semi_filter_topk excludes NULL
+# keys from top-K competition (flight-pipeline F2 surface — no
+# registry query; NULL keys can't survive the semi join, so a
+# NULL group could displace the real K-th); deduplicate_exact /
+# per_group_top_n / zorder_value gained reserved-name guards
+# (raise-only); doc_stopword_ratio's count expression now routes
+# through the generalized functions.text.stopword_hits
+# (expression-identical). All re-proved by the all-176 parity run.
 #
 # r15 restage: flag-free — the round's planned changes are the five
 # driver-ADVICE items (operators/incremental.py replay materialization
