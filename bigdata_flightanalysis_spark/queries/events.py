@@ -169,7 +169,9 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                              > INTERVAL '30 minutes'
                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                         THEN 1 ELSE 0 END AS new_session
-            FROM events
+            -- NULL-ts rows excluded like the Spark side: an event
+            -- without a time cannot be sessionized
+            FROM events WHERE ts IS NOT NULL
         ), numbered AS (
             -- the running sum MUST order by the same (ts, event_id)
             -- tie-break as the lag: ordering tied rows by ts alone
@@ -198,7 +200,12 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window", "session"),
 )
 def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
+    # NULL-ts contract, pinned on BOTH sides (r16 review): an event
+    # without a time cannot be sessionized — session_window would
+    # group it under a NULL window while the oracle's sort-order
+    # accident folded it into the user's LAST session (Spark windows
+    # sort NULL ts first, DuckDB last)
+    ev = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
@@ -238,7 +245,10 @@ def events_dedup_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFr
     deduped = deduplicate_exact(
         ev,
         ["user_id", "event_type"],
-        keep_order=[F.col("ts").asc(), F.col("event_id").asc()],
+        # asc_nulls_last: the survivor is the earliest KNOWN
+        # occurrence — DuckDB's ROW_NUMBER ORDER BY ts ASC puts NULL
+        # ts last, Spark's asc() first (r16 review)
+        keep_order=[F.col("ts").asc_nulls_last(), F.col("event_id").asc()],
     )
     return deduped.select(
         "user_id",
@@ -252,12 +262,19 @@ def events_dedup_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFr
     "events_sliding_distinct_users",
     oracle=f"""
         WITH firsts AS (
+            -- ts IS NOT NULL after dedup, not before: the survivor
+            -- pick must see the whole group (matching the Spark
+            -- side), and only an all-NULL-ts group can yield a
+            -- NULL-ts survivor under asc_nulls_last — a survivor
+            -- with no time cannot be placed in a time window
+            -- (DuckDB's time_bucket(NULL) kept a NULL bucket while
+            -- Spark's F.window dropped the row; r16 review)
             SELECT user_id, ts FROM (
                 SELECT user_id, ts,
                        ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                           ORDER BY ts ASC, event_id ASC) AS rn
                 FROM events)
-            WHERE rn = 1
+            WHERE rn = 1 AND ts IS NOT NULL
         )
         SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
                             - offs.o * INTERVAL '30 minutes',
@@ -282,10 +299,14 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     deduped = deduplicate_exact(
         ev,
         ["user_id", "event_type"],
-        keep_order=[F.col("ts").asc(), F.col("event_id").asc()],
+        # asc_nulls_last: same survivor pin as the dedup-first query
+        keep_order=[F.col("ts").asc_nulls_last(), F.col("event_id").asc()],
     )
     return (
-        deduped.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        # NULL-ts survivors (possible only for all-NULL-ts groups)
+        # carry no window position — excluded on BOTH engines
+        deduped.where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count_distinct("user_id").alias("n_users"))
         .select(
             F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
@@ -324,8 +345,15 @@ def events_user_activity_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tuple is total, so no rank ties can straddle the cut. limit
     # plans as TakeOrderedAndProject (per-partition top-10, merged) —
     # no single-task sort of the full per-user frame.
-    top = counts.orderBy(F.col("n_events").desc(), F.col("user_id").asc()).limit(10)
-    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    # asc_nulls_last pins the tie-break to the oracle: DuckDB ASC puts
+    # NULL user_id LAST while Spark's asc() puts it first — a NULL
+    # group tying at the cut would swap top-10 membership (r16 review)
+    top = counts.orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc_nulls_last()
+    ).limit(10)
+    w = Window.orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc_nulls_last()
+    )
     return top.withColumn("rnk", F.rank().over(w)).orderBy("rnk")
 
 
@@ -566,7 +594,11 @@ def events_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                              > 1800000000
                         OR lag(ts) OVER w IS NULL
                         THEN 1 ELSE 0 END AS is_start
-            FROM events
+            -- NULL-ts rows excluded like the Spark side (r16 review:
+            -- Spark windows sort NULL ts FIRST and DuckDB LAST, so an
+            -- unfiltered NULL-ts row split an extra session on one
+            -- engine and folded into the last session on the other)
+            FROM events WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sessions AS (
@@ -597,7 +629,12 @@ def events_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window", "sessionization"),
 )
 def events_sessionization_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        # NULL-ts contract: see events_session_windows
+        .where(F.col("ts").isNotNull())
+    )
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.withColumn(
         "is_start",
@@ -736,9 +773,14 @@ def events_monthly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("user_id").alias("mau"),
             F.count("*").alias("n_events"),
-            (F.count("*").cast("double") / F.countDistinct("user_id")).alias(
-                "events_per_user"
-            ),
+            # ANSI guard: a bucket whose every user_id is NULL has
+            # mau=0 — bare division aborts the query under Spark 4
+            # ANSI while DuckDB's double/0 is NULL (r16 review; the
+            # events_funnel pattern)
+            F.when(
+                F.countDistinct("user_id") > 0,
+                F.count("*").cast("double") / F.countDistinct("user_id"),
+            ).alias("events_per_user"),
         )
         .orderBy("yr", "mth")
     )
@@ -1704,7 +1746,9 @@ def events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                    LAG(event_type) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                    ) AS prev_type
-            FROM events
+            -- NULL-ts rows excluded like the Spark side: an event
+            -- without a time has no position in the journey
+            FROM events WHERE ts IS NOT NULL
         )
         SELECT prev_type, event_type AS next_type,
                CAST(COUNT(*) AS BIGINT) AS n_transitions
@@ -1722,8 +1766,11 @@ def events_type_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "window", "funnel", "markov"),
 )
 def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts", "event_id"
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        # NULL-ts contract: see events_session_windows
+        .where(F.col("ts").isNotNull())
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.withColumn("prev_type", F.lag("event_type").over(w))

@@ -72,21 +72,29 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     The flag is deliberately NOT restored after a legacy read: it is
     consulted again at execution time, so a scoped reset would break
     the still-lazy frame this function returns."""
-    path = f"{sf_dir}/events.parquet"
+    return normalize_event_ts(read_parquet_nanos_gated(spark, f"{sf_dir}/events.parquet"))
+
+
+def read_parquet_nanos_gated(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with the failure-gated legacy ``nanosAsLong``
+    retry — the ONE definition of the probe the batch reader and the
+    streaming schema probe share (r16 review: the stream copy was a
+    near-verbatim duplicate that had to track this one's gate
+    condition by hand).
+
+    The flag is set ONLY when the first read fails on a
+    TIMESTAMP(NANOS) footer: a bare except would set it for ANY
+    failure (typo'd path, corrupt footer), the retry would re-raise
+    the unrelated error, and the flag would stay leaked session-wide
+    — silently surfacing unrelated NANOS columns as bigint."""
     try:
-        df = spark.read.parquet(path)
+        return spark.read.parquet(path)
     except Exception as exc:
-        # set the flag ONLY for the NANOS schema-conversion failure: a
-        # bare except here would set it for ANY failure (typo'd path,
-        # corrupt footer), the retry would re-raise the unrelated
-        # error, and the flag would stay leaked session-wide — the
-        # exact silent bigint-surfacing this function exists to avoid
         msg = str(exc)
         if "NANOS" not in msg and "nanosAsLong" not in msg:
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-    return normalize_event_ts(df)
+        return spark.read.parquet(path)
 
 
 def table_bytes(sf_dir: str, name: str) -> int:

@@ -61,18 +61,13 @@ def events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     TIMESTAMP(NANOS) footer (same failure-gated policy as
     ``sources.readers._read_events``) — setting it unconditionally
     leaked the flag into every later parquet read on the session."""
-    path = f"{sf_dir}/events.parquet"
-    try:
-        return spark.read.parquet(path).schema
-    except Exception as exc:
-        # message-gated like _read_events: a bare except would set the
-        # session-global flag for ANY failure (typo'd path), re-raise
-        # the unrelated error, and leave the flag leaked
-        msg = str(exc)
-        if "NANOS" not in msg and "nanosAsLong" not in msg:
-            raise
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).schema
+    from bigdata_flightanalysis_spark.sources.readers import (
+        read_parquet_nanos_gated,
+    )
+
+    # the shared failure-gated probe (sources.readers) — one gate
+    # condition for the batch reader and this schema probe
+    return read_parquet_nanos_gated(spark, f"{sf_dir}/events.parquet").schema
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +232,31 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def _fold_user_stats(n, total, mx, pdfs):
+    """Accumulate (n, total, mx) over a batch of pandas frames — the
+    ONE fold both stateful user-stats operators share (r16 review: the
+    legacy applyInPandasWithState form and the transformWithState twin
+    carried verbatim copies; the two are migration-gate-asserted equal
+    to the same batch aggregate, so their NULL semantics must never
+    drift).
+
+    NULL semantics must match the batch aggregates: F.sum / F.max
+    ignore NULLs and return NULL when every value is NULL. pandas
+    renders NULL as NaN, and an unguarded .max() over an all-NaN
+    column returns NaN (not None) — which then STICKS through every
+    later max() — while sum() returns 0.0 where the batch twin
+    returns NULL."""
+    for pdf in pdfs:
+        n += len(pdf)
+        vals = pdf["value"].dropna()
+        if len(vals):
+            s = float(vals.sum())
+            total = s if total is None else total + s
+            bm = float(vals.max())
+            mx = bm if mx is None else max(mx, bm)
+    return n, total, mx
+
+
 def streaming_user_stats_stateful(events: DataFrame) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): running
     per-user count / sum / max maintained in a typed state store,
@@ -249,20 +269,7 @@ def streaming_user_stats_stateful(events: DataFrame) -> DataFrame:
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
         n, total, mx = state.get if state.exists else (0, None, None)
-        for pdf in pdfs:
-            n += len(pdf)
-            # NULL semantics must match the batch aggregates: F.sum /
-            # F.max ignore NULLs and return NULL when every value is
-            # NULL. pandas renders NULL as NaN, and an unguarded
-            # .max() over an all-NaN column returns NaN (not None) —
-            # which then STICKS through every later max() — while
-            # sum() returns 0.0 where the batch twin returns NULL.
-            vals = pdf["value"].dropna()
-            if len(vals):
-                s = float(vals.sum())
-                total = s if total is None else total + s
-                bm = float(vals.max())
-                mx = bm if mx is None else max(mx, bm)
+        n, total, mx = _fold_user_stats(n, total, mx, pdfs)
         state.update((n, total, mx))
         yield pd.DataFrame(
             {
@@ -406,6 +413,14 @@ def upsert_foreach_batch(path: str, key_cols: list[str]):
         # while the checkpoint still records the batch as committed.
         # Same per-path lock (RLock + same-host flock) as the dedup
         # stores and the BM25 index.
+        reserved = {"_v", "_rn"} & set(batch_df.columns)
+        if reserved:
+            # withColumn would silently REPLACE caller data with batch
+            # ids/ranks and the post-merge drop would delete it (r16
+            # review — the deduplicate_exact/zorder reserved-name rule)
+            raise ValueError(
+                f"upsert sink reserves columns {sorted(reserved)}"
+            )
         with path_lock(path):
             _check_state_contract(
                 path, {"sink": "upsert", "key_cols": key_cols}
@@ -608,6 +623,12 @@ def cdc_upsert_foreach_batch(
         # detection) and probes state-dir existence, so outside the
         # lock it could race fsck, compaction, or another first-
         # attaching sink.
+        reserved = {"_v", "_rn"} & set(batch_df.columns)
+        if reserved:
+            # same reserved-name rule as the plain upsert sink
+            raise ValueError(
+                f"cdc_upsert sink reserves columns {sorted(reserved)}"
+            )
         with path_lock(path):
             _check_state_contract(
                 path,
@@ -818,16 +839,7 @@ def streaming_user_stats_tws(events: DataFrame) -> DataFrame:
                 n, total, mx = self._state.get()
             else:
                 n, total, mx = 0, None, None
-            for pdf in rows:
-                n += len(pdf)
-                # same NULL semantics as the legacy twin above: ignore
-                # NULLs, stay None when nothing non-NULL arrived
-                vals = pdf["value"].dropna()
-                if len(vals):
-                    s = float(vals.sum())
-                    total = s if total is None else total + s
-                    bm = float(vals.max())
-                    mx = bm if mx is None else max(mx, bm)
+            n, total, mx = _fold_user_stats(n, total, mx, rows)
             self._state.update((n, total, mx))
             yield pd.DataFrame(
                 {

@@ -391,3 +391,66 @@ def edge_emb_duck(edge_emb_dir):
 )
 def test_embedding_edges_match_oracle(name, spark, edge_emb_dir, edge_emb_duck):
     _compare(name, spark, edge_emb_dir, edge_emb_duck)
+
+
+# ---------------------------------------------------------------------------
+# r16 NULL-ts / NULL-user event edges: Spark windows sort NULL ts
+# FIRST while DuckDB sorts them LAST (session splitting diverged), a
+# NULL user_id group could win a top-K slot with engine-divergent
+# tie-break placement, and an all-NULL-user month aborted the MAU
+# query under ANSI. Latent in the sf fixtures (no NULLs there).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def edge_null_events_dir(spark, tmp_path_factory):
+    rows = []
+    # user 1: two real sessions plus a NULL-ts event (excluded by the
+    # session contract; survivor pins for the dedup family)
+    rows += [
+        (1, _t(0), 1, "click", 1.0, "{}"),
+        (2, _t(5), 1, "click", 2.0, "{}"),
+        (3, None, 1, "click", 9.0, "{}"),
+        (4, _t(50), 1, "view", 3.0, "{}"),
+    ]
+    # user 2: only NULL-ts events (a whole group with no known time)
+    rows += [(10, None, 2, "view", 4.0, "{}"), (11, None, 2, "view", 5.0, "{}")]
+    # NULL user: enough events to contend for a top-10 slot
+    rows += [(20 + i, _t(10 + i), None, "click", 1.0, "{}") for i in range(4)]
+    # a couple more small users so ranks/ties exist
+    rows += [(40 + i, _t(20 + i), 3, "purchase", 2.0, "{}") for i in range(4)]
+    rows += [(50 + i, _t(30 + i), 4, "click", 1.5, "{}") for i in range(2)]
+    base = tmp_path_factory.mktemp("edge_null_events")
+    spark.createDataFrame(rows, _SCHEMA).write.mode("overwrite").parquet(
+        f"{base}/events.parquet"
+    )
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def edge_null_events_duck(edge_null_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{edge_null_events_dir}/events.parquet/*.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_session_windows",
+        "events_sessionization_gaps",
+        "events_type_transitions",
+        "events_dedup_first_per_user_type",
+        "events_sliding_distinct_users",
+        "events_user_activity_ranked",
+        "events_monthly_active_users",
+    ],
+)
+def test_null_event_edges_match_oracle(
+    name, spark, edge_null_events_dir, edge_null_events_duck
+):
+    _compare(name, spark, edge_null_events_dir, edge_null_events_duck)

@@ -417,6 +417,34 @@ def test_state_contract_rejects_mismatched_reattach(spark, tmp_path):
     assert rows == {1: "a", 2: "b2"}
 
 
+def test_upsert_sinks_reject_reserved_columns(spark, tmp_path):
+    """The merge internals stamp ``_v``/``_rn`` via withColumn, which
+    would silently REPLACE caller data of the same name and the
+    post-merge drop would then delete it — both sinks must refuse the
+    batch up front (r16 review; the deduplicate_exact reserved-name
+    rule)."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.streaming.events import (
+        cdc_upsert_foreach_batch,
+        upsert_foreach_batch,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "a", 7)], "k bigint, _v string, _rn int"
+    )
+    with pytest.raises(ValueError, match="reserves"):
+        upsert_foreach_batch(str(tmp_path / "s1"), ["k"])(batch, 0)
+    with pytest.raises(ValueError, match="reserves"):
+        cdc_upsert_foreach_batch(
+            str(tmp_path / "s2"),
+            ["k"],
+            order_cols=["_rn"],
+            tombstone_col="_v",
+            tombstone_value="delete",
+        )(batch, 0)
+
+
 def test_anonymous_checkpoint_is_removed(spark, tmp_path, monkeypatch):
     """run_foreach_batch without a checkpoint_dir must remove its
     anonymous temp checkpoint — the caller never learns the path, so
