@@ -256,6 +256,10 @@ def incremental_exact_dedup(
         fps.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        # materialized ONCE: _batch_fingerprint's action and the
+        # store anti-join below otherwise each re-run the full
+        # normalize+hash pass and the row_number shuffle (r16 review)
+        .localCheckpoint(eager=True)
     )
     content_fp = _batch_fingerprint(batch_unique)
     pending = state_path + ".pending"
@@ -310,6 +314,23 @@ def incremental_exact_dedup(
         tmp = pending + ".fpout"
         import shutil as _shutil
 
+        from bigdata_flightanalysis_spark.util import read_sidecar
+
+        # Reclaim a TORN exactly-once staging (dir without a complete
+        # marker + meta sidecar): guaranteed residue that only
+        # _recover_pending_batch used to sweep, so a deployment that
+        # crashed mid-staging and then switched to content mode leaked
+        # a batch-sized dir forever (r16 review). A COMPLETE
+        # pending+meta is NOT residue — it is the retained replay
+        # record of a (possibly paused) exactly-once stream, and
+        # sweeping it here would turn a later replay of that batch
+        # into silent data loss.
+        if os.path.exists(pending) and not (
+            os.path.exists(os.path.join(pending, "_SUCCESS"))
+            and read_sidecar(pending + ".meta.json")
+        ):
+            _shutil.rmtree(pending, ignore_errors=True)
+            _discard(pending + ".meta.json")
         _shutil.rmtree(tmp, ignore_errors=True)
         fresh.select("fp").coalesce(1).write.mode("overwrite").parquet(tmp)
         target = os.path.join(state_path, f"ingest-{content_fp}.parquet")
@@ -495,8 +516,14 @@ def incremental_embed_near_dup_pairs(
         # and with the partition column in the equi-key this leg can
         # partition-prune to the batch's buckets instead of scanning
         # every bucket's vec_ids
-        to_append = batch.join(store, ["vec_id", "bucket"], "left_anti")
+        # materialized: the isEmpty() gate below and the append write
+        # otherwise each run the store-probe anti-join (r16 review —
+        # the flat-store paths already pay it once)
+        to_append = batch.join(
+            store, ["vec_id", "bucket"], "left_anti"
+        ).localCheckpoint(eager=True)
     else:
+        # batch is already checkpointed: isEmpty/write re-read blocks
         probe = batch
         to_append = batch
     a, b = batch.alias("a"), probe.alias("b")
@@ -739,10 +766,24 @@ def compact_embed_store(spark: SparkSession, store_path: str) -> None:
     _recover_store_dir(store_path)
     n_planes = read_sidecar(_meta_path(store_path)).get("n_planes")
     if n_planes is None:
+        # distinguish the two unstamped cases structurally: a legacy
+        # embed store HAS bucket= hive dirs (rebucket is the right
+        # advice), while a flat band/fingerprint store does not — for
+        # those, following the rebucket advice dies on a missing 'e'
+        # column; point at compact_flat_store instead (r16 review)
+        bucketed = os.path.isdir(store_path) and any(
+            d.startswith("bucket=") for d in os.listdir(store_path)
+        )
+        if bucketed:
+            raise ValueError(
+                f"store at {store_path} has no recorded granularity to "
+                "compact at — run rebucket_embed_store(spark, store_path, "
+                "n_planes) with the granularity it was built at"
+            )
         raise ValueError(
-            f"store at {store_path} has no recorded granularity to "
-            "compact at — run rebucket_embed_store(spark, store_path, "
-            "n_planes) with the granularity it was built at"
+            f"store at {store_path} has no n_planes stamp and no "
+            "bucket= partition layout — this is a flat store; use "
+            "compact_flat_store, which compacts by bytes"
         )
     rebucket_embed_store(spark, store_path, int(n_planes))
 

@@ -378,7 +378,7 @@ def score_new_flights(
                 how="left_semi",
             )
     assembled = assemble_features(
-        new_df, keep_cols=tuple(c for c in new_df.columns), mode=mode
+        new_df, keep_cols=tuple(new_df.columns), mode=mode
     )
     return model.transform(assembled)
 

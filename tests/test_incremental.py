@@ -1149,3 +1149,85 @@ def test_single_part_file_escapes_glob_and_fails_loudly(tmp_path):
     empty.mkdir()
     with _pytest.raises(FileNotFoundError, match="no part-"):
         _single_part_file(str(empty))
+
+
+def test_content_mode_sweeps_torn_pending_retains_complete(spark, tmp_path):
+    """Content-dedup mode (no batch_id) must reclaim a TORN
+    exactly-once staging (dir without its complete marker+meta — a
+    mid-staging crash), which previously only the exactly-once
+    recovery path swept, so a deployment that crashed mid-staging and
+    then ran content-mode-only leaked a batch-sized dir forever (r16
+    review). A COMPLETE pending+meta is the retained replay record of
+    a paused stream and must SURVIVE content-mode ingests — sweeping
+    it would turn a later replay of that batch into silent loss."""
+    import os as _os
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    state = str(tmp_path / "fp_store_mixed")
+    pending = state + ".pending"
+    b1 = docs.filter(F.col("doc_id") < 30)
+    kept1 = sorted(
+        r["doc_id"]
+        for r in incremental_exact_dedup(spark, b1, state, batch_id=0).collect()
+    )
+    assert _os.path.exists(pending) and _os.path.exists(
+        pending + ".meta.json"
+    )
+    # a content-mode ingest lands in between: the COMPLETE pending is
+    # retained, and the paused stream's replay of batch 0 still
+    # re-emits its recorded survivors afterwards
+    b2 = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 45))
+    incremental_exact_dedup(spark, b2, state).collect()
+    assert _os.path.exists(pending) and _os.path.exists(
+        pending + ".meta.json"
+    )
+    replay = sorted(
+        r["doc_id"]
+        for r in incremental_exact_dedup(spark, b1, state, batch_id=0).collect()
+    )
+    assert replay == kept1
+    # tear the staging (meta gone = mid-staging crash) — the next
+    # content-mode ingest reclaims dir AND sidecar
+    _os.remove(pending + ".meta.json")
+    assert _os.path.exists(pending)
+    b3 = docs.filter((F.col("doc_id") >= 45) & (F.col("doc_id") < 55))
+    incremental_exact_dedup(spark, b3, state).collect()
+    assert not _os.path.exists(pending)
+    assert not _os.path.exists(pending + ".meta.json")
+
+
+def test_compact_embed_store_flat_store_error_names_flat_compactor(
+    spark, tmp_path
+):
+    """compact_embed_store on an UNSTAMPED store must distinguish the
+    two cases structurally: a flat band/fingerprint store (no bucket=
+    dirs) gets pointed at compact_flat_store — the old one-size
+    message sent it to rebucket_embed_store, which dies on a missing
+    'e' column — while an unstamped bucketed legacy store keeps the
+    rebucket advice (r16 review)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from bigdata_flightanalysis_spark.operators.incremental import (
+        _meta_path,
+        compact_embed_store,
+        incremental_embed_near_dup_pairs,
+    )
+
+    # flat store: the exact-dedup fingerprint store has no bucket= dirs
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    flat = str(tmp_path / "fp_flat")
+    incremental_exact_dedup(spark, docs.filter(F.col("doc_id") < 20), flat)
+    with _pytest.raises(ValueError, match="compact_flat_store"):
+        compact_embed_store(spark, flat)
+
+    # unstamped BUCKETED store: strip the stamp off a real embed store
+    emb = read_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    store = str(tmp_path / "embed_store")
+    incremental_embed_near_dup_pairs(
+        spark, emb, store, id_col="vec_id", emb_col="embedding"
+    )
+    _os.remove(_meta_path(store))
+    with _pytest.raises(ValueError, match="rebucket_embed_store"):
+        compact_embed_store(spark, store)
