@@ -142,7 +142,16 @@ def dsum(col: Column | str, alias: str) -> Column:
     NaN input raises at execution (see :func:`_nan_guarded`) — the
     decimal cast would otherwise silently drop NaN addends, diverging
     from both plain double SUM (NaN-propagating) and the DuckDB twin
-    (errors)."""
+    (errors).
+
+    Cross-engine bit-exactness contract: each ADDEND must stay below
+    ~4.5e9 (where a double's ulp reaches 1e-6, making the per-addend
+    double→decimal(…,6) cast itself rounding-mode-dependent — Spark
+    rounds the shortest repr, DuckDB the exact binary expansion;
+    measured divergent at 5.4e9). The SUM is unbounded: it
+    accumulates exactly in decimal, and the one final decimal→double
+    cast is correctly rounded on Spark and VARCHAR-routed on the
+    DuckDB side (see :func:`dec_to_double_sql`)."""
     col = F.col(col) if isinstance(col, str) else col
     return (
         F.sum(_nan_guarded(col).cast("decimal(38,6)"))
@@ -162,13 +171,49 @@ def exact_avg(col: Column | str, alias: str) -> Column:
     ).alias(alias)
 
 
+def dsum_dec(col: Column | str, alias: str) -> Column:
+    """:func:`dsum` WITHOUT the final double cast: the exact
+    DECIMAL(38,6) sum itself, for consumers that feed the total into
+    FURTHER exact arithmetic (a window re-sum, a share ratio). Casting
+    dsum's double back to decimal re-rounds through the measured
+    Spark-vs-DuckDB double→decimal divergence (shortest-repr HALF_UP
+    vs exact-binary-expansion — see the profiler's VARCHAR route)
+    once the value outgrows double's 2^53 integer range at scale 6
+    (~9e9); keeping the decimal end-to-end never rounds at all
+    (r16 review)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sum(_nan_guarded(col).cast("decimal(38,6)")).alias(alias)
+
+
+def dec_to_double_sql(expr: str) -> str:
+    """DuckDB decimal→double rendered through VARCHAR: DuckDB's
+    direct ``CAST(DECIMAL AS DOUBLE)`` divides the scaled int128 by
+    10^scale in floating point, which stops being correctly rounded
+    once the scaled integer exceeds 2^53 (measured:
+    13048441520.911087 → ...089) — while Spark's decimal→double IS
+    correctly rounded at any magnitude. The VARCHAR round-trip
+    (exact digits, then a correctly-rounded strtod) restores IEEE
+    agreement; per GROUP, so the cost is nil (r16 review).
+
+    VARCHAR(64), not bare VARCHAR: some registry queries execute
+    dsum_sql output as SPARK SQL too, and Spark's parser requires a
+    length (64 > any DECIMAL(38,6) rendering; DuckDB ignores it).
+    The round-trip is a no-op on Spark — exact digits re-parsed
+    correctly rounded — so one string serves both dialects."""
+    return f"CAST(CAST({expr} AS VARCHAR(64)) AS DOUBLE)"
+
+
 def dsum_sql(expr: str, alias: str) -> str:
     """DuckDB-side twin of :func:`dsum` for oracle SQL strings."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+    sum_expr = f"SUM(CAST({expr} AS DECIMAL(38,6)))"
+    return f"{dec_to_double_sql(sum_expr)} AS {alias}"
+
+
+def dsum_dec_sql(expr: str, alias: str) -> str:
+    """DuckDB-side twin of :func:`dsum_dec`."""
+    return f"SUM(CAST({expr} AS DECIMAL(38,6))) AS {alias}"
 
 
 def exact_avg_sql(expr: str, alias: str) -> str:
-    return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
-    )
+    sum_expr = f"SUM(CAST({expr} AS DECIMAL(38,6)))"
+    return f"{dec_to_double_sql(sum_expr)} / COUNT({expr}) AS {alias}"

@@ -135,8 +135,14 @@ def blocked_self_pairs(
     pairs from re-forming in mixed reducers.
     """
     buckets = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    # "r"/"__sa"/"__sb" are claimed by the n_blocks>1 path's tagged/
+    # a/b selects — a bucket column with one of those names would emit
+    # duplicate columns and die later with an ambiguous-reference
+    # error instead of this named one (r16 review)
     _guard_reserved(
-        df, ["__s", "__t", "__i", "__j", "a", "b"], "blocked_self_pairs"
+        df,
+        ["__s", "__t", "__i", "__j", "a", "b", "r", "__sa", "__sb"],
+        "blocked_self_pairs",
     )
     row = F.struct(*[F.col(c) for c in df.columns])
     if n_blocks <= 1:

@@ -92,8 +92,19 @@ def asof_join(
     # before" anything: __ts asc sorts NULLs FIRST, so an unfiltered
     # NULL-ts payload would be carried forward as the match for every
     # left row with no real earlier match — DuckDB ASOF (p.ts >= c.ts)
-    # and pandas merge_asof never match NULL timestamps
-    r2 = right.filter(F.col(right_ts).isNotNull()).select(
+    # and pandas merge_asof never match NULL timestamps.
+    # NULL-KEY right rows can never match either: SQL equality never
+    # holds on NULL, but Window.partitionBy groups NULL keys into one
+    # partition, so an unfiltered NULL-key right payload would be
+    # carried into NULL-key left rows — a match DuckDB ASOF
+    # (ON l.k = r.k) never makes (r16 review). With them filtered, a
+    # NULL-key left row sits in a partition with no right rows and
+    # falls out naturally: NULL payload under "left", dropped under
+    # "inner".
+    r_not_null_key = F.lit(True)
+    for k in keys:
+        r_not_null_key = r_not_null_key & F.col(k).isNotNull()
+    r2 = right.filter(F.col(right_ts).isNotNull() & r_not_null_key).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),

@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bigdata_flightanalysis_spark.functions.scalar import dsum, dsum_sql
+from bigdata_flightanalysis_spark.functions.scalar import (
+    dsum,
+    dsum_dec,
+    dsum_dec_sql,
+    dsum_sql,
+)
 from bigdata_flightanalysis_spark.queries.catalog import register
 from bigdata_flightanalysis_spark.sources.readers import read_table
 
@@ -302,7 +307,11 @@ def monthly_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_month"
         )
     ).agg(dsum("o_totalprice", "revenue"))
-    w = Window.orderBy("order_month")
+    # asc_nulls_last pins the lag order to the oracle: a NULL
+    # o_orderdate yields a NULL month group, which Spark's bare asc
+    # sorts FIRST (shifting the first real month's delta) while
+    # DuckDB sorts it LAST (r16 review)
+    w = Window.orderBy(F.col("order_month").asc_nulls_last())
     return m.select(
         "order_month",
         "revenue",
@@ -580,8 +589,12 @@ def salted_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
+    # asc_nulls_last: a NULL price lands in the TOP quartile on both
+    # engines — Spark's bare asc put it in quartile 1 while DuckDB's
+    # ASC default (NULLS LAST) put it in 4, rotating every real
+    # price's bucket (r16 review)
     w = Window.partitionBy("o_orderstatus").orderBy(
-        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc()
     )
     return (
         orders.select(
@@ -842,7 +855,13 @@ def max_order_per_status_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("relational", "window"),
 )
 def order_price_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    # asc_nulls_last pins percent_rank's order to the oracle: DuckDB
+    # sorts a NULL price LAST (pr≈1.0, emitted by the top-0.1%
+    # filter) while Spark's bare orderBy sorted it FIRST (pr=0,
+    # dropped) AND shifted every real row's (r-1)/(n-1) (r16 review)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc_nulls_last()
+    )
     return (
         read_table(spark, sf_dir, "orders")
         .select(
@@ -1504,7 +1523,14 @@ def customer_value_deciles_twopass(
         )
     decile = F.lit(1)
     for i in range(1, 10):
-        decile = decile + (F.col("spend") < F.col(f"p{i}")).cast("int")
+        # when/otherwise mirrors the oracle's CASE ... ELSE 0: a NULL
+        # spend (all-NULL-price customer) must count ZERO crossings
+        # and land in decile 1 on both engines — the bare boolean
+        # cast propagated NULL into a decile the oracle never emits
+        # (r16 review)
+        decile = decile + F.when(
+            F.col("spend") < F.col(f"p{i}"), 1
+        ).otherwise(0)
     assigned = (
         per_cust.crossJoin(F.broadcast(bounds))
         # always true (per-customer counts are >= 1): exists only to
@@ -1651,18 +1677,25 @@ def customer_rfm_segments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_share_of_region_revenue",
     oracle=f"""
         WITH per_nation AS (
+            -- the DECIMAL sum is kept AS decimal into the window:
+            -- recasting the double back to DECIMAL(38,6) re-rounds
+            -- through the measured Spark-vs-DuckDB double→decimal
+            -- divergence once revenue outgrows 2^53/1e6 (~9e9, i.e.
+            -- sf>=1); decimal end-to-end never rounds (r16 review)
             SELECT r_name, n_name,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   {dsum_sql("o_totalprice", "revenue")}
+                   {dsum_dec_sql("o_totalprice", "revenue_dec")}
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
         )
-        SELECT r_name, n_name, n_orders, revenue,
-               revenue / CAST(SUM(CAST(revenue AS DECIMAL(38,6)))
-                                  OVER (PARTITION BY r_name) AS DOUBLE)
+        SELECT r_name, n_name, n_orders,
+               CAST(CAST(revenue_dec AS VARCHAR(64)) AS DOUBLE) AS revenue,
+               CAST(CAST(revenue_dec AS VARCHAR(64)) AS DOUBLE)
+                   / CAST(CAST(SUM(revenue_dec) OVER (PARTITION BY r_name)
+                               AS VARCHAR(64)) AS DOUBLE)
                    AS region_share
         FROM per_nation
         ORDER BY r_name, n_name
@@ -1688,18 +1721,24 @@ def nation_share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            # kept AS decimal into the window: see the oracle note —
+            # a double→decimal recast re-rounds divergently cross-
+            # engine once revenue outgrows ~9e9 (r16 review)
+            dsum_dec("o_totalprice", "revenue_dec"),
+        )
     )
     w = Window.partitionBy("r_name")
     # decimal-exact window total: a double SUM's merge order varies
     # with partitioning, so the share's last ulp would be unstable.
-    total = F.sum(F.col("revenue").cast("decimal(38,6)")).over(w).cast("double")
+    total = F.sum("revenue_dec").over(w).cast("double")
     return per_nation.select(
         "r_name",
         "n_name",
         "n_orders",
-        "revenue",
-        (F.col("revenue") / total).alias("region_share"),
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        (F.col("revenue_dec").cast("double") / total).alias("region_share"),
     ).orderBy("r_name", "n_name")
 
 
@@ -2166,9 +2205,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("monetary"),
         )
     )
+    # NULL pins (r16 review): recency DESC already agrees (both
+    # engines put NULLs last under DESC — Spark desc() ≡ DuckDB's
+    # default), but monetary ASC diverged: an all-NULL-price customer
+    # scored m_q=1 on Spark (NULLS FIRST) and 5 on DuckDB (NULLS
+    # LAST), shifting every other quintile boundary. frequency is
+    # COUNT(*), never NULL.
     r_w = Window.orderBy(F.col("recency_days").desc(), "c_custkey")
     f_w = Window.orderBy(F.col("frequency").asc(), "c_custkey")
-    m_w = Window.orderBy(F.col("monetary").asc(), "c_custkey")
+    m_w = Window.orderBy(F.col("monetary").asc_nulls_last(), "c_custkey")
     scored = rfm.select(
         F.ntile(5).over(r_w).alias("r_q"),
         F.ntile(5).over(f_w).alias("f_q"),
@@ -2295,7 +2340,13 @@ def customer_rfm_segments_twopass(
     def _score(col: str, prefix: str, better):
         s = F.lit(1)
         for i in range(1, 5):
-            s = s + better(F.col(col), F.col(f"{prefix}{i}")).cast("int")
+            # when/otherwise mirrors the oracle's CASE ... ELSE 0: a
+            # NULL axis value (all-NULL prices → monetary, all-NULL
+            # dates → recency) must score the floor digit 1, not
+            # propagate NULL through the whole rfm_code (r16 review)
+            s = s + F.when(
+                better(F.col(col), F.col(f"{prefix}{i}")), 1
+            ).otherwise(0)
         return s
 
     below = lambda x, b: x < b  # noqa: E731 — recency: smaller = better

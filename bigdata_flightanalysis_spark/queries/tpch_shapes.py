@@ -24,6 +24,8 @@ from pyspark.sql.window import Window
 
 from bigdata_flightanalysis_spark.functions.scalar import (
     dsum,
+    dsum_dec,
+    dsum_dec_sql,
     dsum_sql,
     exact_avg,
 )
@@ -660,18 +662,29 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = read_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey"
     )
+    # NOT IN semantics on the PROBE side: against a NON-empty build
+    # set, a NULL l_suppkey fails `NOT IN (...)` (NULL) and the
+    # oracle drops the row, but a bare left_anti KEEPS it (NULL never
+    # matches) — so NULL-FK rows are split out and admitted only when
+    # the build set is EMPTY, where `x NOT IN (empty)` is TRUE even
+    # for NULL (the r15 unconditional filter dropped them there too,
+    # r16 review). The gate is a 1-row count aggregate over the
+    # already-broadcast-small build side, crossJoined like the other
+    # scalar-gate patterns — bounded at any scale.
+    surviving = lineitem.filter(F.col("l_suppkey").isNotNull()).join(
+        F.broadcast(bad_suppliers),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    empty_gate = bad_suppliers.agg(F.count(F.lit(1)).alias("__n_bad"))
+    null_fk = (
+        lineitem.filter(F.col("l_suppkey").isNull())
+        .crossJoin(F.broadcast(empty_gate))
+        .where(F.col("__n_bad") == 0)
+        .drop("__n_bad")
+    )
     return (
-        # NOT IN semantics need the PROBE side non-null too: a NULL
-        # l_suppkey fails `NOT IN (...)` (NULL) and the oracle drops
-        # the row, but a bare left_anti KEEPS it (NULL never matches) —
-        # a group of only NULL-FK rows would appear with
-        # supplier_cnt = 0 that the oracle never emits
-        lineitem.filter(F.col("l_suppkey").isNotNull())
-        .join(
-            F.broadcast(bad_suppliers),
-            F.col("l_suppkey") == F.col("s_suppkey"),
-            "left_anti",
-        )
+        surviving.unionByName(null_fk)
         .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -695,7 +708,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH flows AS (
             SELECT l_partkey, l_suppkey,
-                   {dsum_sql("l_quantity", "pair_qty")}
+                   {dsum_dec_sql("l_quantity", "pair_qty_dec")}
             FROM lineitem
             JOIN part ON p_partkey = l_partkey
             WHERE p_type = 'SMALL'
@@ -706,16 +719,20 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         heavy AS (
             SELECT l_suppkey
             FROM (
-                SELECT l_suppkey, pair_qty,
+                SELECT l_suppkey, pair_qty_dec,
                        -- decimal-exact window sum (dsum doctrine): a
                        -- plain double SUM is merge-order dependent,
                        -- so a supplier at exactly half a part's flow
-                       -- could flip across engines/runs
-                       CAST(SUM(CAST(pair_qty AS DECIMAL(38,6)))
-                            OVER (PARTITION BY l_partkey) AS DOUBLE) AS part_qty
+                       -- could flip across engines/runs. The pair sum
+                       -- stays DECIMAL into the window (no
+                       -- double→decimal recast: divergent rounding
+                       -- cross-engine above ~9e9, r16 review) and the
+                       -- >half comparison is pure decimal arithmetic
+                       SUM(pair_qty_dec)
+                            OVER (PARTITION BY l_partkey) AS part_qty_dec
                 FROM flows
             )
-            WHERE pair_qty > 0.5 * part_qty
+            WHERE pair_qty_dec + pair_qty_dec > part_qty_dec
         )
         SELECT s_suppkey, s_name
         FROM supplier
@@ -752,17 +769,18 @@ def q20_heavy_flow_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
-        .agg(dsum("l_quantity", "pair_qty"))
+        # kept AS decimal into the window and the >half comparison —
+        # pure integer-scaled arithmetic, no cross-engine rounding
+        # surface at any magnitude (r16 review)
+        .agg(dsum_dec("l_quantity", "pair_qty_dec"))
     )
     w = Window.partitionBy("l_partkey")
     heavy = (
-        flows.withColumn(
-            "part_qty",
-            F.sum(F.col("pair_qty").cast("decimal(38,6)"))
-            .over(w)
-            .cast("double"),
+        flows.withColumn("part_qty_dec", F.sum("pair_qty_dec").over(w))
+        .filter(
+            F.col("pair_qty_dec") + F.col("pair_qty_dec")
+            > F.col("part_qty_dec")
         )
-        .filter(F.col("pair_qty") > F.lit(0.5) * F.col("part_qty"))
         .select("l_suppkey")
     )
     supplier = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

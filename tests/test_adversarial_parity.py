@@ -282,12 +282,25 @@ def edge_star_dir(spark, tmp_path_factory):
         (2, 1, "F", 200.0, datetime(1996, 2, 1), "1-URGENT"),
         (3, 2, "S", 50.0, datetime(1996, 3, 1), "2-HIGH"),   # n=1 group
         (4, 2, "N", None, datetime(1996, 4, 1), "2-HIGH"),   # all-NULL price
+        # r16 NULL-ordering rows ("S" left untouched to preserve the
+        # n=1 stddev edge): NULL o_orderdate (NULL month group /
+        # NULL recency for cust 3) and a NULL price inside a mixed
+        # status (NTILE / percent_rank NULLS FIRST-vs-LAST), plus
+        # cust 4 whose only order has a NULL price (NULL monetary /
+        # NULL spend through the decile+RFM CASE arithmetic)
+        (5, 3, "F", 300.0, None, "3-MEDIUM"),
+        (6, 3, "N", None, None, "3-MEDIUM"),
+        (7, 4, "F", None, datetime(1996, 5, 1), "4-LOW"),
     ]
     spark.createDataFrame(
         orders,
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
         " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
     ).write.mode("overwrite").parquet(f"{base}/orders.parquet")
+    customer = [(1,), (2,), (3,), (4,)]
+    spark.createDataFrame(customer, "c_custkey bigint").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/customer.parquet")
     part = [(1, "Brand#2", "STD", 5), (2, "Brand#3", "STD", 5)]
     spark.createDataFrame(
         part, "p_partkey bigint, p_brand string, p_type string, p_size int"
@@ -318,7 +331,7 @@ def edge_star_dir(spark, tmp_path_factory):
 @pytest.fixture(scope="module")
 def edge_star_duck(edge_star_dir):
     con = duckdb.connect()
-    for t in ("orders", "part", "supplier", "lineitem"):
+    for t in ("orders", "customer", "part", "supplier", "lineitem"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"'{edge_star_dir}/{t}.parquet/*.parquet'"
@@ -334,6 +347,18 @@ def edge_star_duck(edge_star_dir):
         "order_metrics_unpivot",      # all-NULL metric: DuckDB UNPIVOT drops it
         "q16_supplier_part_counts",   # NULL probe FK: NOT IN semantics
         "q2_min_cost_supplier",       # zero quantity: try_divide
+        # r16 NULL-ordering / NULL-arithmetic pins: Spark's bare asc()
+        # sorts NULLs FIRST while DuckDB's ASC default sorts them
+        # LAST (ntile/percent_rank/lag diverged), and the twopass
+        # boundary counts propagated NULL where the oracle's CASE
+        # scores the floor bucket
+        "monthly_revenue_delta",         # NULL month: lag order pin
+        "order_value_quartiles",         # NULL price: ntile bucket pin
+        "order_price_percentile_rank",   # NULL price: pr=1.0 emitted
+        "customer_value_deciles",        # DESC: both engines NULLS LAST
+        "customer_value_deciles_twopass",  # NULL spend -> decile 1
+        "customer_rfm_segments",         # NULL monetary: m_q pin
+        "customer_rfm_segments_twopass",  # NULL axes -> digit 1
     ],
 )
 def test_relational_edges_match_oracle(
@@ -454,3 +479,177 @@ def test_null_event_edges_match_oracle(
     name, spark, edge_null_events_dir, edge_null_events_duck
 ):
     _compare(name, spark, edge_null_events_dir, edge_null_events_duck)
+
+
+# ---------------------------------------------------------------------------
+# r16 NOT-IN empty-build edge: `x NOT IN (empty set)` is TRUE even for
+# NULL x, so with no negative-balance supplier the oracle KEEPS
+# NULL-l_suppkey rows (a supplier_cnt=0 group) that the unconditional
+# probe-side IS NOT NULL filter dropped.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def edge_q16_empty_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("edge_q16_empty")
+    # every balance >= 0: the NOT-IN subquery is EMPTY
+    supplier = [(1, "S1", 5.0, 1), (2, "S2", 10.0, 1)]
+    spark.createDataFrame(
+        supplier,
+        "s_suppkey bigint, s_name string, s_acctbal double, s_nationkey bigint",
+    ).write.mode("overwrite").parquet(f"{base}/supplier.parquet")
+    part = [(1, "Brand#2", "STD", 5), (2, "Brand#3", "STD", 5)]
+    spark.createDataFrame(
+        part, "p_partkey bigint, p_brand string, p_type string, p_size int"
+    ).write.mode("overwrite").parquet(f"{base}/part.parquet")
+    lineitem = [
+        (1, 1, 2, 100.0, 4.0),
+        (1, 1, None, 70.0, 2.0),   # NULL FK: kept by NOT IN (empty)
+        (2, 2, None, 90.0, 1.0),   # group whose ONLY rows are NULL-FK
+    ]
+    spark.createDataFrame(
+        lineitem,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_extendedprice double, l_quantity double",
+    ).write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def edge_q16_empty_duck(edge_q16_empty_dir):
+    con = duckdb.connect()
+    for t in ("part", "supplier", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{edge_q16_empty_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_q16_empty_not_in_build_keeps_null_fk_rows(
+    spark, edge_q16_empty_dir, edge_q16_empty_duck
+):
+    rows = _compare(
+        "q16_supplier_part_counts",
+        spark,
+        edge_q16_empty_dir,
+        edge_q16_empty_duck,
+    )
+    # the all-NULL-FK part group must be PRESENT with supplier_cnt=0
+    # (COUNT(DISTINCT NULL) = 0) on both engines — the group the old
+    # unconditional probe filter silently dropped
+    assert any(0 in r for r in rows), rows
+
+
+# ---------------------------------------------------------------------------
+# r16 big-money decimal edge: recasting a dsum double back to
+# DECIMAL(38,6) re-rounds divergently cross-engine once the value
+# outgrows 2^53/1e6 (~9e9) — Spark parses the double's shortest repr
+# HALF_UP, DuckDB rounds the exact binary expansion. The share/flow
+# queries now keep the decimal end-to-end; these magnitudes prove it.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def edge_bigmoney_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("edge_bigmoney")
+    spark.createDataFrame(
+        [(1, "AMERICA")], "r_regionkey bigint, r_name string"
+    ).write.mode("overwrite").parquet(f"{base}/region.parquet")
+    spark.createDataFrame(
+        [(1, "BRAZIL", 1), (2, "CANADA", 1)],
+        "n_nationkey bigint, n_name string, n_regionkey bigint",
+    ).write.mode("overwrite").parquet(f"{base}/nation.parquet")
+    spark.createDataFrame(
+        [(1, 1), (2, 2)], "c_custkey bigint, c_nationkey bigint"
+    ).write.mode("overwrite").parquet(f"{base}/customer.parquet")
+    # Addends stay REALISTIC (~6e8, far below the ~4.5e9 boundary
+    # where the per-addend double→decimal cast itself becomes
+    # cross-engine ambiguous — see dsum's docstring), while the
+    # nation sums are engineered to EXACTLY 13048441520.911087 /
+    # 12108729892.840528 — a pair (found by scanning) whose old
+    # double→DECIMAL(38,6) window recast diverges cross-engine
+    # (Spark shortest-repr ...087 vs DuckDB exact-expansion ...088)
+    # AND whose diverged totals round to DIFFERENT doubles, making
+    # region_share observably differ. The decimal-end-to-end path
+    # cannot diverge at any magnitude.
+    orders = [
+        (
+            i,
+            1,
+            "F",
+            652_422_076.911087 if i == 1 else 652_422_076.0,
+            datetime(1996, 1 + (i - 1) % 12, 1),
+            "1-URGENT",
+        )
+        for i in range(1, 21)
+    ] + [
+        (
+            20 + i,
+            2,
+            "F",
+            605_436_506.840528 if i == 1 else 605_436_494.0,
+            datetime(1996, 1 + (i - 1) % 12, 1),
+            "1-URGENT",
+        )
+        for i in range(1, 21)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{base}/orders.parquet")
+    spark.createDataFrame(
+        [(1, "Brand#2", "SMALL", 5), (2, "Brand#3", "SMALL", 5)],
+        "p_partkey bigint, p_brand string, p_type string, p_size int",
+    ).write.mode("overwrite").parquet(f"{base}/part.parquet")
+    spark.createDataFrame(
+        [(1, "S1", 5.0, 1), (2, "S2", 10.0, 1)],
+        "s_suppkey bigint, s_name string, s_acctbal double, s_nationkey bigint",
+    ).write.mode("overwrite").parquet(f"{base}/supplier.parquet")
+    # q20 flows: supplier 1 carries >half of part 1's huge flow; pair
+    # sums ~1e10 from realistic ~4e8 addends (same boundary note)
+    lineitem = [
+        (
+            100 + i,
+            1 + (i - 1) % 2,           # part
+            1 if i <= 28 else 2,       # supplier 1 heavy on both parts
+            100.0,
+            400_000_000.0 + i * 10.654321,
+            datetime(1997, 3, 1),
+        )
+        for i in range(1, 41)
+    ]
+    spark.createDataFrame(
+        lineitem,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_extendedprice double, l_quantity double, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{base}/lineitem.parquet")
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def edge_bigmoney_duck(edge_bigmoney_dir):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "orders", "part", "supplier",
+              "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{edge_bigmoney_dir}/{t}.parquet/*.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "nation_share_of_region_revenue",  # decimal window total + share
+        "q20_heavy_flow_suppliers",        # decimal >half-flow comparison
+    ],
+)
+def test_bigmoney_decimal_edges_match_oracle(
+    name, spark, edge_bigmoney_dir, edge_bigmoney_duck
+):
+    _compare(name, spark, edge_bigmoney_dir, edge_bigmoney_duck)

@@ -731,6 +731,7 @@ def test_nested_loop_joins_only_on_documented_bounded_builds(registry_plans):
         "kmeans_embedding_clusters",          # contract booleans vs corpus-size row
         "orders_anti_bloom_check",            # bloom (k,m) stamp witness row
         "q11_important_parts",                # scalar value-share threshold
+        "q16_supplier_part_counts",           # NOT-IN empty-build gate row
         "q22_idle_rich_customers",            # scalar avg-balance threshold
         # pattern 2 — broadcast of a BOUNDED frame (query vectors,
         # limit-k candidates, or a fixed doc slice), never a corpus:

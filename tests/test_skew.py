@@ -228,3 +228,20 @@ def test_reserved_column_names_fail_loud(spark):
     )
     with pytest.raises(ValueError, match="__s"):
         blocked_self_pairs(docs, "bkt", "doc_id", n_blocks=4)
+
+
+def test_blocked_self_pairs_guards_all_claimed_names(spark):
+    """The n_blocks>1 path also claims 'r', '__sa' and '__sb' as
+    top-level names — a bucket column named one of those produced
+    duplicate columns and an ambiguous-reference AnalysisException
+    downstream instead of the named rename-first error (r16 review)."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.operators.skew import blocked_self_pairs
+
+    for bad in ("r", "__sa", "__sb"):
+        docs = spark.range(10).select(
+            F.col("id").alias("doc_id"), F.lit(0).alias(bad)
+        )
+        with pytest.raises(ValueError, match="blocked_self_pairs"):
+            blocked_self_pairs(docs, bad, "doc_id", n_blocks=4)

@@ -316,3 +316,24 @@ def test_range_and_interval_joins_reject_created_duplicates(spark):
             right_start="s", right_end="e",
             bucket_micros=10,
         )
+
+
+def test_asof_never_matches_null_key_rows(spark):
+    """Window.partitionBy groups NULL keys into ONE partition, so an
+    unfiltered NULL-key right payload was carried into NULL-key left
+    rows — a match DuckDB ASOF (ON l.k = r.k) never makes, since SQL
+    equality never holds on NULL (r16 review). NULL-key left rows get
+    NULL payload under how='left' and are dropped under how='inner';
+    real keys are untouched."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts(10)), (2, None, _ts(10))],
+        "lid int, key string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, "k", _ts(5)), (200, None, _ts(5))],
+        "rid int, key string, ts timestamp",
+    )
+    out = {r["lid"]: r["rid"] for r in asof_join(left, right, "key").collect()}
+    assert out == {1: 100, 2: None}
+    inner = asof_join(left, right, "key", how="inner")
+    assert [r["lid"] for r in inner.collect()] == [1]
