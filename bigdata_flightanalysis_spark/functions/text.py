@@ -23,8 +23,8 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
-def normalize_text(col: Column | str) -> Column:
-    """Lowercase, collapse whitespace, trim — the canonical dedup key.
+def fold_case(col: Column) -> Column:
+    """Cross-engine-safe lowercase — the ONE İ/ς-pinned fold.
 
     Two unicode case foldings are pinned explicitly because Java and
     DuckDB lowercase them differently (measured): Turkish dotted
@@ -33,21 +33,51 @@ def normalize_text(col: Column | str) -> Column:
     contextual rule, DuckDB does not) is post-folded to σ, the
     standard search-engine normalization. Without these, a Turkish or
     Greek doc's fingerprint diverges between the engine and its
-    oracle."""
+    oracle (and a token like 'İN' would stopword-match 'in' on one
+    engine only)."""
+    return F.translate(F.lower(F.translate(col, "İ", "i")), "ς", "σ")
+
+
+def sql_fold_case(expr: str) -> str:
+    """DuckDB twin of :func:`fold_case` for oracle SQL fragments."""
+    return f"replace(lower(replace({expr}, 'İ', 'i')), 'ς', 'σ')"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase (İ/ς-pinned — see :func:`fold_case`), collapse
+    whitespace, trim — the canonical dedup key."""
     col = F.col(col) if isinstance(col, str) else col
-    lowered = F.translate(F.lower(F.translate(col, "İ", "i")), "ς", "σ")
+    lowered = fold_case(col)
     # whitespace class spelled out: Java \s includes \x0B, RE2 (DuckDB)
     # \s does not — shorthand classes diverge across the two engines,
     # so every cross-engine regex uses the same explicit class
     return F.trim(F.regexp_replace(lowered, r"[ \t\n\x0B\f\r]+", " "))
 
 
+#: Version tag of the tokenization scheme, stamped into every on-disk
+#: artifact whose layout is a function of how text splits into terms
+#: (the BM25 index meta, the MinHash band-store meta): mixing
+#: tokenizer versions silently mis-scores/mis-buckets, so the stamps
+#: turn it into a named rebuild error. Bump when tokenize's output
+#: changes for ANY input. v2 (r16): boundary empty tokens filtered.
+TOKENIZER_TAG = "ws_split_filter_v2"
+
+
 def tokenize(col: Column | str) -> Column:
-    """Whitespace tokenization → array<string>; empty text → empty array."""
+    """Whitespace tokenization → array<string>; empty or
+    whitespace-only text → empty array; NULL → NULL.
+
+    Empty strings are FILTERED, not trimmed away: ``trim`` strips
+    only spaces (0x20) while the split class covers
+    tab/newline/\\x0B/\\f/\\r, so ``'doc text\\n'`` used to tokenize
+    to a phantom third ``''`` token — shifting token counts, TTR and
+    shingle sets, and giving trailing-newline near-duplicates
+    (ubiquitous in crawls) divergent MinHash signatures (r16 review;
+    the DuckDB twin ``SQL_TOKENS`` shared the bug, so parity never
+    caught it)."""
     col = F.col(col) if isinstance(col, str) else col
-    trimmed = F.trim(col)
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"[ \t\n\x0B\f\r]+")
+    return F.filter(
+        F.split(col, r"[ \t\n\x0B\f\r]+"), lambda t: t != F.lit("")
     )
 
 
@@ -120,13 +150,14 @@ def md5_long_sql(expr: str, seed: int | None = None) -> str:
 # duplicate of the İ/ς case-folding fragment that the next pin added
 # here would silently have missed).
 #
-# Blank-text guard: DuckDB's string_split_regex('') yields [''] (one
-# empty token) while Spark's tokenize('') yields [] — every oracle
-# token count would diverge on a blank/whitespace-only doc without
-# the CASE. Parenthesized so call sites can slice/index it directly.
+# Empty tokens are FILTERED like the Spark side (boundary whitespace
+# keeps split's empty strings; trim only strips 0x20 — see tokenize):
+# blank and whitespace-only docs yield [], NULL yields NULL, and no
+# phantom '' token ever enters a count/shingle/stopword expression.
+# Parenthesized so call sites can slice/index it directly.
 SQL_TOKENS = (
-    "(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
-    "ELSE string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') END)"
+    "(list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),"
+    " t -> t <> ''))"
 )
 # same İ/ς case-folding pins as normalize_text
 SQL_NORM_TEXT = (
@@ -137,10 +168,20 @@ SQL_FINGERPRINT = md5_long_sql(SQL_NORM_TEXT)
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Fraction of non-space characters that are punctuation/symbols."""
+    """Fraction of non-space characters that are punctuation/symbols.
+
+    Unicode letter/number/mark classes (\\p{L}\\p{N}\\p{M} — same
+    single-letter general categories in Java and RE2), not
+    [A-Za-z0-9]: the ASCII class counted every CJK/Cyrillic/accented
+    character as "punctuation", so any punct_ratio quality threshold
+    flagged ALL non-ASCII-language docs as garbage (r16 review; the
+    module ships zh stopword lists, so non-English text is
+    in-model)."""
     col = F.col(col) if isinstance(col, str) else col
     nonspace = F.length(F.regexp_replace(col, r"[ \t\n\x0B\f\r]", ""))
-    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9 \t\n\x0B\f\r]", ""))
+    punct = F.length(
+        F.regexp_replace(col, r"[\p{L}\p{N}\p{M} \t\n\x0B\f\r]", "")
+    )
     return F.when(nonspace > 0, punct / nonspace).otherwise(F.lit(0.0))
 
 
@@ -159,7 +200,14 @@ def stopword_hits(
         raise ValueError("pass exactly one of lang or words")
     ws = LANG_STOPWORDS[lang] if lang is not None else words
     stops = F.array(*[F.lit(s) for s in ws])
-    return F.size(F.filter(tokens, lambda t: F.array_contains(stops, t)))
+    # case-folded match (İ/ς-pinned, same fold as normalize_text):
+    # the lists are lowercase-only, and callers pass tokens from RAW
+    # text, so sentence-initial 'The'/'Der'/'El' — the most frequent
+    # position for stopwords — never counted, skewing the language-ID
+    # argmax toward the alphabetical tie-break (r16 review)
+    return F.size(
+        F.filter(tokens, lambda t: F.array_contains(stops, fold_case(t)))
+    )
 
 
 def langid_scores(tokens: Column) -> Column:

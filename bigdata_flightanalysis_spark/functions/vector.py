@@ -15,10 +15,34 @@ from pyspark.sql import functions as F
 
 
 def dot_product(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    """Fails loud on a dimensionality mismatch: ``zip_with`` pads the
+    shorter vector with NULLs, which poisons the fold to NULL — a
+    result indistinguishable from the documented zero-norm NULL, so a
+    shard embedded with a different model silently yielded zero
+    matches instead of an error (r16 review). The size check is two
+    O(1) length reads against the O(d) fold; NULL vectors pass
+    through (NULL similarity, the documented contract)."""
+    ok = (
+        a.isNull()
+        | b.isNull()
+        | (F.size(a) == F.size(b))
+    )
+    guard = F.assert_true(
+        ok,
+        F.concat(
+            F.lit("dot_product dimensionality mismatch: "),
+            F.size(a).cast("string"),
+            F.lit(" vs "),
+            F.size(b).cast("string"),
+        ),
+    )
+    return F.when(
+        guard.isNull(),
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
     )
 
 

@@ -161,6 +161,17 @@ def assign_components(
     ``node`` column (or joins on one) keeps it — drop-by-name on the
     bare ``node`` used to remove the caller's copy too."""
     key_col = F.col(key) if isinstance(key, str) else key
+    reserved = {"__cc_node", "__cc_label"} & set(df.columns)
+    if reserved:
+        # drop-by-name below would delete the caller's same-named
+        # column (drop('__cc_node') removes ALL columns of that name)
+        # and the __cc_label coalesce would be ambiguous — fail loud
+        # like the per_group_top_n/deduplicate_exact siblings
+        # (r16 review)
+        raise ValueError(
+            f"assign_components reserves columns {sorted(reserved)} — "
+            "rename them first"
+        )
     labels = cc.select(
         F.col("node").alias("__cc_node"),
         F.col("component").alias("__cc_label"),

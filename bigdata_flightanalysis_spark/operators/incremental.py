@@ -379,6 +379,7 @@ def incremental_near_dup_pairs(
         _band_frame,
         _signatures_of,
     )
+    from bigdata_flightanalysis_spark.functions.text import TOKENIZER_TAG
 
     # the store's buckets are a function of the signature scheme — a
     # band store from a different (n_perm, band_size) release would
@@ -388,7 +389,17 @@ def incremental_near_dup_pairs(
     _recover_store_dir(store_path)
     _check_store_meta(
         store_path,
-        {"scheme": "minhash", "n_perm": N_PERM, "band_size": BAND_SIZE},
+        {
+            "scheme": "minhash",
+            "n_perm": N_PERM,
+            "band_size": BAND_SIZE,
+            # signatures are shingles of tokenize() output, so the
+            # store layout is ALSO a function of the tokenizer
+            # version (r16: v2 filters boundary empty tokens) —
+            # probing a v1-built store with v2 signatures silently
+            # misses whitespace-edged near-dups
+            "tokenizer": TOKENIZER_TAG,
+        },
         legacy_check=lambda: _legacy_band_store_check(
             store_path, N_PERM, BAND_SIZE
         ),
@@ -432,7 +443,17 @@ def incremental_near_dup_pairs(
     to_append.write.mode("append").parquet(store_path)
     _record_store_meta(
         store_path,
-        {"scheme": "minhash", "n_perm": N_PERM, "band_size": BAND_SIZE},
+        {
+            "scheme": "minhash",
+            "n_perm": N_PERM,
+            "band_size": BAND_SIZE,
+            # signatures are shingles of tokenize() output, so the
+            # store layout is ALSO a function of the tokenizer
+            # version (r16: v2 filters boundary empty tokens) —
+            # probing a v1-built store with v2 signatures silently
+            # misses whitespace-edged near-dups
+            "tokenizer": TOKENIZER_TAG,
+        },
     )
     return pairs
 

@@ -36,9 +36,10 @@ ZORDER_BITS = 8
 
 
 def _qcol(c: str) -> Column:
-    """Column ref by EXACT name: backtick-quoted so a name containing
-    dots (or backticks) is not parsed as struct-field access."""
-    return F.col("`" + c.replace("`", "``") + "`")
+    """Column ref by EXACT name (``util.qident`` quoting rule)."""
+    from bigdata_flightanalysis_spark.util import qident
+
+    return F.col(qident(c))
 
 
 def _interleave(bucket_cols: list[Column], bits: int) -> Column:

@@ -57,9 +57,10 @@ def _render(expr: F.Column, dt: T.DataType) -> F.Column:
 
 
 def _qcol(c: str) -> F.Column:
-    """Column ref by EXACT name: backtick-quoted so a name containing
-    dots (or backticks) is not parsed as struct-field access."""
-    return F.col("`" + c.replace("`", "``") + "`")
+    """Column ref by EXACT name (``util.qident`` quoting rule)."""
+    from bigdata_flightanalysis_spark.util import qident
+
+    return F.col(qident(c))
 
 
 def profile_table(

@@ -13,20 +13,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_flightanalysis_spark.util import qident
 
-def approx_top_k_items(df: DataFrame, col: str, k: int) -> DataFrame:
+
+def approx_top_k_items(
+    df: DataFrame, col: str, k: int, *, max_items_tracked: int | None = None
+) -> DataFrame:
     """Heavy hitters via ``approx_top_k`` (space-saving style sketch):
     returns one row per item with its estimated count, sorted by
     (count DESC, item). EXACT whenever the column's cardinality is at
     most the sketch's tracked-item budget — Spark's default
     maxItemsTracked is 10000 regardless of k (verified via DESCRIBE
     FUNCTION on 4.1; raising k does NOT grow the budget, pass
-    maxItemsTracked explicitly to size it) — and the estimates
-    degrade gracefully past that, which is the regime a 100 TB
-    key-frequency scan actually runs in.
+    ``max_items_tracked`` explicitly to size it — r16 review: the
+    docstring demanded a parameter the signature didn't expose) —
+    and the estimates degrade gracefully past that, which is the
+    regime a 100 TB key-frequency scan actually runs in.
     """
+    budget = (
+        f", {int(max_items_tracked)}" if max_items_tracked is not None else ""
+    )
     pair = df.agg(
-        F.expr(f"approx_top_k(`{col.replace(chr(96), chr(96) * 2)}`, {int(k)})").alias("tk")
+        F.expr(f"approx_top_k({qident(col)}, {int(k)}{budget})").alias("tk")
     ).select(
         F.explode("tk").alias("e")
     )
@@ -51,7 +59,7 @@ def count_min_sketch_bytes(
     """
     row = df.agg(
         F.expr(
-            f"count_min_sketch(`{col.replace(chr(96), chr(96) * 2)}`,"
+            f"count_min_sketch({qident(col)},"
             f" {float(eps)}d, {float(confidence)}d, {int(seed)})"
         ).alias("cms")
     ).first()

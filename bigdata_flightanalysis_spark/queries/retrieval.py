@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_flightanalysis_spark.functions.text import (
+    TOKENIZER_TAG,
     md5_long,
     md5_long_sql,
     tokenize,
@@ -389,7 +390,12 @@ INDEX_TERM_BUCKETS = 64  # term-hash partition count for NEW index builds
 # verify it; changing `tokenize` requires bumping this tag (and
 # rebuilding indexes). Pre-stamp indexes (no meta / no tokenizer key)
 # predate the tag and are accepted as legacy.
-_INDEX_TOKENIZER = "ws_split_trim_v1"  # functions.text.tokenize
+# v2 (r16): tokenize filters boundary empty tokens instead of
+# trimming — whitespace-edged docs now yield different term sets, so
+# v1-built indexes are a different scheme. The tag lives beside
+# tokenize itself (functions.text.TOKENIZER_TAG) so a tokenizer
+# change cannot land without the stamps moving with it.
+_INDEX_TOKENIZER = TOKENIZER_TAG
 
 
 def _index_meta_path(index_path: str) -> str:

@@ -25,6 +25,7 @@ from bigdata_flightanalysis_spark.functions.text import (
     SQL_NORM_TEXT,
     SQL_TOKENS,
     punct_ratio,
+    sql_fold_case,
     simhash_from_votes,
     simhash_votes,
     token_count,
@@ -113,8 +114,11 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN CAST(len({_SQL_TOKENS}) AS DOUBLE)
                          / len(list_distinct({_SQL_TOKENS}))
                     ELSE 0.0 END AS repetition,
+               -- \\p{{L}}\\p{{N}}\\p{{M}} like the Spark side: the old
+               -- ASCII class scored every non-English char as
+               -- punctuation (r16 review)
                CASE WHEN length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g')) > 0
-                    THEN CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+                    THEN CAST(length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\p{{M}} \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                          / length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]', '', 'g'))
                     ELSE 0.0 END AS punct_ratio
         FROM documents
@@ -244,8 +248,13 @@ def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_hits(lang: str) -> str:
+    # case-folded like the Spark side's stopword_hits (r16 review:
+    # sentence-initial 'The'/'Der' never matched the lowercase lists)
     stops = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
-    return f"len(list_filter({_SQL_TOKENS}, t -> t IN ({stops})))"
+    return (
+        f"len(list_filter({_SQL_TOKENS},"
+        f" t -> {sql_fold_case('t')} IN ({stops})))"
+    )
 
 
 @register(

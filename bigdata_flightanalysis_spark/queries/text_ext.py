@@ -605,9 +605,13 @@ _STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def _sql_stopword_case() -> str:
+    # case-folded like stopword_hits (r16 review: sentence-initial
+    # 'The'/'Der' never matched the lowercase lists)
+    from bigdata_flightanalysis_spark.functions.text import sql_fold_case
+
     whens = " ".join(
-        "WHEN lang = '{}' THEN len(list_filter({}, t -> t IN ({})))".format(
-            lg, _SQL_TOKENS,
+        "WHEN lang = '{}' THEN len(list_filter({}, t -> {} IN ({})))".format(
+            lg, _SQL_TOKENS, sql_fold_case("t"),
             ", ".join(f"'{w}'" for w in ws),
         )
         for lg, ws in sorted(_STOPWORDS.items())

@@ -39,6 +39,15 @@ import os
 from collections.abc import Callable
 
 
+def qident(name: str) -> str:
+    """Backtick-quote an identifier for Spark SQL by EXACT name — a
+    name containing dots (or backticks) must not parse as
+    struct-field access. The ONE definition of the quoting rule
+    (layout/profile column refs and the sketch exprs all build on it;
+    r16 review: four inline copies)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def atomic_write_json(path: str, obj: dict) -> None:
     """Write ``obj`` as JSON at ``path`` so a crash at ANY point leaves
     either the previous state or the complete new file — never a

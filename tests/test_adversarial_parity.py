@@ -170,6 +170,13 @@ def edge_docs_dir(spark, tmp_path_factory):
         # NULL, 25) oracle yielded NULL/NULL vs Spark's ''/0 (r16
         # review — both now pinned)
         (7, None, "en", "s0", None),
+        # r16: CJK + accented text (punct_ratio's old ASCII class
+        # scored every non-English char as punctuation) and
+        # sentence-initial capitalized stopwords ('The' — the old
+        # case-sensitive match never counted them), plus trailing
+        # newline (the old tokenizer emitted a phantom '' token)
+        (8, "中文 文本 测试。", "zh", "s1", 8),
+        (9, "The naïve café. The end.\n", "en", "s0", 25),
     ]
     base = tmp_path_factory.mktemp("edge_docs")
     spark.createDataFrame(rows, _DOC_SCHEMA).write.mode("overwrite").parquet(

@@ -103,3 +103,27 @@ def test_sketch_helpers_escape_awkward_column_names(spark):
     top = approx_top_k_items(df, "event type", 2).collect()
     assert [(r["item"], r["est_count"]) for r in top] == [("a", 2), ("b", 1)]
     assert len(count_min_sketch_bytes(df, "event type")) > 0
+
+
+def test_approx_top_k_budget_parameter(spark):
+    """max_items_tracked reaches the sketch (r16 review: the docstring
+    demanded a parameter the signature didn't expose). With a budget
+    >= cardinality the counts are exact even when the default k-only
+    call would sit inside its 10000 budget anyway — so assert the
+    parameter at least round-trips and matches the exact counts."""
+    from bigdata_flightanalysis_spark.operators.sketches import (
+        approx_top_k_items,
+    )
+
+    df = spark.range(1000).select((F.col("id") % 7).alias("k"))
+    got = {
+        r["item"]: r["est_count"]
+        for r in approx_top_k_items(
+            df, "k", 7, max_items_tracked=100
+        ).collect()
+    }
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exact

@@ -317,3 +317,23 @@ def test_assign_components_preserves_callers_node_column(spark):
     out2 = assign_components(df2, "node", cc)
     assert out2.columns == ["node", "component"]
     assert {r["node"]: r["component"] for r in out2.collect()} == {2: 1, 9: 9}
+
+
+def test_assign_components_rejects_reserved_columns(spark):
+    """A df already carrying __cc_node/__cc_label would be silently
+    clobbered (drop-by-name) or die with an ambiguous-reference error
+    mid-pipeline — fail loud up front like the relational siblings
+    (r16 review)."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.operators.graph import (
+        assign_components,
+    )
+
+    cc = spark.createDataFrame([(1, 1)], "node bigint, component bigint")
+    for bad in ("__cc_node", "__cc_label"):
+        df = spark.createDataFrame(
+            [(1, "x")], f"doc_id bigint, {bad} string"
+        )
+        with pytest.raises(ValueError, match="assign_components"):
+            assign_components(df, "doc_id", cc)

@@ -154,3 +154,30 @@ def test_kmeans_clusters_frame_detail(spark):
     n_total = read_table(spark, SF, "embeddings").count()
     assert sum(n for _, n in a) == n_total
     assert all(0 <= c < 8 and n > 0 for c, n in a)
+
+
+def test_dot_product_dimension_mismatch_fails_loud(spark):
+    """zip_with pads the shorter vector with NULLs, poisoning the fold
+    to a NULL indistinguishable from the zero-norm NULL — a shard
+    embedded with a different model silently yielded zero matches
+    (r16 review). Mismatch now raises; NULL vectors still pass
+    through as NULL."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from bigdata_flightanalysis_spark.functions.vector import dot_product
+
+    ok = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0]), (None, [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    rows = ok.select(dot_product(F.col("a"), F.col("b")).alias("d")).collect()
+    assert rows[0]["d"] == 11.0
+    assert rows[1]["d"] is None
+
+    bad = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [1.0, 1.0])], "a array<double>, b array<double>"
+    )
+    with pytest.raises(Exception, match="dimensionality mismatch"):
+        bad.select(dot_product(F.col("a"), F.col("b")).alias("d")).collect()

@@ -597,7 +597,9 @@ def test_index_rejects_foreign_tokenizer_scheme(spark, tmp_path):
     meta_path = os.path.join(idx, "_index_meta.json")
     with open(meta_path, encoding="utf-8") as f:
         meta = json.load(f)
-    assert meta["tokenizer"] == "ws_split_trim_v1"
+    from bigdata_flightanalysis_spark.functions.text import TOKENIZER_TAG
+
+    assert meta["tokenizer"] == TOKENIZER_TAG
 
     # legacy index: bucket modulus but no tokenizer stamp → accepted
     with open(meta_path, "w", encoding="utf-8") as f:
@@ -678,9 +680,11 @@ def test_refresh_created_index_is_stamped(spark, tmp_path):
     refresh_text_index(spark, docs, idx)
     with open(os.path.join(idx, "_index_meta.json"), encoding="utf-8") as f:
         meta = json.load(f)
+    from bigdata_flightanalysis_spark.functions.text import TOKENIZER_TAG
+
     assert meta == {
         "n_buckets": INDEX_TERM_BUCKETS,
-        "tokenizer": "ws_split_trim_v1",
+        "tokenizer": TOKENIZER_TAG,
     }
 
 

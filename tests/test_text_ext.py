@@ -210,3 +210,76 @@ def test_clean_normalize_fuzzed_engine_parity(spark, tmp_path):
         assert got == want
 
     prop()
+
+
+def test_tokenize_semantics_no_phantom_boundary_tokens(spark):
+    """SEMANTIC contract (not just engine parity — both engines shared
+    the bug, so parity never caught it): boundary whitespace yields no
+    phantom '' tokens, blank/whitespace-only docs yield [], NULL
+    propagates (r16 review)."""
+    from bigdata_flightanalysis_spark.functions.text import tokenize
+
+    df = spark.createDataFrame(
+        [
+            (1, "doc text\n"),
+            (2, "\t\t"),
+            (3, ""),
+            (4, None),
+            (5, "  leading and trailing \r\n"),
+            (6, "plain"),
+        ],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: r["toks"]
+        for r in df.select("id", tokenize("text").alias("toks")).collect()
+    }
+    assert out[1] == ["doc", "text"]
+    assert out[2] == []
+    assert out[3] == []
+    assert out[4] is None
+    assert out[5] == ["leading", "and", "trailing"]
+    assert out[6] == ["plain"]
+
+
+def test_punct_ratio_unicode_letters_not_punctuation(spark):
+    """punct_ratio must not score CJK/accented letters as punctuation
+    (r16 review: the ASCII class flagged every non-English doc)."""
+    from bigdata_flightanalysis_spark.functions.text import punct_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "中文 文本 测试"),     # pure CJK: 0 punctuation
+            (2, "naïve café"),          # accented latin: 0
+            (3, "!!! ???"),             # pure punctuation: 1.0
+            (4, "ab, cd."),             # 2 of 6 non-space chars
+        ],
+        "id int, text string",
+    )
+    out = {
+        r["id"]: r["pr"]
+        for r in df.select("id", punct_ratio("text").alias("pr")).collect()
+    }
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+    assert out[3] == 1.0
+    assert abs(out[4] - 2 / 6) < 1e-12
+
+
+def test_stopword_hits_case_folded(spark):
+    """Sentence-initial capitalized stopwords must count (r16 review:
+    'The' — the most frequent position — never matched the lowercase
+    lists, skewing doc_langid toward the alphabetical tie-break)."""
+    from bigdata_flightanalysis_spark.functions.text import (
+        stopword_hits,
+        tokenize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran. And so on.")], "id int, text string"
+    )
+    n = df.select(
+        stopword_hits(tokenize("text"), "en").alias("n")
+    ).collect()[0]["n"]
+    # 'The' x2 (case-folded) + 'And'? 'and' is in the en list -> 3
+    assert n == 3
