@@ -284,7 +284,25 @@ def fsck_tree(root: str, heal: bool = True) -> list[dict]:
     findings: list[dict] = []
     if _is_index_root(root):
         return _fsck_index(root, heal)
-    for parent, dirnames, files in os.walk(root, topdown=True):
+
+    def _walk_error(exc: OSError) -> None:
+        # an unreadable subtree must surface as an unhealed finding,
+        # not be silently skipped by os.walk's default onerror=None —
+        # residue behind a permission wall used to report "0 findings,
+        # exit 0" (r16 review; same degrade-don't-die rule as the
+        # per-layout heal)
+        findings.append(
+            _finding(
+                getattr(exc, "filename", None) or root,
+                f"walk failed: {exc}",
+                "fix permissions and re-run",
+                False,
+            )
+        )
+
+    for parent, dirnames, files in os.walk(
+        root, topdown=True, onerror=_walk_error
+    ):
         # snapshot parent's full listing from the walk's own data BEFORE
         # pruning dirnames in place — this is the same name set a fresh
         # listdir would give (modulo live-writer races), without the

@@ -67,6 +67,19 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     args = parser.parse_args(argv)
     registry = load_all()
+    if args.name not in registry:
+        # usage error BEFORE the Spark spin-up, with suggestions —
+        # not a bare KeyError traceback after a 6s session build
+        # (r16 review)
+        import difflib
+
+        close = difflib.get_close_matches(args.name, registry, n=5)
+        hint = f"; did you mean: {', '.join(close)}?" if close else ""
+        parser.error(
+            f"unknown query {args.name!r}{hint} "
+            f"({len(registry)} registered — list them via "
+            "`python -m bigdata_flightanalysis_spark list`)"
+        )
     spark = get_session("plan-introspect")
     df = registry[args.name].fn(spark, args.sf_dir)
     print(formatted_explain(df))

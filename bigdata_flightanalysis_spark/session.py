@@ -64,23 +64,39 @@ def get_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    from pyspark.sql import SparkSession as _SS
+
+    pre_existing = _SS.getActiveSession()
     spark = builder.getOrCreate()
     # getOrCreate with an ALREADY-ACTIVE session applies only
     # runtime-modifiable SQL confs and silently keeps the existing
     # master/static settings — a caller asking for different cores (or
     # a static extra_conf) would otherwise assert against a session
-    # configured by someone else without any signal.
-    actual_master = spark.sparkContext.master
-    if actual_master != f"local[{cores}]":
-        import warnings
+    # configured by someone else without any signal. The check
+    # compares EVERY requested extra_conf against the reused session's
+    # runtime value, not just the master: a same-master reuse that
+    # dropped a static conf used to stay silent (r16 review).
+    if pre_existing is not None and pre_existing is spark:
+        missed = []
+        actual_master = spark.sparkContext.master
+        if actual_master != f"local[{cores}]":
+            missed.append(f"master local[{cores}] (got {actual_master!r})")
+        for k, v in (extra_conf or {}).items():
+            try:
+                cur = spark.conf.get(k)
+            except Exception:
+                cur = None
+            if cur != str(v):
+                missed.append(f"{k}={v!r} (got {cur!r})")
+        if missed:
+            import warnings
 
-        warnings.warn(
-            f"get_session reused an active SparkSession with master "
-            f"{actual_master!r}; the requested local[{cores}] (and any "
-            "static confs) were NOT applied",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+            warnings.warn(
+                "get_session reused an active SparkSession; these "
+                f"requested settings were NOT applied: {missed}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     spark.sparkContext.setLogLevel("WARN")
     # Env contract: record the runtime version at session build so env
     # drift (e.g. a Spark major bump changing parquet timestamp

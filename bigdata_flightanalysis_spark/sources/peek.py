@@ -11,20 +11,32 @@ import argparse
 import os
 
 
+#: write_csv with any codec option appends the codec suffix AFTER
+#: .csv — a .csv.gz dir used to route to the parquet reader and die
+#: on a missing footer (r16 review)
+_CSV_SUFFIXES = (
+    ".csv", ".csv.gz", ".csv.bz2", ".csv.zst", ".csv.snappy",
+    ".csv.deflate", ".csv.lz4",
+)
+
+
 def _is_csv(path: str) -> bool:
-    """CSV detection for the peek CLI: case-insensitive suffix, or a
-    directory whose data files are CSVs (the engine's own write_csv
-    sink layout) — a bare lowercase-suffix check fed CSV dirs and
-    ``.CSV`` files to the parquet reader."""
-    if path.lower().rstrip("/").endswith(".csv"):
+    """CSV detection for the peek CLI: case-insensitive suffix
+    (compressed variants included), or a directory whose data files —
+    at any depth, so hive-partitioned ``col=value`` CSV layouts count
+    — are all CSVs (the engine's own write_csv sink layouts). A bare
+    lowercase-``.csv`` check fed CSV dirs, ``.CSV`` files, ``.csv.gz``
+    codecs and partitioned layouts to the parquet reader."""
+    if path.lower().rstrip("/").endswith(_CSV_SUFFIXES):
         return True
     if os.path.isdir(path):
-        try:
-            entries = os.listdir(path)
-        except OSError:
-            return False
-        data = [e for e in entries if not e.startswith(("_", "."))]
-        return bool(data) and all(e.lower().endswith(".csv") for e in data)
+        found: list[str] = []
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            found += [f for f in files if not f.startswith(("_", "."))]
+        return bool(found) and all(
+            f.lower().endswith(_CSV_SUFFIXES) for f in found
+        )
     return False
 
 

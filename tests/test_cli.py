@@ -57,3 +57,16 @@ def test_cli_rejects_half_specified_csv_pair(tmp_path):
             "--csv-2019", "/nonexistent/2019.csv",
             "--csv-2023", "/nonexistent/2023.csv",
         ])
+
+
+def test_introspect_cli_unknown_query_is_usage_error():
+    """An unknown name must exit with a usage error + suggestions
+    BEFORE the Spark spin-up, not a bare KeyError traceback after it
+    (r16 review)."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.plans import introspect
+
+    with pytest.raises(SystemExit) as exc:
+        introspect.main(["doc_bm25_topk_typo"])
+    assert exc.value.code == 2

@@ -69,3 +69,24 @@ def test_normalize_event_ts_bigint_branch(spark):
     out = normalize_event_ts(df)
     assert dict(out.dtypes)["ts"] == "timestamp"
     assert out.select(F.unix_micros("ts").alias("us")).first()["us"] == ns // 1000
+
+
+def test_get_session_warns_on_dropped_static_conf(spark):
+    """A same-master reuse that silently drops a requested STATIC conf
+    must warn — the old check only compared masters (r16 review)."""
+    import warnings
+
+    import pytest
+
+    from bigdata_flightanalysis_spark.session import get_session
+
+    with pytest.warns(RuntimeWarning, match="NOT applied"):
+        get_session(
+            "reuse-probe",
+            extra_conf={"spark.sql.extensions": "com.example.NoSuchExt"},
+        )
+    # a reuse whose requests all match the live session stays silent
+    live_cores = int(spark.sparkContext.master.split("[")[1].rstrip("]"))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        get_session("reuse-probe-clean", cores=live_cores)

@@ -548,3 +548,31 @@ def test_fsck_removes_file_shaped_index_residue(tmp_path):
     assert not os.path.lexists(f"{root}/doc_stats.staging")
     # second run: clean, no recurring findings
     assert fsck.fsck_tree(root, heal=True) == []
+
+
+def test_fsck_reports_unreadable_subtree_as_finding(tmp_path, monkeypatch):
+    """An unreadable subtree must surface as an unhealed finding, not
+    vanish behind os.walk's default onerror=None — residue behind a
+    permission wall used to report '0 findings, exit 0' (r16 review).
+    Simulated via a scandir that raises for one subdir (the suite runs
+    as root, so a real chmod 000 would not block the walk)."""
+    import os
+
+    from bigdata_flightanalysis_spark.fsck import fsck_tree
+
+    blocked = tmp_path / "blocked"
+    blocked.mkdir()
+    (blocked / "store.old").mkdir()
+
+    real_scandir = os.scandir
+
+    def deny(path=".", *a, **k):
+        if os.path.abspath(str(path)) == str(blocked):
+            raise PermissionError(13, "Permission denied", str(blocked))
+        return real_scandir(path, *a, **k)
+
+    monkeypatch.setattr(os, "scandir", deny)
+    findings = fsck_tree(str(tmp_path), heal=False)
+    assert any(
+        "walk failed" in f["issue"] and not f["healed"] for f in findings
+    ), findings

@@ -456,3 +456,127 @@ def test_checkpoint_scope_nested_cycles_do_not_leak(spark, tmp_path):
                 pass
         sizes.append(len(_USER_DIR_FOR))
     assert len(set(sizes)) == 1 and sizes[-1] <= 3, sizes
+
+
+def test_compact_parquet_remote_src_requires_explicit_n_files(spark, tmp_path):
+    """A non-local/URI src walks to total=0 and used to silently
+    compact the whole dataset through ONE task — now a named error
+    unless n_files is passed (r16 review)."""
+    import pytest
+
+    from bigdata_flightanalysis_spark.sources.writers import compact_parquet
+
+    with pytest.raises(ValueError, match="n_files"):
+        compact_parquet(spark, "s3a://bucket/ds", str(tmp_path / "d"))
+    # a file: URI of a real local dataset also fails the isdir check
+    src = str(tmp_path / "src")
+    spark.range(10).write.parquet(src)
+    with pytest.raises(ValueError, match="n_files"):
+        compact_parquet(spark, "file:" + src, str(tmp_path / "d2"))
+    # explicit n_files unblocks the URI form
+    n = compact_parquet(
+        spark, "file:" + src, str(tmp_path / "d3"), n_files=2
+    )
+    assert n == 2
+    assert spark.read.parquet(str(tmp_path / "d3")).count() == 10
+
+
+def test_compact_parquet_ignores_hidden_dir_bytes(spark, tmp_path):
+    """Bytes under _temporary/.staging subtrees are invisible to the
+    parquet reader and must not inflate the sizing walk (a crashed
+    write's leftover copy used to halve every output file size, r16
+    review)."""
+    import os
+    import shutil
+
+    from bigdata_flightanalysis_spark.sources.writers import compact_parquet
+
+    src = str(tmp_path / "src")
+    li = read_table(spark, SF, "lineitem")
+    li.repartition(16).write.parquet(src)
+    # plant a near-full hidden copy (a crashed write's residue)
+    shutil.copytree(src, os.path.join(src, "_temporary"))
+    total_visible = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if not f.startswith(("_", "."))
+        and os.path.isfile(os.path.join(src, f))
+    )
+    dst = str(tmp_path / "dst")
+    n = compact_parquet(
+        spark, src, dst, target_file_bytes=max(total_visible // 2, 1)
+    )
+    # sized from VISIBLE bytes only: ~2 files, not ~4
+    assert n <= 3, n
+    assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_compact_parquet_partitioned_respects_target_size(spark, tmp_path):
+    """The hive-partitioned rewrite must split a partition value into
+    multiple files when its bytes exceed the target — it used to
+    write exactly ONE file per value regardless (a 5 TB value became
+    a 5 TB file) and report the unmet target as the written count
+    (r16 review). The returned count is now the files actually
+    written."""
+    import os
+
+    from bigdata_flightanalysis_spark.sources.writers import (
+        compact_parquet,
+        write_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.range(40_000).selectExpr(
+        "id", "CAST(id AS STRING) AS pad", "CAST(id % 2 AS STRING) AS region"
+    )
+    write_parquet(df, src, partition_by=["region"])
+    total = 0
+    for root, dirs, files in os.walk(src):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    dst = str(tmp_path / "dst")
+    # target 1/8 of total over 2 leaf dirs -> ~4 files per value
+    n = compact_parquet(spark, src, dst, target_file_bytes=max(total // 8, 1))
+    per_value_files = {
+        e: sum(
+            1
+            for f in os.listdir(os.path.join(dst, e))
+            if not f.startswith(("_", "."))
+        )
+        for e in os.listdir(dst)
+        if e.startswith("region=")
+    }
+    assert len(per_value_files) == 2
+    assert all(k >= 2 for k in per_value_files.values()), per_value_files
+    assert n == sum(per_value_files.values())
+    assert spark.read.parquet(dst).count() == 40_000
+
+
+def test_peek_csv_detection_covers_codecs_and_partitions(tmp_path):
+    """_is_csv must route compressed (.csv.gz) and hive-partitioned
+    CSV layouts to the CSV reader — they used to fall through to the
+    parquet reader and die on a missing footer (r16 review)."""
+    import os
+
+    from bigdata_flightanalysis_spark.sources.peek import _is_csv
+
+    gz = tmp_path / "gzdir"
+    gz.mkdir()
+    (gz / "part-00000.csv.gz").write_bytes(b"x")
+    (gz / "_SUCCESS").write_bytes(b"")
+    assert _is_csv(str(gz))
+
+    part = tmp_path / "partdir"
+    (part / "region=EU").mkdir(parents=True)
+    (part / "region=EU" / "part-0.csv").write_text("a,b\n1,2\n")
+    assert _is_csv(str(part))
+
+    assert _is_csv(str(tmp_path / "UPPER.CSV.GZ"))
+    pq = tmp_path / "pqdir"
+    pq.mkdir()
+    (pq / "part-0.parquet").write_bytes(b"x")
+    assert not _is_csv(str(pq))
