@@ -182,9 +182,15 @@ def emit_detail(full: dict, detail_path: str) -> None:
             )
         )
     try:
-        with open(detail_path, "w", encoding="utf-8") as f:
-            json.dump(full, f, indent=1, default=str)
-            f.write("\n")
+        # absent-or-complete (util.atomic_write_json): this file is
+        # committed per round and read back via rev:path by
+        # bench_compare — a mid-dump ENOSPC/kill used to leave a
+        # truncated JSON in the worktree forever (r16 review)
+        from bigdata_flightanalysis_spark.util import atomic_write_json
+
+        atomic_write_json(
+            detail_path, full, indent=1, default=str, trailing_newline=True
+        )
     except (OSError, TypeError, ValueError) as exc:
         # a full disk / read-only checkout — or any serialization
         # failure default=str can't absorb (circular payload) — must

@@ -270,7 +270,11 @@ def corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("lang").cast("double").alias("n_langs"),
         F.count_distinct("source").cast("double").alias("n_sources"),
         F.count_distinct("fp").cast("double").alias("n_fp"),
-        F.sum((F.col("n_tokens") < 20).cast("long"))
+        # when/otherwise mirrors the oracle's CASE ... ELSE 0: on an
+        # all-NULL-text corpus the bare boolean cast sums NULL (SUM
+        # skips every row) while the oracle sums 0 — short_doc_ratio
+        # diverged NULL-vs-0.0 (r16 review)
+        F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0))
         .cast("double")
         .alias("n_short"),
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_tokens)")

@@ -405,7 +405,18 @@ def doc_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select((-F.col("best.neg_id")).alias("doc_id"))
     )
-    surv = docs.join(kept, "doc_id", "left_semi")
+    from bigdata_flightanalysis_spark.operators.checkpointing import (
+        eager_checkpoint,
+    )
+
+    # materialized ONCE: both alpha_keep_probs' aggregate and the
+    # final mixture join consume surv, and without the checkpoint the
+    # label join + survivor struct-max + semi-join (corpus-sized
+    # shuffles) execute twice per run (r16 review). The 3-column
+    # survivor frame is far cheaper to pin than to recompute —
+    # contrast doc_temperature_mixture_sample, where the re-scan is a
+    # column-pruned parquet read and stays UNpinned by design.
+    surv = eager_checkpoint(docs.join(kept, "doc_id", "left_semi"))
     kp = alpha_keep_probs(surv)
     return (
         surv.join(F.broadcast(kp), "lang")

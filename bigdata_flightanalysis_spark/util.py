@@ -48,12 +48,28 @@ def qident(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
-def atomic_write_json(path: str, obj: dict) -> None:
+# captured once at import (single-threaded): os.umask is get-and-set,
+# and a per-call get/set window would briefly zero the umask for
+# every other thread
+_UMASK = os.umask(0)
+os.umask(_UMASK)
+
+
+def atomic_write_json(
+    path: str,
+    obj: dict,
+    *,
+    indent: int | None = None,
+    default=None,
+    trailing_newline: bool = False,
+) -> None:
     """Write ``obj`` as JSON at ``path`` so a crash at ANY point leaves
     either the previous state or the complete new file — never a
     truncated one. The temp file lives next to the target (same dir ⇒
     same filesystem ⇒ ``os.rename`` is atomic and never falls back to
-    copy+delete)."""
+    copy+delete). ``indent``/``default``/``trailing_newline`` let
+    format-sensitive artifacts (the committed bench detail) keep their
+    byte layout."""
     import tempfile
 
     # a PRIVATE temp file (mkstemp), not a fixed sibling name: two
@@ -64,9 +80,16 @@ def atomic_write_json(path: str, obj: dict) -> None:
         dir=os.path.dirname(path) or ".",
         prefix=os.path.basename(path) + ".tmp.",
     )
+    # mkstemp hard-codes 0600 (ignores umask by design): a sidecar
+    # stamped by one account would be unreadable to a group reader
+    # whose parquet data files ARE readable — restore the mode a plain
+    # open(path, 'w') would have produced (r16 review)
+    os.fchmod(fd, 0o666 & ~_UMASK)
     try:
         with os.fdopen(fd, "w", encoding="utf-8") as f:
-            json.dump(obj, f)
+            json.dump(obj, f, indent=indent, default=default)
+            if trailing_newline:
+                f.write("\n")
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
@@ -297,12 +320,15 @@ def remove_layout(path: str) -> None:
       holder's own still-open fd, and on non-POSIX hosts would drop
       in-process exclusion entirely.
     """
-    import shutil
-
     # same keying as path_lock — the eviction below must address the
     # exact registry entry (and lockfile inode) path_lock created
     key = os.path.realpath(path)
-    shutil.rmtree(key, ignore_errors=True)
+    # shape-proof removal (_remove_any): bare rmtree(ignore_errors)
+    # silently no-ops on a FILE-shaped slot, leaving the occupied path
+    # behind while the lockfile and registry entry are cleaned — the
+    # next build then dies on NotADirectoryError (r16 review; the
+    # same trap _remove_any was written to fix for .old residue)
+    _remove_any(key)
     # When ``path`` itself is a symlink, the rmtree above removed its
     # TARGET tree but left the now-dangling link behind — a later
     # recreate through the same spelling would then fail (mkdir/write

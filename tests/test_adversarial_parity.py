@@ -660,3 +660,35 @@ def test_bigmoney_decimal_edges_match_oracle(
     name, spark, edge_bigmoney_dir, edge_bigmoney_duck
 ):
     _compare(name, spark, edge_bigmoney_dir, edge_bigmoney_duck)
+
+
+# ---------------------------------------------------------------------------
+# r16 all-NULL-text corpus: Spark's SUM over a bare boolean cast skips
+# every NULL row and returns NULL while the oracle's CASE...ELSE 0
+# returns 0 — corpus_card's short_doc_ratio diverged NULL-vs-0.0 (the
+# mixed fixture above never hits it: one non-NULL row anchors the sum).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def edge_all_null_docs_dir(spark, tmp_path_factory):
+    rows = [(i, None, "en", "s0", None) for i in range(1, 6)]
+    base = tmp_path_factory.mktemp("edge_all_null_docs")
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.mode("overwrite").parquet(
+        f"{base}/documents.parquet"
+    )
+    return str(base)
+
+
+def test_corpus_card_all_null_text_matches_oracle(
+    spark, edge_all_null_docs_dir
+):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{edge_all_null_docs_dir}/documents.parquet/*.parquet'"
+    )
+    try:
+        _compare("corpus_card", spark, edge_all_null_docs_dir, con)
+    finally:
+        con.close()

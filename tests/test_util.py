@@ -442,3 +442,53 @@ def test_recover_layout_does_not_restore_file_shaped_old(tmp_path):
     recover_layout(str(tmp_path / "other"))
     assert os.path.isdir(tmp_path / "other")
     assert not os.path.lexists(d)
+
+
+def test_remove_layout_clears_file_shaped_slot(tmp_path):
+    """A layout slot occupied by a stray FILE must be removed too —
+    bare rmtree(ignore_errors=True) silently no-ops on a file while
+    the lockfile and registry entry ARE cleaned, so the next build
+    died on NotADirectoryError (r16 review; same class as the fsck
+    file-shaped .old)."""
+    import os
+
+    from bigdata_flightanalysis_spark.util import path_lock, remove_layout
+
+    slot = tmp_path / "store"
+    slot.write_text("not a directory")
+    with path_lock(str(slot)):
+        pass
+    remove_layout(str(slot))
+    assert not slot.exists()
+    assert not os.path.exists(str(slot) + ".lock")
+
+
+def test_atomic_write_json_honors_umask_and_format(tmp_path):
+    """Sidecars must carry the mode a plain open(path,'w') would give
+    (mkstemp hard-codes 0600 — a group reader of the store's parquet
+    could not read its meta sidecar, r16 review), and the
+    indent/trailing-newline options must reproduce the committed
+    bench-detail byte format."""
+    import json
+    import os
+
+    from bigdata_flightanalysis_spark.util import atomic_write_json
+
+    old = os.umask(0o022)
+    try:
+        p = tmp_path / "meta.json"
+        atomic_write_json(str(p), {"a": 1})
+        # util captures umask at import; assert at least group/other
+        # read unless the import-time umask stripped it
+        from bigdata_flightanalysis_spark.util import _UMASK
+
+        expect = 0o666 & ~_UMASK
+        assert (os.stat(p).st_mode & 0o777) == expect
+    finally:
+        os.umask(old)
+
+    q = tmp_path / "detail.json"
+    obj = {"queries": {"q1": 1.25}, "metric": "x"}
+    atomic_write_json(str(q), obj, indent=1, default=str, trailing_newline=True)
+    raw = q.read_text()
+    assert raw == json.dumps(obj, indent=1, default=str) + "\n"
