@@ -47,10 +47,16 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
         if a != b:
-            first = next(
-                (str((x, y)) for x, y in zip(a[1], b[1]) if x != y),
-                f"row counts {len(a[1])} vs {len(b[1])}",
-            )
+            # columns first: two runs differing only in the column
+            # list used to report 'row counts N vs N' with EQUAL
+            # numbers — no visible difference at all (r16 review)
+            if a[0] != b[0]:
+                first = f"columns {a[0]} vs {b[0]}"
+            else:
+                first = next(
+                    (str((x, y)) for x, y in zip(a[1], b[1]) if x != y),
+                    f"row counts {len(a[1])} vs {len(b[1])}",
+                )
             unstable[name] = first[:300]
     out = {
         "sf_dir": sf_dir,

@@ -50,11 +50,19 @@ spark = (
 )
 try:
     df = __spark_entry__.entry(spark)
-    n = df.count()
+    # collect(), not count(): count() lets Catalyst PRUNE the final
+    # projection, so an expression that throws only at evaluation
+    # (ANSI cast, UDF error) would pass the smoke and fail the
+    # driver's collect-based gate — the same trap
+    # verify_driver_surface.py documents (r16 review)
+    rows = df.collect()
+    n = len(rows)
     cols = len(df.columns)
 finally:
     spark.stop()
-assert n > 0 and cols > 0, (n, cols)
+# explicit raise, not assert: assert is stripped under python -O
+if not (n > 0 and cols > 0):
+    raise SystemExit(f"entry() returned {n} rows x {cols} cols")
 print(f"entry(): {n} rows x {cols} cols")
 """
 
@@ -76,13 +84,11 @@ def _run(step: str, cmd: list[str], cwd: str, ok_if=None) -> None:
 def _stale_is_healthy(rc: int, out: str) -> bool:
     """Round-end state: the staged round's CORRECTNESS file has landed
     but the next restage hasn't happened yet. stage_rotation --check
-    exits 1 with a STALE diagnosis there — a healthy committed tree at
-    exactly the smoke's intended usage time (mirrors
-    test_check_on_live_repo_is_never_wrong, which accepts the same).
-    Only the WRONG diagnosis is a real staging failure."""
-    return rc == 1 and (
-        "STALE, not wrong" in out or "likely STALE" in out
-    ) and "staging looks WRONG" not in out
+    exits 3 (a machine contract, r16 review — the old prose-substring
+    sniffing broke on any message rewording) with a STALE diagnosis
+    there — a healthy committed tree at exactly the smoke's intended
+    usage time. WRONG staging exits 4 and fails the smoke."""
+    return rc == 3
 
 
 def main() -> None:

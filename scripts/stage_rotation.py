@@ -366,10 +366,33 @@ def newest_rounds(
             continue
         rnd = int(m.group(1))
         with open(f, encoding="utf-8") as fh:
-            names = set(json.load(fh))
+            payload = json.load(fh)
+        names = set(payload)
+        # Only a PASSING row advances a query's newest round: a
+        # failed/errored driver row used to stamp the query "freshly
+        # verified", pushing a KNOWN-FAILING query to the back of the
+        # staleness queue for ~3 rounds (r16 review). A failed row
+        # leaves the query at its previous age — maximally stale,
+        # re-entering the window at the next restage.
         for name in names:
-            newest[name] = max(newest.get(name, 0), rnd)
+            row = payload[name] if isinstance(payload, dict) else None
+            ok = (
+                not isinstance(row, dict)  # legacy bare-list shape
+                or (
+                    not row.get("err")
+                    and all(
+                        bool(v)
+                        for k, v in row.items()
+                        if k.endswith("_match")
+                    )
+                )
+            )
+            if ok:
+                newest[name] = max(newest.get(name, 0), rnd)
         if not rounds or rnd > max(rounds):
+            # the newest FILE's full name set (incl. failures) — this
+            # describes what the driver last LOOKED AT, which is what
+            # the stale-vs-wrong diagnosis needs
             newest_names = names
         rounds.append(rnd)
     return newest, sorted(rounds), newest_names
@@ -393,7 +416,9 @@ def main() -> None:
         "this script's recommendation instead of printing a staging: "
         "exit 0 if the first --window names are exactly the computed "
         "set (order within the window is irrelevant — the driver "
-        "checks all of it), 1 with a diff otherwise. The check is "
+        "checks all of it); 3 when the mismatch is (likely) STALE "
+        "staging — old but healthy round-end state; 4 with a diff "
+        "when the staging looks WRONG. The check is "
         "only meaningful AFTER restaging for the upcoming round and "
         "BEFORE that round's CORRECTNESS_r*.json lands. A flagless "
         "--check replays the committed STAGED_CHANGED constant (the "
@@ -490,7 +515,7 @@ def main() -> None:
                 f"since it was staged. Restage for the next round, then "
                 f"re-run --check."
             )
-            raise SystemExit(1)
+            raise SystemExit(3)
         if verdict == "LIKELY_STALE":
             # the driver verified a slightly different set than was
             # staged (a query renamed mid-round, a 49/51-row window) —
@@ -505,7 +530,7 @@ def main() -> None:
                 f"{sym}). Restage for the next round, then re-run "
                 f"--check."
             )
-            raise SystemExit(1)
+            raise SystemExit(3)
         missing = sorted(set(window) - set(staged))
         extra = sorted(set(staged) - set(window))
         if missing:
@@ -522,7 +547,7 @@ def main() -> None:
             f"{verified_note} — staging looks WRONG (or --changed flags "
             "differ from the ones used to stage)"
         )
-        raise SystemExit(1)
+        raise SystemExit(4)
 
     # stage the next-next round's leaders below the cut for the handoff
     below = [q for q in by_age if q not in window]

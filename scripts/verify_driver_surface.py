@@ -21,7 +21,6 @@ iteration on a new query); with none, the full registry runs.
 from __future__ import annotations
 
 import importlib
-import math
 import os
 import sys
 
@@ -32,12 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bigdata_flightanalysis_spark.schemas import TABLE_NAMES  # noqa: E402
 
 
-def _norm(v):
-    # NaN != NaN under tuple equality; both engines producing NaN must
-    # compare equal (same normalization as tests/test_oracle_parity.py)
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return v
+# the ONE canonicalization definition, shared with both parity test
+# suites (r16 review: three hand-rolled copies drifted independently)
+from bigdata_flightanalysis_spark.parity import rows_sorted  # noqa: E402
 
 
 def main() -> int:
@@ -71,31 +67,21 @@ def main() -> int:
     for name, sql in oracles.items():
         try:
             sdf = qs[name](spark, sf)
-            scols = sorted(sdf.columns)
-            srows = sorted(
-                [tuple(_norm(r[c]) for c in scols) for r in sdf.collect()],
-                key=repr,
-            )
+            cols = sdf.columns
+            srows = rows_sorted(cols, [tuple(r) for r in sdf.collect()])
             rel = con.execute(sql)
-            dcols = sorted(d[0] for d in rel.description)
-            if scols != dcols:
+            didx = [d[0] for d in rel.description]
+            if sorted(cols) != sorted(didx):
                 # both directions: a Spark column the oracle lacks AND
                 # an oracle-only extra column are schema mismatches the
                 # driver's gate would flag
                 bad.append(name)
-                print(f"MISMATCH {name}: columns {scols} vs {dcols}")
+                print(
+                    f"MISMATCH {name}: columns {sorted(cols)} vs "
+                    f"{sorted(didx)}"
+                )
                 continue
-            didx = [d[0] for d in rel.description]
-            # hoist the column-order lookup: list.index inside the
-            # per-row tuple was O(rows * cols^2)
-            order = [didx.index(c) for c in scols]
-            drows = sorted(
-                [
-                    tuple(_norm(r[i]) for i in order)
-                    for r in rel.fetchall()
-                ],
-                key=repr,
-            )
+            drows = rows_sorted(didx, rel.fetchall())
         except Exception as exc:  # noqa: BLE001 — one query, one report line
             bad.append(name)
             print(f"MISMATCH {name}: {type(exc).__name__}: {exc}"[:300])

@@ -8,7 +8,6 @@ quantile lands ON a tie run)."""
 
 from __future__ import annotations
 
-import math
 from datetime import datetime, timezone
 
 import duckdb
@@ -70,13 +69,11 @@ def adversarial_duck(adversarial_dir):
     con.close()
 
 
-def _norm(v):
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    return v
-
-
 def _compare(name, spark, sf_dir, duck):
+    # canonicalization shared with the full-registry parity sweep and
+    # the verify script (bigdata_flightanalysis_spark.parity)
+    from bigdata_flightanalysis_spark.parity import rows_sorted
+
     q = REGISTRY[name]
     sdf = q.fn(spark, sf_dir)
     scols = sdf.columns
@@ -86,10 +83,8 @@ def _compare(name, spark, sf_dir, duck):
     drows = rel.fetchall()
     assert sorted(scols) == sorted(dcols), name
     assert len(srows) == len(drows), (name, len(srows), len(drows))
-    sidx = sorted(range(len(scols)), key=lambda i: scols[i])
-    didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
-    a = sorted((tuple(_norm(r[i]) for i in sidx) for r in srows), key=repr)
-    b = sorted((tuple(_norm(r[i]) for i in didx) for r in drows), key=repr)
+    a = rows_sorted(scols, srows)
+    b = rows_sorted(dcols, drows)
     assert a == b, f"{name}: {[(x, y) for x, y in zip(a, b) if x != y][:3]}"
     return a
 

@@ -7,7 +7,6 @@ Runs at sf0.001 for speed; the driver re-checks at sf0.01.
 
 from __future__ import annotations
 
-import math
 
 import duckdb
 import pytest
@@ -31,18 +30,9 @@ def duck(sf_dir):
     con.close()
 
 
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
-
-
-def _rows_sorted(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm(r[i]) for i in idx) for r in rows]
-    return sorted(out, key=repr)
+# the ONE canonicalization definition (r16 review: three hand-rolled
+# copies used to drift independently)
+from bigdata_flightanalysis_spark.parity import rows_sorted as _rows_sorted
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)

@@ -69,7 +69,7 @@ def test_check_diagnoses_stale_staging(tmp_path):
     _write(tmp_path, "CORRECTNESS_r01.json", rest)
     _write(tmp_path, "CORRECTNESS_r02.json", staged)
     res = _run_check(tmp_path, "--no-staged-changed")
-    assert res.returncode == 1
+    assert res.returncode == 3  # machine contract: stale-but-healthy
     assert "STALE, not wrong" in res.stdout
     assert "round 2's just-verified window" in res.stdout
     assert "expected in window but not staged" not in res.stdout
@@ -85,7 +85,7 @@ def test_check_diagnoses_near_stale_staging(tmp_path):
     _write(tmp_path, "CORRECTNESS_r01.json", rest)
     _write(tmp_path, "CORRECTNESS_r02.json", staged + rest[:1])
     res = _run_check(tmp_path, "--no-staged-changed")
-    assert res.returncode == 1
+    assert res.returncode == 3  # machine contract: stale-but-healthy
     assert "likely STALE" in res.stdout
     assert rest[0] in res.stdout  # the symmetric difference is printed
     assert "staging looks WRONG" not in res.stdout
@@ -102,7 +102,7 @@ def test_check_diagnoses_wrong_staging(tmp_path):
     _write(tmp_path, "CORRECTNESS_r01.json", rest)
     _write(tmp_path, "CORRECTNESS_r02.json", staged[:30] + rest[:20])
     res = _run_check(tmp_path, "--no-staged-changed")
-    assert res.returncode == 1
+    assert res.returncode == 4  # machine contract: wrong staging
     assert "staging looks WRONG" in res.stdout
     assert "expected in window but not staged" in res.stdout
     assert "STALE" not in res.stdout
@@ -124,9 +124,7 @@ def test_check_on_live_repo_is_never_wrong():
     record, not contributor memory.
     """
     res = _run_check(REPO)
-    assert res.returncode == 0 or "STALE, not wrong" in res.stdout, (
-        res.stdout + res.stderr
-    )
+    assert res.returncode in (0, 3), res.stdout + res.stderr
     assert "staging looks WRONG" not in res.stdout, res.stdout
 
 
@@ -381,3 +379,43 @@ def test_staging_print_works_on_fresh_clone(tmp_path):
     assert "# window (50):" in res.stdout
     assert "NEW" in res.stdout
     assert "oldest row now none (no driver rows yet)" in res.stdout
+
+
+def test_failed_driver_rows_do_not_refresh_staleness(tmp_path):
+    """A FAILED driver row (rows_match false / err set) must not stamp
+    the query as freshly verified — it used to rank the known-failing
+    query freshest and keep it OUT of the window for ~3 rounds (r16
+    review). A failed row leaves the query at its previous age, so it
+    re-enters the window at the next restage."""
+    import json as _json
+    import os as _os
+
+    sys.path.insert(0, _os.path.join(REPO, "scripts"))
+    import importlib
+
+    mod = importlib.import_module("stage_rotation")
+
+    staged, rest = _staged_and_rest()
+    victim = rest[0]
+    # r1 verifies everything (all passing)…
+    _write(tmp_path, "CORRECTNESS_r01.json", staged + rest)
+    # …r2 re-checks a window containing the victim, which FAILS
+    rows = {n: {"rows_match": True} for n in rest[:50]}
+    rows[victim] = {
+        "rows_match": False,
+        "schema_match": True,
+        "hash_match": False,
+        "err": None,
+    }
+    with open(
+        _os.path.join(tmp_path, "CORRECTNESS_r02.json"), "w", encoding="utf-8"
+    ) as f:
+        _json.dump(rows, f)
+
+    newest, rounds, newest_names = mod.newest_rounds(str(tmp_path))
+    assert rounds == [1, 2]
+    assert newest[victim] == 1  # failure did NOT advance its age
+    passing = rest[1]
+    assert newest[passing] == 2
+    # the newest-file name set still describes what the driver looked at
+    assert victim in newest_names
