@@ -12,9 +12,21 @@ contract:
   single-JVM local mode, where re-running a lost block is cheaper than
   reliable-store I/O.
 
-Both are EAGER (a Spark job runs at the call) and truncate lineage —
-the property iterative algorithms need so the plan doesn't grow
-unboundedly round over round.
+Both truncate lineage — the property iterative algorithms need so the
+plan doesn't grow unboundedly round over round. Materialization timing
+is the caller's choice per call: EAGER (a Spark job runs at the call,
+the default) or LAZY (``lazy=True`` — the frame is marked for
+checkpointing and the CALLER'S next action over it materializes it).
+Lineage/plan truncation is identical either way: ``checkpoint``/
+``localCheckpoint`` wrap the frame in a ``LogicalRDD`` at the call, in
+both modes. Lazy exists because the eager form costs one dedicated
+Spark job per call, and iterative operators that immediately run a
+cheap action anyway (a convergence checksum, a count) were paying two
+job launches per round for one round's work (guide §1.2/§2.4: remove
+passes). Use lazy ONLY when exactly one action follows before the
+next consumer: a frame consumed by two CONCURRENT stages while still
+unmaterialized can be computed twice (cache races), which is what
+eager exists to prevent.
 
 ``setCheckpointDir`` mutates GLOBAL SparkContext state (and nests a
 fresh UUID subdir per call), so the reliable path is scoped: the dir
@@ -64,8 +76,8 @@ _USER_DIR_LOCK = threading.Lock()
 @contextmanager
 def checkpoint_scope(
     spark: SparkSession, checkpoint_dir: str | None = None
-) -> Iterator[Callable[[DataFrame], DataFrame]]:
-    """Yield an eager ``DataFrame -> DataFrame`` materializer.
+) -> Iterator[Callable[..., DataFrame]]:
+    """Yield a ``(DataFrame, *, lazy=False) -> DataFrame`` materializer.
 
     With a configured dir the materializer is reliable
     ``checkpoint()`` — the SparkContext checkpoint dir is set ONCE for
@@ -73,10 +85,16 @@ def checkpoint_scope(
     ``localCheckpoint()`` and no global state is touched. Iterative
     operators call this once around their loop so N rounds don't
     re-set the dir N times.
+
+    ``lazy=True`` defers materialization to the caller's next action
+    (see the module docstring for when that is safe). The reliable
+    posture captures its checkpoint directory when the marked frame is
+    CREATED, so a lazy frame materialized after the scope exits still
+    lands in this scope's dir.
     """
     resolved = _resolve_dir(checkpoint_dir)
     if not resolved:
-        yield lambda df: df.localCheckpoint(eager=True)
+        yield lambda df, *, lazy=False: df.localCheckpoint(eager=not lazy)
         return
     sc = spark.sparkContext
     prev = sc.getCheckpointDir()
@@ -86,7 +104,7 @@ def checkpoint_scope(
         with _USER_DIR_LOCK:
             _USER_DIR_FOR[cur] = resolved
     try:
-        yield lambda df: df.checkpoint(eager=True)
+        yield lambda df, *, lazy=False: df.checkpoint(eager=not lazy)
     finally:
         if prev is not None:
             # With nested scopes the ACTIVE dir at exit time is not

@@ -16,14 +16,16 @@ Scale notes:
   ``collect_set`` of neighbor lists, so a celebrity node (a boilerplate
   doc near-duplicating millions of pages) never materializes its whole
   neighborhood in one task; the per-node min is a partial aggregate.
-- Every round is eagerly checkpointed to truncate lineage — iterative
-  Spark without it re-executes the whole chain each action and the
-  plan grows unboundedly. The posture is selectable (see
-  ``operators/checkpointing.py``): with a ``checkpoint_dir`` argument
-  or ``SPARK_GRAFT_CHECKPOINT_DIR`` set, rounds land on reliable
-  shared storage (HDFS/object store) so a lost executor doesn't kill
-  the job mid-iteration — the right cluster posture; local mode
-  defaults to ``localCheckpoint``.
+- Every round is checkpointed to truncate lineage — iterative Spark
+  without it re-executes the whole chain each action and the plan
+  grows unboundedly. The checkpoint is LAZY: the round's convergence
+  checksum is the next (and only) action over the frame, so it doubles
+  as the materializer — one Spark job per round instead of two. The
+  posture is selectable (see ``operators/checkpointing.py``): with a
+  ``checkpoint_dir`` argument or ``SPARK_GRAFT_CHECKPOINT_DIR`` set,
+  rounds land on reliable shared storage (HDFS/object store) so a lost
+  executor doesn't kill the job mid-iteration — the right cluster
+  posture; local mode defaults to ``localCheckpoint``.
 - Convergence is detected by an edge-set checksum (count + xor-ish
   hash sum), one cheap aggregate per round instead of a full
   ``exceptAll`` anti-join.
@@ -110,8 +112,15 @@ def connected_components(
     ``localCheckpoint`` block fails the job mid-iteration.
     """
     with checkpoint_scope(edges.sparkSession, checkpoint_dir) as ck:
-        o = ck(_oriented(edges, src, dst))
-        if o.isEmpty():
+        # Every round's frame is consumed by exactly one next action —
+        # the convergence checksum — so the checkpoint is LAZY and the
+        # checksum job doubles as the materializer: one Spark job per
+        # round instead of two (eager-materialize + checksum), and the
+        # old isEmpty() action is folded into the first checksum's
+        # count (r16 optimization; guide §1.2 — remove passes).
+        o = ck(_oriented(edges, src, dst), lazy=True)
+        prev = _checksum(o)
+        if prev[0] == 0:
             # Type from the ORIENTED frame, not the raw src column:
             # orientation coerces src/dst to a common type, so an
             # edge set that reduces to empty must return the same
@@ -121,10 +130,9 @@ def connected_components(
             return edges.sparkSession.createDataFrame(
                 [], f"node {node_t}, component {node_t}"
             )
-        prev = _checksum(o)
         converged = False
         for _ in range(max_iter):
-            o = ck(_small_star(_large_star(o)))
+            o = ck(_small_star(_large_star(o)), lazy=True)
             cur = _checksum(o)
             if cur == prev:
                 converged = True
@@ -222,11 +230,17 @@ def k_core(
         .distinct()
     )
     with checkpoint_scope(edges.sparkSession, checkpoint_dir) as ck:
-        # Symmetrize once; each round only shrinks the edge set.
+        # Symmetrize once; each round only shrinks the edge set. Every
+        # checkpointed frame here is immediately counted (the peel's
+        # fixed-point test), so the checkpoints are LAZY and the count
+        # job doubles as the materializer — one job per peel round
+        # instead of two (r16 optimization, same fusion as
+        # connected_components).
         sym = ck(
             sym_in.union(
                 sym_in.select(F.col("v").alias("u"), F.col("u").alias("v"))
-            ).distinct()
+            ).distinct(),
+            lazy=True,
         )
         n_edges = sym.count()
         for _ in range(max_iter):
@@ -241,7 +255,8 @@ def k_core(
             nxt = ck(
                 sym.join(keep, "u", "left_semi").join(
                     keep.select(F.col("u").alias("v")), "v", "left_semi"
-                )
+                ),
+                lazy=True,
             )
             n_next = nxt.count()
             # peeling only removes edges, so an unchanged count means an
@@ -283,12 +298,13 @@ def pagerank(
 
     - contributions are a partial aggregate — a hub's out-edges are
       summed map-side, never collected into one task;
-    - lineage is truncated eagerly every ``checkpoint_interval``
-      rounds (plus always after the last): one pagerank round is a
-      shallow join+agg, so per-round materialization buys nothing but
-      job-launch overhead until the chain deepens — unlike
-      connected_components, whose self-referencing rounds double the
-      plan each iteration and must truncate every time.
+    - lineage is truncated every ``checkpoint_interval`` rounds (plus
+      always after the last), LAZILY: the rank chain is linear (each
+      round feeds exactly the next), so the caller's single action
+      executes every round once and eager per-interval materialization
+      bought nothing but job-launch overhead — unlike
+      connected_components, whose per-round checksum action is what
+      materializes each round there.
       ``checkpoint_dir`` (or ``SPARK_GRAFT_CHECKPOINT_DIR``) selects
       reliable ``checkpoint()`` for cluster fault tolerance, local
       mode defaults to ``localCheckpoint``;
@@ -316,10 +332,15 @@ def pagerank(
         .distinct()
     )
     with checkpoint_scope(edges.sparkSession, checkpoint_dir) as ck:
+        # LAZY checkpoint: the count() right below is the one next
+        # action and doubles as the materializer — the later per-round
+        # joins then read the materialized blocks (r16 optimization,
+        # same job fusion as connected_components).
         nodes = ck(
             e.select(F.col("src").alias("node"))
             .union(e.select(F.col("dst").alias("node")))
-            .distinct()
+            .distinct(),
+            lazy=True,
         )
         n = nodes.count()
         if n == 0:
@@ -356,5 +377,12 @@ def pagerank(
                 ).alias("rank"),
             )
             if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
-                ranks = ck(ranks)
+                # LAZY: plan truncation happens at the call (the frame
+                # is wrapped in a LogicalRDD either way); materialization
+                # is deferred to the caller's action. The rank chain is
+                # LINEAR (each round consumed exactly once by the next),
+                # so the single final action executes every round once —
+                # the eager form bought no de-duplicated work here, only
+                # one extra job launch per interval (r16 optimization).
+                ranks = ck(ranks, lazy=True)
     return ranks
