@@ -88,6 +88,7 @@ def profile_table(
         )
     cols = columns or df.columns
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    nd_aggs = []
     # Synthetic aliases are keyed by column INDEX, not name: the label
     # string carries the (escaped) real name, so nothing is lost, and
     # a source column containing a backtick — or literally named like
@@ -111,15 +112,33 @@ def profile_table(
             )
         else:
             nd = F.count_distinct(col)
+        nd_aggs.append(nd.cast("bigint").alias(f"__nd_{i}"))
         aggs += [
             # count(when(...)) not sum(cast): SUM over a zero-row table
             # is NULL, and a schema-stable profile artifact needs 0
             F.count(F.when(col.isNull(), 1)).cast("bigint").alias(f"__nulls_{i}"),
-            nd.cast("bigint").alias(f"__nd_{i}"),
             mn.cast("string").alias(f"__min_{i}"),
             mx.cast("string").alias(f"__max_{i}"),
         ]
-    wide = df.agg(*aggs)
+    if approx:
+        # HLL partials compose with the scalar aggregates in one flat
+        # map-side-combined pass — the 100 TB shape, unchanged.
+        wide = df.agg(*aggs, *nd_aggs)
+    else:
+        # Exact mode: the N count_distincts and the scalar aggregates
+        # run as TWO subtrees crossJoined (both 1-row global
+        # aggregates; Spark executes their stages concurrently inside
+        # the one action). Fusing them was the expensive shape: the
+        # multi-distinct Expand makes the PARTIAL aggregate's groups
+        # (gid, distinct-value) pairs, and every such group's buffer
+        # then carries all 3N+1 scalar aggregate slots too — measured
+        # at sf0.1 the split is 3.3x faster (6.5s -> 2.0s median,
+        # noop-sink, guide §1.4) with identical output, because the
+        # Expand side now shuffles (gid, value, count) only and the
+        # scalar side never expands at all (guide §2.3: shuffle fewer
+        # bytes). Same decomposition instinct as the documented
+        # exact+HLL pitfall below, applied within exact mode.
+        wide = df.agg(*aggs).crossJoin(df.agg(*nd_aggs))
 
     # labels escaped so source column names can't break the expr: the
     # Spark SQL parser processes BACKSLASH escapes inside string
