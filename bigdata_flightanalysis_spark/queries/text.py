@@ -690,6 +690,22 @@ def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same banded self-join shape as doc_near_dup_candidates (see the
     # shape comparison there), exact hamming re-check after the join.
     sig = _simhash_frame(spark, sf_dir)
+    # Same size switch as _candidate_pairs (r16 optimization): below
+    # MATERIALIZE_SIGNATURES_BYTES the recompute-both-sides plan wins
+    # (the fingerprint is one cheap md5+vote pass; materialization
+    # costs more at test SFs — measured for the MinHash twin); above
+    # it the corpus scan dominates and recomputing the explode+vote
+    # aggregate for BOTH self-join sides doubles the dominant cost, so
+    # the (doc_id, simhash) table — two longs per doc — is
+    # checkpointed and both sides read it: exactly one corpus scan.
+    from bigdata_flightanalysis_spark.sources.readers import table_bytes
+
+    if table_bytes(sf_dir, "documents") >= MATERIALIZE_SIGNATURES_BYTES:
+        from bigdata_flightanalysis_spark.operators.checkpointing import (
+            eager_checkpoint,
+        )
+
+        sig = eager_checkpoint(sig)
     band_structs = F.array(
         *[
             F.struct(

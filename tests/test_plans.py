@@ -156,6 +156,27 @@ def test_near_dup_reliable_checkpoint_mode(spark, tmp_path):
     )
 
 
+def test_simhash_near_dup_materialized_mode_scans_corpus_once(
+    spark, registry, monkeypatch
+):
+    """doc_simhash_near_dup's large-corpus switch (r16 optimization —
+    same MATERIALIZE_SIGNATURES_BYTES gate as the MinHash path): above
+    the threshold the (doc_id, simhash) table is eagerly checkpointed
+    so the banded self-join reads it on both sides and the corpus is
+    scanned once; results identical to the small-mode recompute plan."""
+    from bigdata_flightanalysis_spark.queries import text as text_mod
+
+    small = text_mod.doc_simhash_near_dup(spark, SF)
+    assert _plan(small).count("Scan parquet") == 2  # one per join side
+
+    monkeypatch.setattr(text_mod, "MATERIALIZE_SIGNATURES_BYTES", 0)
+    large = text_mod.doc_simhash_near_dup(spark, SF)
+    assert _plan(large).count("Scan parquet") == 0  # checkpoint-fed
+    assert sorted(map(tuple, large.collect())) == sorted(
+        map(tuple, small.collect())
+    )
+
+
 def test_incremental_near_dup_is_bucket_equijoin(spark, registry):
     """The incremental probe must be a (band, bucket) equi-join like
     the full-corpus form — never a quadratic join shape."""
