@@ -377,12 +377,28 @@ def pagerank(
                 ).alias("rank"),
             )
             if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
-                # LAZY: plan truncation happens at the call (the frame
-                # is wrapped in a LogicalRDD either way); materialization
-                # is deferred to the caller's action. The rank chain is
-                # LINEAR (each round consumed exactly once by the next),
-                # so the single final action executes every round once —
-                # the eager form bought no de-duplicated work here, only
-                # one extra job launch per interval (r16 optimization).
-                ranks = ck(ranks, lazy=True)
+                # Local mode: LAZY — plan truncation happens at the
+                # call (the frame is wrapped in a LogicalRDD either
+                # way) and the rank chain is LINEAR (each round feeds
+                # exactly the next), so the caller's single action
+                # executes every round once; the eager form bought no
+                # de-duplicated work, only one job launch per interval
+                # (r16 optimization). Reliable mode stays EAGER: with
+                # lazy marks Spark's doCheckpoint only writes the
+                # TOPMOST marked ancestor (checkpointAllMarkedAncestors
+                # defaults false), so the intermediate interval
+                # checkpoints — the executor-loss recovery points a
+                # configured dir is asking for — would silently never
+                # land on reliable storage.
+                ranks = ck(ranks, lazy=not _is_reliable(checkpoint_dir))
     return ranks
+
+
+def _is_reliable(checkpoint_dir: str | None) -> bool:
+    """True when checkpoint_scope will use reliable ``checkpoint()``
+    (an explicit dir or the SPARK_GRAFT_CHECKPOINT_DIR contract)."""
+    from bigdata_flightanalysis_spark.operators.checkpointing import (
+        _resolve_dir,
+    )
+
+    return _resolve_dir(checkpoint_dir) is not None
