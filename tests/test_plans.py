@@ -751,6 +751,8 @@ def test_nested_loop_joins_only_on_documented_bounded_builds(registry_plans):
         "embed_standardize",                  # per-dimension mean/std stats row
         "kmeans_embedding_clusters",          # contract booleans vs corpus-size row
         "orders_anti_bloom_check",            # bloom (k,m) stamp witness row
+        "orders_profile",                     # exact-mode scalar-agg x distinct-agg rows (r16 split)
+        "orders_profile_approx",              # same split inside its exact side
         "q11_important_parts",                # scalar value-share threshold
         "q16_supplier_part_counts",           # NOT-IN empty-build gate row
         "q22_idle_rich_customers",            # scalar avg-balance threshold
