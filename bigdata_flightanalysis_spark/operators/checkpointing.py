@@ -103,6 +103,17 @@ def checkpoint_scope(
     if cur is not None:
         with _USER_DIR_LOCK:
             _USER_DIR_FOR[cur] = resolved
+    # NOTE (r16 optimization, measured): classic Spark (≤3.x) computed
+    # an eager reliable checkpoint TWICE — materialize via count(),
+    # then the checkpoint write job re-ran the lineage — so the
+    # standard recipe was persist-before-checkpoint-then-unpersist.
+    # Spark 4.1's Dataset.checkpoint instead calls
+    # internalRdd.doCheckpoint() directly: ONE job computes the frame
+    # and writes the files. A persist wrapper here was tried and
+    # REVERTED — it adds cache-population work to that single job for
+    # nothing. tests/test_sources_ext.py pins the computes-once
+    # property with an accumulator, so a Spark upgrade that regresses
+    # it fails loudly instead of silently doubling every round.
     try:
         yield lambda df, *, lazy=False: df.checkpoint(eager=not lazy)
     finally:

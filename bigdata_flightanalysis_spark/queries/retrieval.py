@@ -726,7 +726,7 @@ def _refresh_text_index_locked(
             "refreshing would silently skip postings for every "
             "already-listed doc. Re-run build_text_index to heal."
         )
-    toks = _toks_of(new_docs)
+    toks = _gated_toks(new_docs)
     new_stats = toks.select("doc_id", "dl")
 
     if os.path.exists(f"{index_path}/doc_stats"):
@@ -1181,7 +1181,12 @@ def _build_text_index_from_locked(
         _remove_any(f"{index_path}/{rel}.new")
         _remove_any(f"{index_path}/{rel}.staging")
     _record_index_buckets(index_path)
-    toks = _toks_of(docs)
+    # _gated_toks: above MATERIALIZE_TOKS_BYTES the corpus is
+    # scanned+tokenized ONCE (checkpointed token table feeds both the
+    # doc_stats and postings writes) — with the totals already derived
+    # from the written doc_stats below, a large build drops from 2
+    # corpus tokenizations to 1 (r16 optimization, guide §2.4).
+    toks = _gated_toks(docs)
     toks.select("doc_id", "dl").write.mode("overwrite").parquet(
         f"{index_path}/doc_stats"
     )
@@ -1214,6 +1219,44 @@ def _toks_of(docs: DataFrame) -> DataFrame:
         tokenize("text").alias("t"),
         F.size(tokenize("text")).cast("bigint").alias("dl"),
     )
+
+
+#: Above this Catalyst-estimated input size, build and refresh
+#: materialize the tokenized form ONCE (eager checkpoint) instead of
+#: running the regex tokenization twice — once for the doc_stats leg,
+#: once for the postings leg. Same knee as queries.text's
+#: MATERIALIZE_SIGNATURES_BYTES: below it the recompute plan wins (a
+#: second cheap tokenize pass beats materializing token arrays), above
+#: it the scan+tokenize dominates and paying one input-sized
+#: checkpoint write to halve it wins (guide §2.4/§5 — remove passes;
+#: cache only when recompute costs more than the storage pressure).
+MATERIALIZE_TOKS_BYTES = 1 << 30
+
+
+def _frame_bytes_estimate(df: DataFrame) -> int:
+    """Catalyst's size estimate for an arbitrary frame — the input to
+    the tokenization materialization gate. For parquet-scan-rooted
+    frames this is the on-disk footprint (filters keep the conservative
+    full estimate, which errs toward materializing — the safe
+    direction); on a real deployment the catalog statistic feeds the
+    same switch."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def _gated_toks(docs: DataFrame) -> DataFrame:
+    """The build/refresh input's tokenized form, materialized above the
+    size gate so a large input is scanned+tokenized exactly once (the
+    doc_stats and postings legs both read the checkpoint); below it the
+    measured-faster recompute shape is kept — bench SFs unchanged by
+    design."""
+    toks = _toks_of(docs)
+    if _frame_bytes_estimate(docs) >= MATERIALIZE_TOKS_BYTES:
+        from bigdata_flightanalysis_spark.operators.checkpointing import (
+            eager_checkpoint,
+        )
+
+        toks = eager_checkpoint(toks)
+    return toks
 
 
 def _postings_of(toks: DataFrame, n_buckets: int) -> DataFrame:

@@ -296,6 +296,48 @@ def test_checkpoint_scope_map_stays_bounded(spark, tmp_path):
     assert len(set(sizes)) == 1 and sizes[-1] <= 3, sizes
 
 
+def test_reliable_eager_checkpoint_computes_lineage_once(spark, tmp_path):
+    """An eager RELIABLE checkpoint must not compute its frame twice.
+    Classic Spark (≤3.x) did — materialize via count(), then the
+    checkpoint write job re-ran the lineage unless the blocks were
+    cached. Spark 4.1's Dataset.checkpoint calls doCheckpoint()
+    directly (one job computes AND writes), which is why the
+    checkpoint_scope materializer deliberately does NOT carry a
+    persist-before-checkpoint wrapper (r16 optimization: tried,
+    measured as pure overhead, reverted). This pin makes a future
+    Spark upgrade that regresses to double-compute fail loudly: the
+    accumulator counts how many times the frame's rows are actually
+    produced — once, not once per job."""
+    from bigdata_flightanalysis_spark.operators.checkpointing import (
+        eager_checkpoint,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tag(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    persisted_before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    base = spark.range(0, 1000, 1, 4).mapInPandas(tag, "id long")
+    out = eager_checkpoint(base, str(tmp_path / "reliable_once"))
+    assert acc.value == 1000, (
+        f"lineage ran {acc.value / 1000:g} times during the eager "
+        "reliable checkpoint; expected exactly once"
+    )
+    # the returned frame reads the checkpoint files, not the (released)
+    # cache and not the lineage: consuming it adds nothing
+    assert out.count() == 1000
+    assert acc.value == 1000
+    # and the materializer's own cache really was released (no net
+    # growth of the session's persisted-RDD set)
+    persisted_after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert persisted_after <= persisted_before, (
+        "persist leaked past the checkpoint"
+    )
+
+
 def test_compact_parquet_preserves_hive_partition_layout(spark, tmp_path):
     """Compacting a hive-partitioned dataset must keep the col=value
     layout: the partition-blind rewrite FLATTENED it, so every reader
