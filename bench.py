@@ -154,6 +154,78 @@ def sf_label(sf_dir: str) -> float | str:
     return base
 
 
+# The driver's tail capture keeps only the LAST ~2000 characters of
+# stdout (measured: every BENCH_r*.json archives a tail of exactly
+# 2000 chars), so the full detail line — ~6 KB at 176 registry
+# queries — is always truncated mid-JSON and the driver's per-query
+# adjudication (PERF per_query / geomean / scaling) came up empty at
+# r16. The compact line below fills that gap: a budget-bounded
+# single-line JSON printed immediately BEFORE the contract line,
+# carrying the slowest queries first (the ones per-query adjudication
+# is about; the omitted tail is sub-noise at bench SFs) with the
+# omission explicitly disclosed — never silent truncation. Budget =
+# 2000 (tail) - ~220 (contract line + newlines + margin).
+PER_QUERY_LINE_BUDGET = 1750
+
+
+def budgeted_per_query(
+    timings: dict[str, float],
+    sweep: dict[str, float],
+    sf_val: float | str,
+    budget: int = PER_QUERY_LINE_BUDGET,
+) -> str:
+    """One-line JSON with the slowest per-query timings from BOTH the
+    headline and sweep maps, greedily filled slowest-first until the
+    serialized line would exceed ``budget`` — so the line always fits
+    the driver's tail buffer whole, with the cheapest queries (not an
+    arbitrary prefix) paying for it. Omissions are disclosed in-line
+    (count + summed seconds per map); values carry 2 decimals (≤ 0.5 %
+    error on anything slow enough to make the cut)."""
+    q_part: dict[str, float] = {}
+    s_part: dict[str, float] = {}
+
+    def render(nq_om: int, ns_om: int, q_om: float, s_om: float) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_queries_compact",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "sf": sf_val,
+                "queries": q_part,
+                "sweep": s_part,
+                "n_queries_omitted": nq_om,
+                "n_sweep_omitted": ns_om,
+                "omitted_queries_sec": round(q_om, 2),
+                "omitted_sweep_sec": round(s_om, 2),
+            },
+            separators=(",", ":"),
+        )
+
+    # deterministic order: slowest first, name as tiebreak
+    merged = sorted(
+        [(t, name, True) for name, t in timings.items()]
+        + [(t, name, False) for name, t in sweep.items()],
+        key=lambda x: (-x[0], x[1]),
+    )
+    # upper bound for the disclosure fields while filling: the counts
+    # and summed seconds can only SHRINK as entries are admitted, so
+    # checking the budget against the all-omitted render is safe
+    max_q_om, max_s_om = sum(timings.values()), sum(sweep.values())
+    taken: set[tuple[str, bool]] = set()
+    for t, name, is_headline in merged:
+        part = q_part if is_headline else s_part
+        part[name] = round(t, 2)
+        if len(render(len(timings), len(sweep), max_q_om, max_s_om)) > budget:
+            del part[name]
+            break
+        taken.add((name, is_headline))
+    nq_om = len(timings) - len(q_part)
+    ns_om = len(sweep) - len(s_part)
+    q_om = sum(t for n, t in timings.items() if (n, True) not in taken)
+    s_om = sum(t for n, t in sweep.items() if (n, False) not in taken)
+    return render(nq_om, ns_om, q_om, s_om)
+
+
 def emit_detail(full: dict, detail_path: str) -> None:
     """Print the per-query detail line and persist it to
     ``BENCH_DETAIL.json`` — without EVER raising: the compact headline
@@ -297,6 +369,14 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         ),
     )
+    # Per-query visibility for the tail-buffered driver (r16 verdict
+    # item 1): a budget-bounded slowest-first per-query line directly
+    # BEFORE the contract line — both fit the 2000-char tail together,
+    # so the driver can adjudicate per-query speedups and c8/c32
+    # scaling instead of parsing a truncated detail line. Additions
+    # only: the detail line, BENCH_DETAIL.json and the contract line
+    # below are unchanged.
+    print(budgeted_per_query(timings, sweep, sf_val))
     compact: dict = {
         "metric": "headline_queries_total",
         "value": headline_total,

@@ -270,3 +270,82 @@ def test_compare_placeholder_payload_gets_diagnostic_not_keyerror(tmp_path):
             BC.main()
     finally:
         sys.argv = argv
+
+
+def test_budgeted_per_query_fits_tail_with_contract_line():
+    """The per-query compact line + the contract line together must fit
+    the driver's 2000-char tail buffer whole (measured: every committed
+    BENCH_r*.json archives a tail of exactly 2000 chars) at the real
+    registry scale — 69 headline + 107 sweep queries with realistically
+    long names — with the slowest queries present and the omitted tail
+    disclosed (r16 verdict item 1)."""
+    bench = _load_bench()
+    timings = {
+        f"doc_near_dup_candidates_hl_{i:03d}": 0.1 + (i % 17) * 0.37
+        for i in range(69)
+    }
+    sweep = {
+        f"events_value_winsorized_sw_{i:03d}": 0.05 + (i % 23) * 0.31
+        for i in range(107)
+    }
+    line = bench.budgeted_per_query(timings, sweep, 0.1)
+    assert "\n" not in line
+    assert len(line) <= bench.PER_QUERY_LINE_BUDGET
+    contract = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(timings.values()), 4),
+            "unit": "sec",
+            "sf": 0.1,
+            "n_queries": 69,
+            "n_sweep": 107,
+            "n_errors": 0,
+        }
+    )
+    tail = (line + "\n" + contract + "\n")[-2000:]
+    # both lines survive a 2000-char tail capture, complete
+    t_lines = tail.strip().splitlines()
+    assert json.loads(t_lines[-1])["metric"] == "headline_queries_total"
+    payload = json.loads(t_lines[-2])
+    assert payload["metric"] == "headline_queries_compact"
+    # slowest-first: every included query is >= every omitted one
+    merged = sorted(
+        list(timings.values()) + list(sweep.values()), reverse=True
+    )
+    n_in = len(payload["queries"]) + len(payload["sweep"])
+    slowest_omitted = merged[n_in] if n_in < len(merged) else 0.0
+    included_min = min(
+        list(payload["queries"].values()) + list(payload["sweep"].values())
+    )
+    assert included_min >= slowest_omitted - 0.005  # 2-decimal rounding
+    # omission disclosure adds up exactly
+    assert payload["n_queries_omitted"] == 69 - len(payload["queries"])
+    assert payload["n_sweep_omitted"] == 107 - len(payload["sweep"])
+    om = sum(
+        t for n, t in timings.items() if n not in payload["queries"]
+    )
+    assert abs(payload["omitted_queries_sec"] - round(om, 2)) < 0.01
+    # and something was actually omitted at this scale (the test would
+    # be vacuous otherwise) while the slow half made it in
+    assert payload["n_queries_omitted"] + payload["n_sweep_omitted"] > 0
+    assert payload["value"] == round(sum(timings.values()), 4)
+
+
+def test_budgeted_per_query_small_registry_keeps_everything():
+    bench = _load_bench()
+    timings = {"q1": 1.2345, "q2": 0.5}
+    sweep = {"s1": 0.25}
+    payload = json.loads(bench.budgeted_per_query(timings, sweep, 0.01))
+    assert payload["queries"] == {"q1": 1.23, "q2": 0.5}
+    assert payload["sweep"] == {"s1": 0.25}
+    assert payload["n_queries_omitted"] == 0
+    assert payload["n_sweep_omitted"] == 0
+    assert payload["omitted_queries_sec"] == 0.0
+    assert payload["omitted_sweep_sec"] == 0.0
+
+
+def test_budgeted_per_query_empty_maps():
+    bench = _load_bench()
+    payload = json.loads(bench.budgeted_per_query({}, {}, "custom"))
+    assert payload["queries"] == {} and payload["sweep"] == {}
+    assert payload["sf"] == "custom"
