@@ -156,3 +156,76 @@ def eager_checkpoint(df: DataFrame, checkpoint_dir: str | None = None) -> DataFr
     """One-shot form of :func:`checkpoint_scope` for a single frame."""
     with checkpoint_scope(df.sparkSession, checkpoint_dir) as ck:
         return ck(df)
+
+
+@contextmanager
+def static_partitioning_scope(
+    spark: SparkSession, shuffle_partitions: int | None = None
+) -> Iterator[None]:
+    """Compile checkpoints INSIDE this scope with AQE disabled so the
+    resulting ``LogicalRDD`` captures the frame's output partitioning.
+    ``shuffle_partitions`` additionally pins
+    ``spark.sql.shuffle.partitions`` for plans compiled inside the
+    scope, so every exchange of an iterative loop lands on ONE
+    size-derived width and stays mutually co-partitioned — without it,
+    a loop state captured at width P would collide with aggregates
+    compiled at the session default and re-introduce reconciling
+    exchanges.
+
+    Why: ``Dataset.checkpoint``/``localCheckpoint`` record the child
+    physical plan's ``outputPartitioning`` into the replacement
+    ``LogicalRDD`` — but under AQE the physical plan is an
+    ``AdaptiveSparkPlan`` whose partitioning is unknown at compile
+    time, so every checkpoint degrades to ``UnknownPartitioning`` and
+    every later join/aggregate over it re-shuffles (measured: the
+    per-round rank⋈edges join in ``pagerank`` re-exchanged the FULL
+    edge list every round). With AQE off at compile time, a frame
+    whose plan ends in a hash exchange (an aggregate, an equi-join, a
+    keyed ``repartition``) is captured as
+    ``hashpartitioning(key, spark.sql.shuffle.partitions)``, and
+    downstream plans keyed the same way elide the exchange outright
+    (guide §2.4: operations keyed the same way share one exchange).
+
+    Trade-offs, deliberate: plans compiled inside the scope get no AQE
+    partition coalescing or skew-join splitting. Use it only around
+    checkpoints of iterative-loop state whose SAME key is re-joined
+    every round — there, one fixed-width shuffle at
+    ``spark.sql.shuffle.partitions`` (the session's scale knob: ~2-3x
+    total cores on a cluster) replaces a per-round re-shuffle of the
+    big side, and a co-partitioned join could not be skew-split
+    anyway. The flag is restored even on error; like the checkpoint
+    dir, it is session-global state, so scope use is effectively
+    single-threaded per session by design."""
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+#: Target bytes per partition for size-derived loop widths (the same
+#: order as AQE's advisoryPartitionSizeInBytes default, which cannot
+#: steer these plans because the scope above compiles them AQE-free).
+#: Parameterised for deployments via env; the local default keeps
+#: bench partitioning proportional to actual data.
+LOOP_PARTITION_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LOOP_PARTITION_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def loop_width(spark: SparkSession, est_bytes: float) -> int:
+    """Size-derived partition count for an iterative loop's state
+    frames: enough partitions to keep each under
+    ``LOOP_PARTITION_BYTES``, floored at 1, capped at the session's
+    ``spark.sql.shuffle.partitions`` (the deployment's scale knob —
+    ~2-3x total cores on a cluster). Derived from input size rather
+    than a constant, so tiny local runs get single-task rounds while a
+    100 TB edge list fans out to the cluster's full width (guide
+    §2.2/§2.5: partition counts must follow data, not config)."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(cap, -(-int(est_bytes) // LOOP_PARTITION_BYTES)))

@@ -36,7 +36,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_flightanalysis_spark.operators.checkpointing import checkpoint_scope
+from bigdata_flightanalysis_spark.operators.checkpointing import (
+    checkpoint_scope,
+    loop_width,
+    static_partitioning_scope,
+)
+
+#: Conservative shuffled-bytes-per-edge weight for loop-width sizing:
+#: three 8-byte columns (src, dst, deg) plus unsafe-row and shuffle
+#: framing overhead.
+_EDGE_ROW_BYTES = 64
 
 
 def _oriented(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -149,9 +158,21 @@ def connected_components(
             "in the worst case"
         )
     # Converged edge set is a star forest: every edge is (member, root).
+    # The star-forest fixed point guarantees each member node appears
+    # in EXACTLY ONE edge (two roots for one node would change under
+    # another small-star round — contradicting the checksum
+    # convergence the loop just proved) and that no member is also a
+    # root (members are strictly greater than their component min;
+    # a min never appears on the large side). So `members` is already
+    # duplicate-free and disjoint from `roots`, and only the root
+    # projection needs a distinct — the previous union-wide
+    # .distinct() re-shuffled the ENTIRE label set once more per CC
+    # run for nothing (r17, §2.3: shuffle fewer bytes; benefits every
+    # CC consumer — clusters, keep_best, manifest, canonical_pagerank,
+    # split_leakage).
     members = o.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = o.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
-    return members.union(roots).distinct()
+    return members.union(roots)
 
 
 def assign_components(
@@ -326,22 +347,49 @@ def pagerank(
         raise ValueError(
             f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
         )
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
+    e_raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).where(
+        F.col("src") != F.col("dst")
     )
-    with checkpoint_scope(edges.sparkSession, checkpoint_dir) as ck:
+    e = e_raw.distinct()
+    spark = edges.sparkSession
+    # One SIZE-DERIVED partition width for every loop-state frame: the
+    # rank and edge frames are re-joined on the SAME key every round,
+    # so capturing hashpartitioning(key, P) into each checkpoint (see
+    # static_partitioning_scope) lets every round's join run
+    # exchange-free on both sides — each round then pays exactly ONE
+    # exchange, the contribution scatter, the only place rows change
+    # keys. P follows the edge volume (pre-dedup count × a conservative
+    # per-row byte weight), floored at 1 so tiny inputs get single-task
+    # rounds and capped at the session's shuffle width so a 100 TB
+    # edge list uses the cluster's full parallelism — derived from
+    # input size, not a constant tuned for either posture (§2.2).
+    # Sizing count on the PRE-dedup frame: narrow scan + partial agg,
+    # no shuffle — an upper bound on the true edge count, which is
+    # exactly the safe direction for a width estimate.
+    m_edges = e_raw.count()
+    n_part = loop_width(spark, m_edges * _EDGE_ROW_BYTES)
+    with checkpoint_scope(spark, checkpoint_dir) as ck:
         # LAZY checkpoint: the count() right below is the one next
         # action and doubles as the materializer — the later per-round
         # joins then read the materialized blocks (r16 optimization,
-        # same job fusion as connected_components).
-        nodes = ck(
-            e.select(F.col("src").alias("node"))
-            .union(e.select(F.col("dst").alias("node")))
-            .distinct(),
-            lazy=True,
-        )
+        # same job fusion as connected_components). Compiled under
+        # static_partitioning_scope so the checkpoint captures the
+        # distinct's hashpartitioning(node, P) — the partitioning every
+        # round's gather join and rank update needs (r17 optimization:
+        # one exchange per round instead of three).
+        # sortWithinPartitions: the checkpoint captures output ORDERING
+        # as well as partitioning, so every round's sort-merge join is
+        # sort-free on this side — without it each round re-sorts the
+        # frame (at 100 TB, a per-round sort of the edge list is the
+        # dominant avoidable cost once the exchanges are gone).
+        with static_partitioning_scope(spark, n_part):
+            nodes = ck(
+                e.select(F.col("src").alias("node"))
+                .union(e.select(F.col("dst").alias("node")))
+                .distinct()
+                .sortWithinPartitions("node"),
+                lazy=True,
+            )
         n = nodes.count()
         if n == 0:
             # empty graph → empty ranks, not a ZeroDivisionError: an
@@ -350,7 +398,21 @@ def pagerank(
                 "node", F.lit(0.0).alias("rank")
             )
         out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-        e_deg = ck(e.join(out_deg, "src"))  # (src, dst, deg)
+        # The big side of every round's scatter join, pre-shuffled by
+        # the join key ONCE: the explicit repartition forces the
+        # captured partitioning to be src alone (the broadcast-joined
+        # plan would otherwise surface e's (src,dst)-keyed distinct,
+        # which no round can reuse), so the per-round join against
+        # ranks — itself (node, P)-partitioned, see below — needs no
+        # exchange on EITHER side. At 100 TB this is the §2.4 win: the
+        # edge list, the dominant byte volume, crosses the network
+        # once per PageRank run instead of once per round.
+        with static_partitioning_scope(spark, n_part):
+            e_deg = ck(
+                e.join(out_deg, "src")
+                .repartition(n_part, "src")
+                .sortWithinPartitions("src")
+            )  # (src, dst, deg)
 
         ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
         base = (1.0 - damping) / n
@@ -390,7 +452,18 @@ def pagerank(
                 # checkpoints — the executor-loss recovery points a
                 # configured dir is asking for — would silently never
                 # land on reliable storage.
-                ranks = ck(ranks, lazy=not _is_reliable(checkpoint_dir))
+                # static_partitioning_scope compiles the interval's
+                # rounds AQE-free: the rank update is a LEFT join, so
+                # its output partitioning is the nodes side's
+                # hashpartitioning(node, P) — captured into the
+                # checkpoint, the rounds after the interval stay
+                # exchange-free on both join sides, and each round
+                # pays exactly ONE exchange (the contribution scatter
+                # groupBy(dst), the only place rows genuinely change
+                # keys). AQE loses nothing here: the co-partitioned
+                # joins it would skew-split carry no shuffle at all.
+                with static_partitioning_scope(spark, n_part):
+                    ranks = ck(ranks, lazy=not _is_reliable(checkpoint_dir))
     return ranks
 
 

@@ -337,3 +337,184 @@ def test_assign_components_rejects_reserved_columns(spark):
         )
         with pytest.raises(ValueError, match="assign_components"):
             assign_components(df, "doc_id", cc)
+
+
+def test_static_partitioning_scope_restores_conf(spark):
+    """The scope must restore BOTH flags it touches — including on
+    error — because they are session-global state shared with every
+    later query compile."""
+    from bigdata_flightanalysis_spark.operators.checkpointing import (
+        static_partitioning_scope,
+    )
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with static_partitioning_scope(spark, 3):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    with pytest.raises(RuntimeError, match="boom"):
+        with static_partitioning_scope(spark, 5):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+
+
+def test_loop_width_is_size_derived(spark):
+    from bigdata_flightanalysis_spark.operators.checkpointing import (
+        LOOP_PARTITION_BYTES,
+        loop_width,
+    )
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert loop_width(spark, 0) == 1  # floor: tiny inputs, 1 task
+    assert loop_width(spark, LOOP_PARTITION_BYTES) == 1
+    assert loop_width(spark, LOOP_PARTITION_BYTES + 1) == min(cap, 2)
+    # cap: a 100 TB input uses the session's full shuffle width
+    assert loop_width(spark, 100 * 1024**4) == cap
+
+
+def test_pagerank_checkpoints_capture_loop_partitioning(spark):
+    """r17 co-partitioning contract: the returned rank frame's
+    checkpoint carries hashpartitioning(node, P) + node-ascending
+    ordering, so every round (and any downstream node-keyed join)
+    runs exchange-free and sort-free on that side — without the
+    capture, each round re-shuffled AND re-sorted the full edge list
+    (see plans/r17/pagerank_round_before.txt, 4 exchanges/round →
+    0-1 after)."""
+    from bigdata_flightanalysis_spark.operators.graph import pagerank
+
+    edges = spark.range(4000).select(
+        (F.col("id") % 199).alias("src"), ((F.col("id") * 7) % 211).alias("dst")
+    )
+    ranks = pagerank(edges, iterations=4)
+    ep = ranks._jdf.queryExecution().executedPlan()
+    part = ep.outputPartitioning().toString()
+    assert part.startswith("hashpartitioning(node"), part
+    order = ep.outputOrdering().toString()
+    assert "node" in order and "ASC" in order, order
+    # and a downstream node-keyed aggregate needs no exchange
+    agg_plan = (
+        ranks.groupBy("node")
+        .agg(F.sum("rank"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in agg_plan, agg_plan
+
+
+def test_pagerank_round_plan_is_exchange_free_on_state_frames(spark):
+    """The mechanism behind the r17 pagerank change, pinned at the
+    operator level: a frame checkpointed inside
+    static_partitioning_scope joins a same-keyed same-width frame
+    with no Exchange and no Sort on either captured side."""
+    from bigdata_flightanalysis_spark.operators.checkpointing import (
+        static_partitioning_scope,
+    )
+
+    big = spark.range(5000).select(
+        (F.col("id") % 997).alias("src"),
+        (F.col("id") % 31).alias("dst"),
+        F.lit(2).alias("deg"),
+    )
+    small = spark.range(997).select(
+        F.col("id").alias("node"), F.lit(1.0).alias("rank")
+    )
+    with static_partitioning_scope(spark, 4):
+        c_big = (
+            big.repartition(4, "src")
+            .sortWithinPartitions("src")
+            .localCheckpoint()
+        )
+        c_small = (
+            small.repartition(4, "node")
+            .sortWithinPartitions("node")
+            .localCheckpoint()
+        )
+    with static_partitioning_scope(spark, 4):
+        j = (
+            c_big.join(c_small, c_big.src == c_small.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    # the invariant: NEITHER state frame is re-shuffled by its join
+    # key — the only hash exchange left is the gather groupBy(dst).
+    # (With accurate post-materialization stats the planner may still
+    # BROADCAST the genuinely small side — that also moves no big-side
+    # bytes and is allowed.)
+    assert "Exchange hashpartitioning(src" not in plan, plan
+    assert "Exchange hashpartitioning(node" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # and no re-sort of the captured-big side: any Sort in the plan
+    # may only key on the gather side (dst), never src
+    assert "Sort [src" not in plan, plan
+    # rows are correct regardless of plan shape
+    assert j.count() == 31
+
+
+def test_lazy_checkpoints_materialize_source_exactly_once(spark):
+    """Guardrail for the lazy=True checkpoint contract (r17, VERDICT
+    item 8): a lazily-marked frame must be materialized by EXACTLY ONE
+    action before any re-use — a call-site that hands a lazy frame to
+    two consumers pre-materialization double-computes the lineage
+    silently. The accumulator counts how many times the SOURCE edge
+    rows are actually produced across a full operator run; the pins
+    below are the measured one-pass-per-materializer structure, so any
+    future double-compute (or an extra upstream pass) fails loudly
+    with the factor it regressed by."""
+    from bigdata_flightanalysis_spark.operators.graph import (
+        connected_components,
+        k_core,
+        pagerank,
+    )
+
+    def tagged(n=1000):
+        acc = spark.sparkContext.accumulator(0)
+
+        def tag(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        base = (
+            spark.range(0, n, 1, 4)
+            .select(
+                (F.col("id") % 97).alias("src"),
+                ((F.col("id") * 13) % 101).alias("dst"),
+            )
+            .mapInPandas(tag, "src long, dst long")
+        )
+        return base, acc
+
+    # connected_components: the source feeds only the FIRST lazy
+    # checkpoint (the orientation), whose materializer is the first
+    # convergence checksum — every later round reads checkpoint
+    # blocks, never the source.
+    e, acc = tagged()
+    connected_components(e).count()
+    assert acc.value == 1000, (
+        f"cc produced source rows {acc.value / 1000:g}x; expected once"
+    )
+
+    # k_core: the symmetrize union reads the source on both branches,
+    # but the oriented distinct's exchange is REUSED across them —
+    # still exactly one source pass.
+    e, acc = tagged()
+    k_core(e, 2).count()
+    assert acc.value == 1000, (
+        f"k_core produced source rows {acc.value / 1000:g}x; expected once"
+    )
+
+    # pagerank: exactly three source passes by construction — the
+    # loop-width sizing count, the nodes-frame materialization, and
+    # the e_deg materialization (the distinct's exchange is reused
+    # within each plan, so neither checkpoint pays a second pass).
+    e, acc = tagged()
+    pagerank(e, iterations=4).count()
+    assert acc.value == 3000, (
+        f"pagerank produced source rows {acc.value / 1000:g}x; expected 3"
+    )
