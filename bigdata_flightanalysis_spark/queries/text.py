@@ -1306,9 +1306,14 @@ def doc_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame
     "clusters are clique-like (true near-dup sets), a low one flags "
     "chained false-positive merges — the graph-health metric for "
     "dedup QA. Scale shape: two hash-partitioned edge joins (the "
-    "standard distributed triangle enumeration; the a<b orientation "
-    "bounds each node's join fan-out by its out-degree) plus one "
-    "degree aggregate; no adjacency lists materialized.",
+    "standard distributed triangle enumeration); above the corpus-size "
+    "gate the edges are re-oriented DEGREE-ORDERED (every edge points "
+    "low-degree→high-degree, so wedge fan-out is bounded by min-degree "
+    "and a celebrity node cannot pin its whole neighborhood on one "
+    "build side — provably count-identical to the a<b orientation the "
+    "oracle counts with), below it the plain a<b wedge join wins (the "
+    "orientation joins are pure overhead on a tiny-degree graph); plus "
+    "one degree aggregate; no adjacency lists materialized.",
     tags=("text", "dedup", "graph"),
 )
 def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1319,24 +1324,86 @@ def doc_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_dup_canonical_pagerank precedent, r16 review).
     e = _candidate_pairs(spark, sf_dir).localCheckpoint()
 
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    e3 = e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
-        .join(
-            e3,
-            (F.col("e3.doc_a") == F.col("e1.doc_a"))
-            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
-    )
     deg = (
         e.select(F.col("doc_a").alias("node"))
         .unionAll(e.select(F.col("doc_b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    # Degree-ordered orientation (r17, §2.5 skew), gated on corpus size
+    # like the MinHash/SimHash materialization switch: above
+    # MATERIALIZE_SIGNATURES_BYTES every edge is re-oriented
+    # low-degree→high-degree (ties by doc_id) so the wedge self-join
+    # enumerates out-neighbor PAIRS only at each triangle's LOWEST-rank
+    # vertex — per-node join fan-out is then bounded by min-degree
+    # instead of the doc_id-oriented out-degree, where a low-id
+    # celebrity doc (a boilerplate page near-duplicating millions)
+    # kept its entire fan-out on one build side. Each triangle
+    # {x,y,z} with rank(x)<rank(y)<rank(z) is found exactly once as
+    # x→y, x→z closed by y→z, so the COUNT is identical to the a<b
+    # orientation the oracle uses (oracle-verified at 3 SFs, and the
+    # two modes are asserted row-identical in tests/test_plans.py).
+    # Below the gate the a<b wedge join is kept as-is: the orientation
+    # costs two degree joins plus one more materialization job, which
+    # at bench SFs is pure overhead (measured +0.5 s / +4 jobs at
+    # sf0.1) on a graph whose max degree is tiny — the same
+    # measured-faster-small-mode reasoning as the signature gate.
+    from bigdata_flightanalysis_spark.sources.readers import table_bytes
+
+    if table_bytes(sf_dir, "documents") >= MATERIALIZE_SIGNATURES_BYTES:
+        da, db = F.col("da.d"), F.col("db.d")
+        a_first = (da < db) | (
+            (da == db) & (F.col("doc_a") < F.col("doc_b"))
+        )
+        eo = (
+            e.join(deg.alias("da"), F.col("da.node") == F.col("doc_a"))
+            .join(deg.alias("db"), F.col("db.node") == F.col("doc_b"))
+            .select(
+                F.when(a_first, F.col("doc_a"))
+                .otherwise(F.col("doc_b"))
+                .alias("src"),
+                F.when(a_first, F.col("doc_b"))
+                .otherwise(F.col("doc_a"))
+                .alias("dst"),
+                # the DST endpoint's (degree, id) rank drives the wedge
+                # pair ordering below
+                F.when(a_first, db).otherwise(da).alias("dd"),
+            )
+            # materialized once: the triple self-join below reads it
+            # three times, and the orientation joins must not
+            # re-execute per scan
+            .localCheckpoint()
+        )
+
+        t1 = eo.alias("t1")
+        t2 = eo.alias("t2")
+        t3 = eo.alias("t3")
+        rank_lt = (F.col("t1.dd") < F.col("t2.dd")) | (
+            (F.col("t1.dd") == F.col("t2.dd"))
+            & (F.col("t1.dst") < F.col("t2.dst"))
+        )
+        tri = (
+            t1.join(t2, (F.col("t1.src") == F.col("t2.src")) & rank_lt)
+            .join(
+                t3,
+                (F.col("t3.src") == F.col("t1.dst"))
+                & (F.col("t3.dst") == F.col("t2.dst")),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        )
+    else:
+        e1 = e.alias("e1")
+        e2 = e.alias("e2")
+        e3 = e.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.doc_b") == F.col("e2.doc_a"))
+            .join(
+                e3,
+                (F.col("e3.doc_a") == F.col("e1.doc_a"))
+                & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        )
     agg = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),

@@ -177,6 +177,31 @@ def test_simhash_near_dup_materialized_mode_scans_corpus_once(
     )
 
 
+def test_triangles_degree_oriented_mode_matches_small_mode(
+    spark, registry, monkeypatch
+):
+    """doc_dup_graph_triangles' large-corpus switch (r17, §2.5 skew —
+    same MATERIALIZE_SIGNATURES_BYTES gate as the MinHash/SimHash
+    paths): above the threshold edges are re-oriented
+    low-degree→high-degree so wedge fan-out is bounded by min-degree
+    (a celebrity doc can't pin its whole neighborhood on one build
+    side); the triangle/wedge counts are provably identical to the
+    small-mode a<b orientation, asserted row-for-row here."""
+    from bigdata_flightanalysis_spark.queries import text as text_mod
+
+    small = text_mod.doc_dup_graph_triangles(spark, SF)
+    # small mode keeps the plain a<b wedge join: no degree-rank column
+    assert "dd#" not in _plan(small)
+
+    monkeypatch.setattr(text_mod, "MATERIALIZE_SIGNATURES_BYTES", 0)
+    large = text_mod.doc_dup_graph_triangles(spark, SF)
+    # the wedge join now orders by the dst endpoint's (degree, id) rank
+    assert "dd#" in _plan(large)
+    assert [tuple(r) for r in large.collect()] == [
+        tuple(r) for r in small.collect()
+    ]
+
+
 def test_incremental_near_dup_is_bucket_equijoin(spark, registry):
     """The incremental probe must be a (band, bucket) equi-join like
     the full-corpus form — never a quadratic join shape."""
