@@ -255,7 +255,14 @@ def alpha_keep_probs(docs: DataFrame) -> DataFrame:
     """(lang, keep_p) for α=0.5 temperature mixing over ``docs``'
     language shares — the Spark twin of :func:`_mix_sql_ctes`. One
     tiny aggregate chain, broadcast back out by callers."""
-    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    # Materialize the per-language counts ONCE (r17, §1.2): tot, sq
+    # and den below each re-derive per_lang, so without the pin the
+    # corpus-sized scan+aggregate under it executed FOUR times per
+    # action (measured in doc_training_manifest's plan: four
+    # ExistingRDD aggregate subtrees over the survivor frame). The
+    # pinned frame is language-cardinality rows — pennies to hold —
+    # and every downstream leg (all ≤ n_langs rows) reads it instead.
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n")).localCheckpoint()
     tot = per_lang.agg(F.sum("n").alias("total"))
     sq = per_lang.join(F.broadcast(tot)).select(
         "lang",
@@ -392,18 +399,30 @@ def doc_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = assign_components(docs, "doc_id", cc, alias="cluster_id")
     # survivor per cluster: struct-max (n_chars DESC, doc_id ASC) — a
-    # partial-aggregable groupBy, no window shuffle
-    kept = (
+    # partial-aggregable groupBy, no window shuffle. The struct CARRIES
+    # the survivor's lang and n_chars (r17, §1.2/§2.3): (q, neg_id) is
+    # already unique per cluster (doc_id is unique), so the trailing
+    # lang field never participates in the max comparison — it just
+    # rides along, and the survivor frame falls straight out of the
+    # aggregate. The previous shape re-joined the winning doc_ids back
+    # to the corpus (docs ⋈ kept left-semi) to recover lang/n_chars —
+    # one corpus-sized shuffle per run that this removes outright.
+    surv_agg = (
         labeled.groupBy("cluster_id")
         .agg(
             F.max(
                 F.struct(
                     F.col("n_chars").cast("long").alias("q"),
                     (-F.col("doc_id")).alias("neg_id"),
+                    F.col("lang").alias("lang"),
                 )
             ).alias("best")
         )
-        .select((-F.col("best.neg_id")).alias("doc_id"))
+        .select(
+            (-F.col("best.neg_id")).alias("doc_id"),
+            F.col("best.lang").alias("lang"),
+            F.col("best.q").alias("n_chars"),
+        )
     )
     from bigdata_flightanalysis_spark.operators.checkpointing import (
         eager_checkpoint,
@@ -411,17 +430,17 @@ def doc_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # materialized ONCE: both alpha_keep_probs' aggregate and the
     # final mixture join consume surv, and without the checkpoint the
-    # label join + survivor struct-max + semi-join (corpus-sized
-    # shuffles) execute twice per run (r16 review). The 3-column
-    # survivor frame is far cheaper to pin than to recompute —
-    # contrast doc_temperature_mixture_sample, where the re-scan is a
+    # label join + survivor struct-max (corpus-sized shuffles) execute
+    # twice per run (r16 review). The 3-column survivor frame is far
+    # cheaper to pin than to recompute — contrast
+    # doc_temperature_mixture_sample, where the re-scan is a
     # column-pruned parquet read and stays UNpinned by design.
-    surv = eager_checkpoint(docs.join(kept, "doc_id", "left_semi"))
+    surv = eager_checkpoint(surv_agg)
     kp = alpha_keep_probs(surv)
     return (
         surv.join(F.broadcast(kp), "lang")
         .filter(_mix_draw("manifest|") < F.col("keep_p"))
-        .select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
 
