@@ -903,11 +903,20 @@ def _compact_text_index_locked(spark: SparkSession, index_path: str) -> None:
     # filesystem boundary, and the index's parent is the one mount we
     # know holds it
     postings = spark.read.parquet(f"{index_path}/postings")
+    # repartition FIRST, then dedup (r17, §2.3): hashpartitioning on
+    # `bucket` — a subset of the (term, doc_id, bucket) grouping keys —
+    # already satisfies the aggregate's clustering requirement, so the
+    # groupBy plans NO second exchange and its output stays
+    # bucket-partitioned for the partitionBy write below. The previous
+    # order (groupBy, then repartition for the write) shuffled the full
+    # postings relation TWICE; rows per (term, doc_id, bucket) group
+    # are few (exact-copy replay rows), so pre-aggregation before the
+    # exchange was buying nothing.
     compacted = (
-        postings.groupBy("term", "doc_id", "bucket")
+        postings.repartition("bucket")
+        .groupBy("term", "doc_id", "bucket")
         .agg(F.max("tf").alias("tf"))
         .select("term", "doc_id", "tf", "bucket")
-        .repartition("bucket")
     )
     p_staging = f"{index_path}/postings.staging"
     shutil.rmtree(p_staging, ignore_errors=True)
