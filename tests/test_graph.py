@@ -518,3 +518,21 @@ def test_lazy_checkpoints_materialize_source_exactly_once(spark):
     assert acc.value == 3000, (
         f"pagerank produced source rows {acc.value / 1000:g}x; expected 3"
     )
+
+
+def test_k_core_loop_captures_partitioning(spark):
+    """r17 co-partitioning contract for the peel loop: every round
+    after the first reads a checkpoint captured as
+    hashpartitioning(u, P) + u-ascending, so the returned core-degree
+    aggregate (groupBy u) compiles with NO Exchange and no Sort — the
+    peel's per-round degree aggregate shares the same shape."""
+    from bigdata_flightanalysis_spark.operators.graph import k_core
+
+    edges = spark.range(4000).select(
+        (F.col("id") % 199).alias("src"), ((F.col("id") * 7) % 211).alias("dst")
+    )
+    core = k_core(edges, 2)
+    plan = core._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # non-empty core at k=2 on this graph; partitioning captured
+    assert core.count() > 0
